@@ -1,0 +1,98 @@
+"""Text-analysis functions for the LLM-data pipeline extensions
+(SURVEY.md §2b "ext: LLM-data ops"): tokenization, n-grams, quality
+signals, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (JVM-side) — at 100 TB these run per-document
+in the scan stage, so no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists for the n-gram/stopword heuristic.
+# Deterministic and oracle-reproducible (the test corpus is synthetic word
+# soup, so this is a mechanism test, not a linguistics claim).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "de", "y"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+
+def _c(col) -> Column:
+    return col if isinstance(col, Column) else F.col(col)
+
+
+def tokenize(col) -> Column:
+    """Lowercase whitespace tokenization → array<string>."""
+    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokenize(col))
+
+
+def ngrams(col, n: int) -> Column:
+    """Word n-grams as array<string> (space-joined), via sequence+slice
+    HOFs — no explode needed until the caller wants rows."""
+    toks = tokenize(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = _c(col)
+    stripped = F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", "")
+    return F.when(F.length(c) > 0, (F.length(c) - F.length(stripped)) / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokenize(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Composite quality heuristic in [0,1]: favors mid-length docs with low
+    punctuation and moderate stopword density."""
+    c = _c(col)
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.5 * len_score + 0.25 * (1 - punct_ratio(c)) + 0.25 * (1 - stopword_ratio(c)), 4
+    )
+
+
+def lang_id(col) -> Column:
+    """Language-ID heuristic: count marker-word hits per language, take the
+    argmax (ties broken by language code ascending), 'und' if no hits."""
+    toks = tokenize(col)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # Fold in deterministic (sorted) order; strict > keeps earlier
+    # (alphabetically smaller) language on ties.
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        hits = F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(col) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct token
+    set (classic key-collision fingerprint; whitespace/order insensitive)."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokenize(col))), " ")
+    return F.md5(canon)

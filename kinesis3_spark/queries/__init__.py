@@ -1,0 +1,46 @@
+"""Oracle-checked query registry (SURVEY.md §2b inventory).
+
+Every operator the engine claims is registered here as a named query:
+a (spark_fn, oracle_sql) pair. `spark_fn(spark, sf_dir) -> DataFrame` builds
+the DataFrame-API plan; `oracle_sql` is the equivalent SQL DuckDB runs on the
+same parquet tables. The driver hash-compares the two at sf0.01
+(CORRECTNESS_r{N}.json) — column names are aliased identically on both sides
+because the comparison sorts columns by name before hashing.
+
+Parity discipline (SURVEY.md §7 risk register):
+  * UTC session timezone everywhere.
+  * Output columns restricted to string / bigint / double — timestamps are
+    formatted to strings so Arrow tz-awareness can't skew the hash.
+  * Doubles rounded on BOTH sides (sum/avg → 2 dp, ratios → 4 dp).
+  * Every LIMIT is preceded by a total ORDER BY with a unique tie-break key.
+  * DuckDB SUM(INTEGER) returns HUGEINT — always CAST to BIGINT/DOUBLE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; `oracle=None` marks it rows-only (non-SQL ops)."""
+
+    def deco(fn):
+        assert name not in QUERIES, f"duplicate query name {name!r}"
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Import for registration side effects (order = SURVEY.md §7 build order).
+from . import relational  # noqa: E402,F401
+from . import scalar  # noqa: E402,F401
+from . import events  # noqa: E402,F401
+from . import llm  # noqa: E402,F401

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness parity with the DuckDB oracle (UTC
+session timezone, ANSI off to match permissive reference semantics) and for
+scale (AQE on with skew-join handling, Arrow for any pandas-UDF boundary).
+
+At 100 TB the same settings hold: AQE re-plans shuffle partition counts and
+skew joins at runtime; `spark.sql.shuffle.partitions` here is only the local
+test default — on a real cluster it is the AQE *initial* value and AQE
+coalescing makes it non-critical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also re-assert on sessions we did not create
+# (the verification driver passes us its own session).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Permissive SQL semantics (reference tolerates malformed input by
+    # nulling it out — SURVEY.md F2), and matches DuckDB's non-failing
+    # behavior under TRY-style expressions we use.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "kinesis3-spark") -> SparkSession:
+    """Create (or get) a local SparkSession tuned for this engine."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    tune(spark)
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Assert runtime-settable confs on an externally-created session.
+
+    The correctness driver constructs its own SparkSession and calls our
+    queries with it; timezone/AQE/Arrow must hold there too or timestamp
+    outputs drift from the UTC-pinned oracle (SURVEY.md §7 risk register).
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — builder path already set it
+    return spark

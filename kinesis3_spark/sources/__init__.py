@@ -1,0 +1,3 @@
+from .batch import TABLES, load_table, load_tables, register_temp_views
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_temp_views"]
