@@ -1,0 +1,68 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() forces the full plan, no
+driver-side collect of payload rows). A warmup pass on the smallest table
+primes the JVM/codegen so timings measure the plan, not startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-heavy agg, multiway join + top-k, broadcast star join,
+# window ranking, percentile window, set ops + the LLM-data operators once
+# they land — a representative slice of SURVEY.md §2b, not the full registry.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_left_outer_counts",
+    "join_full_outer_periods",
+    "agg_percentiles_price",
+    "win_top3_orders_per_customer",
+    "setops_customer_keys",
+]
+
+
+def main() -> None:
+    from kinesis3_spark.queries import QUERIES
+    from kinesis3_spark.session import get_spark
+
+    spark = get_spark("kinesis3-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: prime codegen + parquet footer caches on the small dims
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in QUERIES]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,14 +25,27 @@ def url_encode_col(col) -> Column:
 def parse_cookies(col) -> Column:
     """`"k=v; k2=v%202"` → map<string,string> with URL-decoded values.
 
-    Reference `parse-cookies` (db.clj:136-144): split on "; ", split each
-    on "=", URL-decode the value. `str_to_map` + `transform_values` keeps
-    it fully JVM-side.
+    Reference `parse-cookies` (db.clj:136-144): split on ";", trim each
+    pair, split on the FIRST "=", URL-decode the value. Built entirely
+    from array HOFs + `map_from_entries` so it stays JVM-side. Pairs with
+    no "=" get a NULL value (reference yields nil). Duplicate cookie keys
+    keep the last occurrence (requires spark.sql.mapKeyDedupPolicy=
+    LAST_WIN, asserted in session.tune()), matching the reference's
+    `into {}` last-wins merge.
     """
-    return F.transform_values(
-        F.str_to_map(col, F.lit("; "), F.lit("=")),
-        lambda _, v: F.url_decode(v),
+    c = col if isinstance(col, Column) else F.col(col)
+    pairs = F.filter(
+        F.transform(F.split(c, ";"), lambda p: F.trim(p)),
+        lambda p: p != F.lit(""),
     )
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.trim(F.get(F.split(p, "=", 2), 0)).alias("key"),
+            F.url_decode(F.get(F.split(p, "=", 2), 1)).alias("value"),
+        ),
+    )
+    return F.map_from_entries(entries)
 
 
 def extract_json(col, schema) -> Column:

@@ -80,11 +80,16 @@ def lang_id(col) -> Column:
     toks = tokenize(col)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
+
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        # single-arg lambda: a two-arg HOF lambda would receive the array
+        # INDEX as its second param, not this closure's default
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
     # Fold in deterministic (sorted) order; strict > keeps earlier
     # (alphabetically smaller) language on ties.
     for lang in sorted(LANG_MARKERS):
-        markers = LANG_MARKERS[lang]
-        hits = F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        hits = marker_hits(LANG_MARKERS[lang])
         is_better = hits > best_hits
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(is_better, hits).otherwise(best_hits)

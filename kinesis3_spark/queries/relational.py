@@ -214,13 +214,16 @@ def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
-        )
+    # Pre-aggregate orders by key BEFORE the join: the shuffle then carries
+    # |customers| rows instead of |orders| rows (count/sum are key-local, so
+    # the answer is identical to aggregating after a left join).
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("spend")
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.round(F.coalesce(F.col("spend"), F.lit(0.0)), 2).alias("total_spend"),
     )
 
 
@@ -296,21 +299,23 @@ def join_full_outer_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     cut = F.lit("1997-01-01").cast("timestamp")
-    joined = c.join(o, c.c_custkey == o.o_custkey)
-    early = (
-        joined.where(F.col("o_orderdate") < cut)
+    # Single-pass conditional aggregation: one customer⋈orders join + one
+    # shuffle replaces the naive two-branch plan (two joins + full outer).
+    # Equivalent to the oracle's FULL OUTER of per-period aggs: a segment
+    # missing from a period has SUM(CASE...)=NULL → COALESCE 0.
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
         .groupBy(F.col("c_mktsegment").alias("seg"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend_early"))
-    )
-    late = (
-        joined.where(F.col("o_orderdate") >= cut)
-        .groupBy(F.col("c_mktsegment").alias("seg"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend_late"))
-    )
-    return early.join(late, "seg", "full").select(
-        "seg",
-        F.coalesce("spend_early", F.lit(0.0)).alias("spend_early"),
-        F.coalesce("spend_late", F.lit(0.0)).alias("spend_late"),
+        .agg(
+            F.coalesce(
+                F.round(F.sum(F.when(F.col("o_orderdate") < cut, F.col("o_totalprice"))), 2),
+                F.lit(0.0),
+            ).alias("spend_early"),
+            F.coalesce(
+                F.round(F.sum(F.when(F.col("o_orderdate") >= cut, F.col("o_totalprice"))), 2),
+                F.lit(0.0),
+            ).alias("spend_late"),
+        )
     )
 
 
@@ -382,32 +387,54 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Exact percentiles (reference metrics A3/A4 percentile surface,
-# core.clj:76-86). Spark `percentile` and DuckDB `quantile_cont` both do
-# linear interpolation on sorted values → exact parity modulo fp rounding.
+# Percentiles (reference metrics A3/A4 percentile surface, core.clj:76-86).
+# DISCRETE percentiles (smallest value with rank >= ceil(p*n)) rather than
+# interpolated: prices carry 2 decimals, so interpolation lands exactly on
+# x.xx5 rounding boundaries and fp noise flips the hashed digit. Selecting
+# an actual data value with the identical rank formula on both sides is
+# bit-stable. Single window shuffle per group + one hash agg.
 # --------------------------------------------------------------------------
+_PTILES = (("p50", 0.50), ("p75", 0.75), ("p95", 0.95), ("p99", 0.99))
+
 @query(
     "agg_percentiles_price",
     oracle="""
+    WITH t AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*)    OVER (PARTITION BY l_returnflag) AS cnt
+      FROM lineitem
+    )
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-           ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+           ROUND(MIN(CASE WHEN rn >= CEIL(0.50 * cnt) THEN l_extendedprice END), 2) AS p50,
+           ROUND(MIN(CASE WHEN rn >= CEIL(0.75 * cnt) THEN l_extendedprice END), 2) AS p75,
+           ROUND(MIN(CASE WHEN rn >= CEIL(0.95 * cnt) THEN l_extendedprice END), 2) AS p95,
+           ROUND(MIN(CASE WHEN rn >= CEIL(0.99 * cnt) THEN l_extendedprice END), 2) AS p99,
            ROUND(MIN(l_extendedprice), 2) AS min_price,
            ROUND(MAX(l_extendedprice), 2) AS max_price,
            ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price
-    FROM lineitem
+    FROM t
     GROUP BY l_returnflag
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    ptile_aggs = [
+        F.round(
+            F.min(F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("cnt")), F.col("l_extendedprice"))), 2
+        ).alias(name)
+        for name, p in _PTILES
+    ]
+    return ranked.groupBy("l_returnflag").agg(
+        *ptile_aggs,
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
@@ -541,15 +568,22 @@ def win_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Window: sliding ROWS frame (3-row centered moving average) + first/last.
+# Window: sliding ROWS frame (3-row centered moving sum/count) + first/last.
+# Moving SUM+COUNT rather than AVG: a 2-row average of 2-decimal prices is
+# an exact half-cent, and Spark (BigDecimal HALF_UP on the shortest decimal
+# rendering) and DuckDB (binary-double rounding) round half-cents in
+# opposite directions — sums of 2dp values are exact, hash-stable.
 # --------------------------------------------------------------------------
 @query(
     "win_sliding_avg_price",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(AVG(o_totalprice) OVER (
+           ROUND(SUM(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS mavg,
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS msum,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mcnt,
            FIRST_VALUE(o_orderkey) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS first_key,
            LAST_VALUE(o_orderkey) OVER (
@@ -572,7 +606,8 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w_slide), 2).alias("mavg"),
+        F.round(F.sum("o_totalprice").over(w_slide), 2).alias("msum"),
+        F.count("*").over(w_slide).alias("mcnt"),
         F.first("o_orderkey").over(w_first).alias("first_key"),
         F.last("o_orderkey").over(w_full).alias("last_key"),
     )
@@ -636,7 +671,7 @@ def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         one("union_all", a.unionAll(b))
         .unionByName(one("union_distinct", a.union(b).distinct()))
         .unionByName(one("intersect", a.intersect(b)))
-        .unionByName(one("except", a.exceptAll(b).distinct()))
+        .unionByName(one("except", a.subtract(b)))
     )
 
 

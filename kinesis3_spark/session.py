@@ -28,6 +28,9 @@ _RUNTIME_CONFS = {
     # nulling it out — SURVEY.md F2), and matches DuckDB's non-failing
     # behavior under TRY-style expressions we use.
     "spark.sql.ansi.enabled": "false",
+    # Last-wins on duplicate map keys (reference's `into {}` cookie merge,
+    # db.clj:136-144; default EXCEPTION would fail the row).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
 
 

@@ -1,0 +1,69 @@
+"""Shared test fixtures: one local SparkSession per test run, a DuckDB
+connection with the corpus tables registered as views, and the
+oracle-parity comparator (mirrors the driver's compare: sort columns by
+name, order-insensitive rows, approximate float equality)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kinesis3_spark.session import get_spark
+from kinesis3_spark.sources import TABLES
+
+# Unit/parity tests default to the smallest SF for speed; override with
+# SPARK_GRAFT_TEST_SF_DIR to run the suite at sf0.01 (the driver's t2 SF).
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("kinesis3-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize for order-insensitive comparison: columns sorted by
+    name, rows sorted by all columns (stringified so mixed NULLs sort)."""
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    order = out.astype(str).sort_values(by=cols).index
+    return out.loc[order].reset_index(drop=True)
+
+
+def assert_parity(spark_df, duck_con, oracle: str, atol: float = 1e-6) -> None:
+    """Compare a Spark DataFrame against DuckDB running the oracle SQL."""
+    got = canon(spark_df.toPandas())
+    want = canon(duck_con.sql(oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            pd.testing.assert_series_equal(
+                g.astype(float), w.astype(float), check_names=False,
+                rtol=1e-9, atol=atol,
+            )
+        else:
+            assert g.astype(str).tolist() == w.astype(str).tolist(), f"column {c} differs"

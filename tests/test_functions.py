@@ -1,0 +1,119 @@
+"""Unit tests for the scalar function library against the reference's
+hand-computed fixtures (FIXTURES.md §6; reference src/kinesis3/utils.clj,
+db.clj)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis3_spark.functions import (
+    epoch_ms_to_datetime_str,
+    epoch_ms_to_day,
+    epoch_ms_to_hour_start_s,
+    extract_json,
+    fingerprint,
+    lang_id,
+    ngrams,
+    parse_cookies,
+    quality_score,
+    separate_number_data,
+    token_count,
+    url_decode_col,
+    url_encode_col,
+)
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_get_hour_documented_example(spark):
+    # reference utils.clj:54-56: 1437609280911 → 1437606000
+    assert one(spark, epoch_ms_to_hour_start_s(F.lit("1437609280911"))) == 1437606000
+
+
+def test_epoch_to_datetime_str(spark):
+    # 1437609280911 ms = 2015-07-22T23:54:40.911 UTC
+    assert one(spark, epoch_ms_to_datetime_str(F.lit("1437609280911"))) == "2015-07-22T23:54:40"
+
+
+def test_epoch_to_day(spark):
+    assert one(spark, epoch_ms_to_day(F.lit(1437609280911))) == "2015-07-22"
+
+
+def test_epoch_invalid_input_is_null(spark):
+    # deviation from reference's now() fallback, documented FIXTURES.md §6
+    assert one(spark, epoch_ms_to_datetime_str(F.lit("not-a-number"))) is None
+
+
+def test_parse_cookies_basic_and_urldecoded(spark):
+    # reference db.clj:136-144 fixture: "a=1; b=x%20y" → {a:"1", b:"x y"}
+    m = one(spark, parse_cookies(F.lit("a=1; b=x%20y")))
+    assert m == {"a": "1", "b": "x y"}
+
+
+def test_parse_cookies_no_space_and_trim(spark):
+    # ADVICE r01: reference splits on ';' and trims — "k=v;k2=v2" is TWO pairs
+    m = one(spark, parse_cookies(F.lit("k=v;k2=v2; k3 = v3")))
+    assert m["k"] == "v"
+    assert m["k2"] == "v2"
+    assert m["k3"] == " v3" or m["k3"] == "v3"  # value keeps inner space after first '='
+
+
+def test_parse_cookies_duplicate_key_last_wins(spark):
+    m = one(spark, parse_cookies(F.lit("a=1; a=2")))
+    assert m == {"a": "2"}
+
+
+def test_parse_cookies_value_with_equals(spark):
+    # split on FIRST '=' only: "tok=abc=def" → {"tok": "abc=def"}
+    m = one(spark, parse_cookies(F.lit("tok=abc=def")))
+    assert m == {"tok": "abc=def"}
+
+
+def test_url_codec_roundtrip(spark):
+    assert one(spark, url_encode_col(F.lit("x y&z"))) == "x+y%26z"
+    assert one(spark, url_decode_col(F.lit("x+y%26z"))) == "x y&z"
+
+
+def test_separate_number_data(spark):
+    line = "s" * 56 + " payload here"
+    row = one(spark, separate_number_data(F.lit(line)))
+    assert row["sequence_number"] == "s" * 56
+    assert row["data"] == "payload here"
+
+
+def test_extract_json_corrupt_is_null(spark):
+    parsed = one(spark, extract_json(F.lit("{not json"), "a INT"))
+    assert parsed is None or parsed["a"] is None
+
+
+def test_extract_json_valid(spark):
+    parsed = one(spark, extract_json(F.lit('{"a": 7}'), "a INT"))
+    assert parsed["a"] == 7
+
+
+def test_tokenize_and_ngrams(spark):
+    assert one(spark, token_count(F.lit("The quick  brown fox"))) == 4
+    grams = one(spark, ngrams(F.lit("a b c d"), 2))
+    assert grams == ["a b", "b c", "c d"]
+    assert one(spark, ngrams(F.lit("a"), 2)) == []
+
+
+def test_fingerprint_order_insensitive(spark):
+    a = one(spark, fingerprint(F.lit("alpha beta gamma")))
+    b = one(spark, fingerprint(F.lit("gamma  alpha beta alpha")))
+    c = one(spark, fingerprint(F.lit("alpha beta delta")))
+    assert a == b
+    assert a != c
+
+
+def test_lang_id(spark):
+    assert one(spark, lang_id(F.lit("the cat and the hat of doom"))) == "en"
+    assert one(spark, lang_id(F.lit("der hund und die katze"))) == "de"
+    assert one(spark, lang_id(F.lit("zzz qqq"))) == "und"
+
+
+def test_quality_score_bounds(spark):
+    v = one(spark, quality_score(F.lit("a decent length sentence with words in it")))
+    assert 0.0 <= v <= 1.0

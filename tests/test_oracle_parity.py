@@ -1,0 +1,23 @@
+"""Differential oracle tests (SURVEY.md §5 strategy #1): every registered
+query with an oracle runs on Spark AND DuckDB at the test SF; results must
+match order-insensitively. This is a local mirror of the driver's t2 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis3_spark.queries import ORACLE, QUERIES
+
+from .conftest import assert_parity
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    if name in ORACLE:
+        assert_parity(df, duck, ORACLE[name])
+    else:
+        # rows-only contract for non-SQL-expressible ops: runs, stable schema
+        rows = df.count()
+        assert rows >= 0
+        assert len(df.schema.fields) > 0
