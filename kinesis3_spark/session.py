@@ -31,6 +31,10 @@ _RUNTIME_CONFS = {
     # Last-wins on duplicate map keys (reference's `into {}` cookie merge,
     # db.clj:136-144; default EXCEPTION would fail the row).
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # The corpus events.parquet stores ts as INT64 TIMESTAMP(NANOS), which
+    # vanilla Spark refuses to scan. Read nanos as long; sources.load_table
+    # converts to TimestampType (µs, matching DuckDB's truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
