@@ -42,3 +42,4 @@ def query(name: str, oracle: str | None = None):
 # Import for registration side effects (order = SURVEY.md §7 build order).
 from . import relational  # noqa: E402,F401
 from . import scalar  # noqa: E402,F401
+from . import temporal  # noqa: E402,F401

@@ -689,6 +689,112 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Window: lag/lead navigation (SURVEY.md §2b "lag/lead" — sessionization
+# building block). Gap = days since previous order of the same customer.
+# --------------------------------------------------------------------------
+@query(
+    "win_lag_lead_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS od,
+           COALESCE(strftime(LAG(o_orderdate)  OVER w, '%Y-%m-%d'), '<NONE>') AS prev_od,
+           COALESCE(strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d'), '<NONE>') AS next_od,
+           COALESCE(datediff('day', CAST(LAG(o_orderdate) OVER w AS DATE),
+                             CAST(o_orderdate AS DATE)), -1) AS gap_days
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def win_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.coalesce(F.date_format(prev, "yyyy-MM-dd"), F.lit("<NONE>")).alias("prev_od"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd"), F.lit("<NONE>")
+        ).alias("next_od"),
+        F.coalesce(
+            F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")), F.lit(-1)
+        ).cast("bigint").alias("gap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# approx_count_distinct (HLL++): not hash-comparable against an exact
+# oracle, so the CHECK is the contract — the approximation must land within
+# 5% of the exact count per group, and that boolean IS oracle-checkable.
+# At 100 TB this is the operator you reach for instead of COUNT(DISTINCT)'s
+# full shuffle of the distinct keys: HLL sketches merge map-side.
+# --------------------------------------------------------------------------
+@query(
+    "agg_approx_distinct_within_5pct",
+    oracle="""
+    SELECT l_returnflag, 1 AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_suppkey").alias("exact"),
+        )
+        .select(
+            "l_returnflag",
+            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.05)
+            .cast("int")
+            .alias("within_5pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# In-memory table source (createDataFrame ↔ VALUES): a literal dimension
+# broadcast-joined to a fact — the canonical "small lookup table" pattern.
+# --------------------------------------------------------------------------
+_PRIORITY_WEIGHTS = [
+    ("1-URGENT", 5.0),
+    ("2-HIGH", 4.0),
+    ("3-MEDIUM", 3.0),
+    ("4-NOT SPECIFIED", 2.0),
+    ("5-LOW", 1.0),
+]
+
+@query(
+    "inmemory_weighted_spend",
+    oracle="""
+    WITH w(priority, wt) AS (VALUES
+      ('1-URGENT', 5.0), ('2-HIGH', 4.0), ('3-MEDIUM', 3.0),
+      ('4-NOT SPECIFIED', 2.0), ('5-LOW', 1.0))
+    SELECT o.o_orderstatus AS status,
+           ROUND(SUM(o.o_totalprice * w.wt), 2) AS weighted_spend,
+           COUNT(*) AS n
+    FROM orders o JOIN w ON o.o_orderpriority = w.priority
+    GROUP BY o.o_orderstatus
+    """,
+)
+def inmemory_weighted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = spark.createDataFrame(_PRIORITY_WEIGHTS, "priority string, wt double")
+    return (
+        o.join(F.broadcast(w), o.o_orderpriority == w.priority)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice") * F.col("wt")), 2).alias("weighted_spend"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Correlated scalar subquery (per-segment above-average balance).
 # --------------------------------------------------------------------------
 @query(

@@ -1,0 +1,118 @@
+"""Temporal join surface over the `events` stream table (SURVEY.md §2b
+"range/interval join" and "as-of join" — ext rows motivated by
+sessionization of the reference's event stream, db.clj:146-173).
+
+Scale notes (100 TB):
+  * The range join keeps an EQUI key (user_id) alongside the interval
+    predicate, so Catalyst plans a hash/sort-merge join on user_id and
+    evaluates the ts-interval as a post-join filter within each key group —
+    never an all-pairs cross product. Event streams keyed by user are the
+    partitioning that holds at scale (150 users/10k events at sf0.01 scales
+    to per-user event counts, not per-user blowup).
+  * The as-of join is NOT implemented as a join at all: a union of the two
+    sides + one window pass (`last(value, ignorenulls=True)` over rows
+    preceding) computes "latest left row ≤ right.ts" with a single shuffle
+    on user_id and no join amplification — the classic scalable as-of shape
+    (one sort per key group, no candidate explosion when a user has many
+    matching left rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .relational import _t
+from . import query
+
+
+# --------------------------------------------------------------------------
+# Range/interval join: for each error event, how many clicks the same user
+# made in the preceding 5 minutes (strictly before the error).
+# --------------------------------------------------------------------------
+@query(
+    "join_range_clicks_before_error",
+    oracle="""
+    SELECT e.event_id, COUNT(c.event_id) AS n_recent_clicks
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 5 MINUTE
+     AND c.ts <  e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    return (
+        e.join(c, cond, "left")
+        .groupBy(F.col("e_id").alias("event_id"))
+        .agg(F.count("c_id").alias("n_recent_clicks"))
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join: for each purchase, the latest click by the same user at or
+# before the purchase timestamp. Implemented join-free (union + window —
+# see module docstring); the oracle is DuckDB's native ASOF LEFT JOIN.
+# Only the matched click's ts is emitted (not its id), so simultaneous
+# clicks at the best timestamp cannot introduce nondeterminism.
+# --------------------------------------------------------------------------
+@query(
+    "join_asof_click_before_purchase",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           COALESCE(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), '<NONE>') AS click_ts,
+           COALESCE(datediff('second', c.ts, p.ts), -1) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("side"),  # clicks sort before purchases at equal ts (>= semantics)
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("timestamp").alias("click_ts"), F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "asof_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.coalesce(
+            F.date_format("asof_click_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("<NONE>")
+        ).alias("click_ts"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("asof_click_ts"), F.lit(-1)
+        ).cast("bigint").alias("gap_s"),
+    )
