@@ -1,0 +1,10 @@
+"""First-class operators beyond the scalar-function tier: deduplication,
+similarity search, multimodal column processing.
+
+Each operator is a function DataFrame -> DataFrame composed from built-in
+pyspark.sql.functions wherever semantics allow (JVM-side, codegen-friendly);
+Arrow-batched pandas UDFs are the explicit fallback tier, never row-at-a-time
+Python.
+"""
+
+from . import dedup  # noqa: F401

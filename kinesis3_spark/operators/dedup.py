@@ -1,0 +1,256 @@
+"""Deduplication operators for the LLM-data pipeline (SURVEY.md §2b
+"exact+near dedup"): exact fingerprint dedup, n-gram Jaccard near-dup,
+MinHash+LSH near-dup, and SimHash clustering.
+
+The reference engine has no dedup surface (its stream is keyed by event id,
+reference src/kinesis3/db.clj:113-134 upserts by id); these operators extend
+that id-dedup idea to *content* dedup as a training-data pipeline needs.
+
+Scale design (100 TB):
+  * Exact dedup is a hash-shuffle on the fingerprint digest — uniformly
+    distributed keys, no skew, the canonical scalable shape.
+  * Near-dup NEVER does all-pairs: candidates come from an inverted-index
+    equi-join (shared n-gram) or LSH band-bucket equi-join (shared band
+    hash), both plain hash joins Catalyst can shuffle on a key. Candidate
+    verification is a per-pair array_intersect — JVM-side, no Python.
+  * Pair thresholds are evaluated with INTEGER arithmetic
+    (2*|A∩B| >= |A∪B|  ⟺  Jaccard >= 0.5), so outputs are exact and
+    engine-portable — no float rounding at decision boundaries.
+  * SimHash uses a portable 60-bit hash (first 15 hex chars of md5) so any
+    engine reproduces the signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, ngrams, tokenize
+
+# MinHash/LSH defaults: 64 permutations in 32 bands x 2 rows. The S-curve
+# midpoint is (1/32)^(1/2) ~= 0.18, so a true Jaccard-0.5 pair is missed with
+# probability (1 - 0.5^2)^32 ~= 1e-4 — aggressive-recall settings appropriate
+# for a verify-after-candidates pipeline (false positives are filtered by the
+# exact check; false negatives are the only real loss).
+N_HASHES = 64
+LSH_BANDS = 32
+LSH_ROWS = 2
+SHINGLE_N = 3
+
+
+def portable_hash60(col) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5, as bigint.
+
+    Any SQL engine reproduces this (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT),
+    unlike murmur3/xxhash64 whose seeds and variants differ across engines.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by canonical fingerprint (md5 of sorted distinct token
+    set — whitespace/word-order insensitive). Returns one row per duplicate
+    group: fp, n_docs, keep_id (min id = survivor), doc_ids (sorted, csv).
+
+    One hash-shuffle on the digest; collect_list is bounded by group size
+    (duplicate multiplicity), not table size.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("keep_id"),
+            F.array_join(F.array_sort(F.collect_list("id")), ",").alias("doc_ids"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The dedup operator itself: keep the min-id document per fingerprint.
+
+    Window-free formulation: groupBy(fp).min(id) then semi-join back — two
+    shuffles but no full-row sort, and the join key (fp, id) is unique so
+    the join never amplifies.
+    """
+    keyed = df.withColumn("__fp", fingerprint(text_col))
+    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup (inverted index)
+# --------------------------------------------------------------------------
+
+def _gram_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(ngrams(text_col, n)).alias("grams"),
+    ).where(F.size("grams") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    num: int = 1,
+    den: int = 2,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard >= num/den, via inverted-index self-join
+    on shared grams (pairs sharing no gram have Jaccard 0 and can't qualify).
+
+    Threshold test is integer-exact: den*|A∩B| >= num*|A∪B|.
+    Output: id_a < id_b, inter_size, union_size (bigint).
+
+    Scale note: the gram-key join is the skew hazard (a gram in f docs yields
+    f^2/2 pair rows). At 100 TB, cap document frequency per gram (drop grams
+    with df > threshold from *candidate generation* only, then verify against
+    full sets) — not applied here because the oracle checks exact semantics.
+    """
+    g = _gram_sets(df, text_col, id_col, n)
+    ex = g.select("id", F.size("grams").alias("sz"), F.explode("grams").alias("gram"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter_size"))
+    )
+    return (
+        inter.withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
+        .where(den * F.col("inter_size") >= num * F.col("union_size"))
+        .select("id_a", "id_b", "inter_size", F.col("union_size").cast("bigint"))
+        .withColumn("inter_size", F.col("inter_size").cast("bigint"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Per-document MinHash signature: one column m0..m{k-1}, where
+    m_i = min over shingles of xxhash64(seed=i, shingle).
+
+    Single explode + groupBy with k min-aggregates: map-side partial
+    aggregation applies, one shuffle keyed by doc id.
+    """
+    g = _gram_sets(df, text_col, id_col, shingle_n)
+    ex = g.select("id", F.explode("grams").alias("gram"))
+    return ex.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"m{i}") for i in range(n_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Band the signature and equi-join on (band_id, band_hash): two docs are
+    candidates iff some band agrees on all its rows. Plain hash join on a
+    composite key — the scalable LSH shape (never all-pairs)."""
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.hash(*[F.col(f"m{j * rows + r}") for r in range(rows)]).alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num: int = 1,
+    den: int = 2,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bucket-join →
+    exact-Jaccard verification of candidates. Output matches
+    ngram_jaccard_pairs (id_a, id_b, inter_size, union_size) whenever LSH
+    recall holds, which the parameter choice makes overwhelmingly likely
+    (see module constants)."""
+    g = _gram_sets(df, text_col, id_col, SHINGLE_N)
+    cand = lsh_candidate_pairs(minhash_signatures(df, text_col, id_col))
+    ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter_size", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn(
+            "union_size", F.size("grams_a") + F.size("grams_b") - F.col("inter_size")
+        )
+        .where(den * F.col("inter_size") >= num * F.col("union_size"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.col("inter_size").cast("bigint"),
+        F.col("union_size").cast("bigint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash over the distinct token set using the portable
+    60-bit md5 hash: bit b of the signature is 1 iff more tokens have bit b
+    set than clear. Returns (id, simhash).
+
+    Explode + groupBy with `bits` integer sums — all JVM-side, one shuffle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("t"),
+    ).withColumn("hv", portable_hash60("t"))
+    sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)),
+        F.lit(0),
+    )
+    return sums.select("id", sig.cast("bigint").alias("simhash"))

@@ -43,3 +43,4 @@ def query(name: str, oracle: str | None = None):
 from . import relational  # noqa: E402,F401
 from . import scalar  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401

@@ -1,0 +1,134 @@
+"""Dedup queries over the `documents` corpus table (SURVEY.md §2b
+"exact+near dedup"). Operators live in kinesis3_spark/operators/dedup.py;
+each is registered here with a DuckDB oracle.
+
+Oracle-parity notes:
+  * Thresholds are integer-exact (2*inter >= union) — no float rounding.
+  * The LSH query's oracle is the EXACT all-pairs Jaccard result: equality
+    holds iff LSH recall is 100% on the corpus, which the aggressive band
+    parameters make overwhelmingly likely (miss prob ~1e-4 per true pair at
+    the 0.5 threshold; the corpus' near-dup pairs sit well above it).
+  * The simhash oracle reproduces the portable md5-60-bit hash in SQL, so
+    signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from .relational import _t
+from . import query
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+# DuckDB trigrams: list slices are 1-based inclusive, range() end-exclusive →
+# range(1, len-1) x toks[i:i+2] == Spark sequence(1, size-2) x slice(toks,i,3).
+_GRAMS = (
+    "list_distinct(list_transform(range(1, len(toks)-1),"
+    " i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+      FROM documents
+    )
+    SELECT fp,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS keep_id,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+    FROM c GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_drop_exact",
+    oracle=f"""
+    WITH c AS (
+      SELECT *, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars FROM c
+    WHERE doc_id = (SELECT min(doc_id) FROM c x WHERE x.fp = c.fp)
+    """,
+)
+def dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.drop_exact_duplicates(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_JACCARD_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, {_GRAMS} AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams))::BIGINT AS inter_size,
+           (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::BIGINT
+             AS union_size
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(a.grams) > 0 AND len(b.grams) > 0
+      AND 2 * len(list_intersect(a.grams, b.grams))
+          >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+# Oracle is the same exact all-pairs Jaccard — see module docstring.
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BITS = 32
+_BIT_SUMS = ",\n             ".join(
+    f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_BIT_ASSEMBLE = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash_clusters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, {_BIT_SUMS}
+      FROM h GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, ({_BIT_ASSEMBLE})::BIGINT AS simhash FROM bits
+    )
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) ::BIGINT AS cluster_size
+    FROM sh
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+    from pyspark.sql.window import Window
+
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        "simhash",
+        F.count("*").over(Window.partitionBy("simhash")).alias("cluster_size"),
+    )
