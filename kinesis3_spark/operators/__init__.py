@@ -8,3 +8,4 @@ Python.
 """
 
 from . import dedup  # noqa: F401
+from . import similarity  # noqa: F401

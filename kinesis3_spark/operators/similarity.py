@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (SURVEY.md §2b "similarity
+search"): exact cosine top-k (expression tier + Arrow-batched pandas tier)
+and a random-hyperplane LSH scale path.
+
+This is the `operators/similarity.py` module promised by
+kinesis3_spark/functions/vectors.py — the two tiers share semantics:
+
+  * Expression tier: `zip_with`+`aggregate` dot products, JVM-side — the
+    oracle-parity path.
+  * Pandas tier: `mapInPandas` numpy matmul per Arrow batch with PER-BATCH
+    PARTIAL TOP-K — each executor emits at most k candidates per query per
+    batch, so the shuffle carries O(batches * k * |Q|) rows instead of
+    O(N * |Q|). This is the shape that survives 100 TB: the full N x Q score
+    matrix never materializes or shuffles.
+
+Top-k outputs are (query_id, rank, neighbor_id) with rank ties broken by
+neighbor_id — no float column in the result, so cross-engine summation-order
+noise cannot perturb a value hash.
+
+The LSH path (random hyperplane signatures, multiple hash tables) is the
+sub-linear candidate generator for genuinely-similar regimes (cos >~ 0.8).
+On near-orthogonal corpora (like the synthetic test embeddings, max pairwise
+cos ~0.5) exhaustive scoring is the *correct* choice — LSH recall collapses
+by design below the similarity its tables are tuned for; tests plant
+high-similarity fixtures to exercise it honestly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+LSH_SEED = 42
+LSH_TABLES = 4
+LSH_BITS = 8  # bits per table
+
+
+def _topk_from_scores(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector, expression tier.
+
+    The (small) query set is broadcast against the full embedding table, so
+    scoring is map-side over the scan; only the scored candidates shuffle
+    for the per-query rank. Exhaustive over N — the baseline every ANN
+    variant is measured against.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        e.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_similarity("qv", "nv"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_scores(scored, k)
+
+
+def cosine_topk_pandas(
+    emb: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors, Arrow/pandas tier with per-batch partial top-k.
+
+    `queries_pdf` is a driver-side pandas frame (the query set is bounded by
+    definition — it plays the broadcast role). Each mapInPandas batch scores
+    batch x Q with one numpy matmul and emits only its local top-k per
+    query; the final global rank merges batch winners.
+    """
+    qids = queries_pdf[id_col].to_numpy()
+    Q = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qn.T  # (batch, |Q|)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                sj, nj = S[mask, j], ids[mask]
+                # local top-k, ties broken by neighbor id ascending
+                order = np.lexsort((nj, -sj))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(nj[order])
+                out_c.extend(sj[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, cos double"
+    )
+    return _topk_from_scores(cand, k)
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path)
+# --------------------------------------------------------------------------
+
+def _planes(dim: int, seed: int = LSH_SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((LSH_TABLES * LSH_BITS, dim))
+
+
+def lsh_signatures(
+    emb: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, table, sig): one `LSH_BITS`-bit sign-pattern signature per hash
+    table, computed batch-at-a-time with a single numpy matmul."""
+    P = _planes(dim)
+
+    def sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (M @ P.T) > 0  # (n, tables*bits)
+            weights = 1 << np.arange(LSH_BITS)
+            rows = {"id": np.repeat(ids, LSH_TABLES)}
+            sigs = np.empty((len(ids), LSH_TABLES), dtype=np.int64)
+            for t in range(LSH_TABLES):
+                sigs[:, t] = bits[:, t * LSH_BITS : (t + 1) * LSH_BITS] @ weights
+            rows["table"] = np.tile(np.arange(LSH_TABLES), len(ids))
+            rows["sig"] = sigs.reshape(-1)
+            yield pd.DataFrame(rows)
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        sign_batches, schema="id long, table int, sig long"
+    )
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates = vectors sharing any table signature with the
+    query (equi-join on (table, sig) — sub-linear, never all-pairs), then
+    exact cosine + rank over candidates only.
+
+    Recall depends on the similarity regime: ~(1 - (1 - p^BITS)^TABLES) per
+    neighbor with p = 1 - theta/pi. Tuned for cos >= ~0.8 neighborhoods."""
+    sig_e = lsh_signatures(emb, dim, id_col, vec_col)
+    sig_q = lsh_signatures(queries, dim, id_col, vec_col).withColumnRenamed(
+        "id", "query_id"
+    )
+    cand_ids = (
+        sig_q.join(sig_e, ["table", "sig"])
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cand_ids.join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
+        .withColumn("cos", cosine_similarity("qv", "nv"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_scores(scored, k)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — the embedding
+    analogue of near-dup text detection.
+
+    Exhaustive formulation for oracle checking; the production path at scale
+    is the same verify step fed by `lsh_signatures` candidates (pairs sharing
+    a table signature), which is how FAISS-style dedup pipelines block."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity("va", "vb"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -44,3 +44,4 @@ from . import relational  # noqa: E402,F401
 from . import scalar  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401

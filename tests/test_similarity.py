@@ -1,0 +1,56 @@
+"""Similarity-operator tests: pandas-tier parity with the expression tier,
+and LSH recall on planted high-similarity fixtures (the corpus embeddings
+are near-orthogonal, so LSH quality must be exercised on data in the
+similarity regime it's tuned for)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kinesis3_spark.operators import similarity as S
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """100 background vectors + 5 planted near-dup pairs (cos > 0.95)."""
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((100, DIM))
+    rows = [(i, base[i].tolist()) for i in range(100)]
+    expected = {}
+    for p in range(5):
+        src = base[p]
+        dup = src + 0.05 * rng.standard_normal(DIM)  # tiny perturbation
+        dup_id = 100 + p
+        rows.append((dup_id, dup.tolist()))
+        expected[p] = dup_id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, expected
+
+
+def test_lsh_recall_on_planted_pairs(spark, planted):
+    emb, expected = planted
+    queries = emb.where(emb.vec_id < 5)
+    out = S.cosine_topk_lsh(emb, queries, dim=DIM, k=1).collect()
+    got = {r.query_id: r.neighbor_id for r in out}
+    assert got == expected  # every planted dup found at rank 1
+
+
+def test_pandas_tier_matches_expression_tier(spark, planted):
+    emb, _ = planted
+    queries = emb.where(emb.vec_id < 5)
+    brute = S.cosine_topk_bruteforce(emb, queries, k=3).collect()
+    qpdf = queries.select("vec_id", "embedding").toPandas()
+    pand = S.cosine_topk_pandas(emb, qpdf, k=3).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(((r.query_id, r.rank, r.neighbor_id) for r in brute)) == sorted(
+        ((r.query_id, r.rank, r.neighbor_id) for r in pand)
+    )
+
+
+def test_neardup_finds_planted_pairs(spark, planted):
+    emb, expected = planted
+    pairs = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(emb, 0.9).collect()}
+    assert {(p, d) for p, d in expected.items()} <= pairs
