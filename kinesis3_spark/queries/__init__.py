@@ -45,3 +45,5 @@ from . import scalar  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import llmtext  # noqa: E402,F401
+from . import ingestion  # noqa: E402,F401

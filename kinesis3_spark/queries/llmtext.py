@@ -1,0 +1,131 @@
+"""Text-analysis queries over the `documents` corpus table (SURVEY.md §2b
+"text analysis"): token counting (whitespace + BPE-ish regex), language-ID
+heuristic, quality scoring, and n-gram frequency. Functions live in
+kinesis3_spark/functions/text.py.
+
+Parity notes: counts are emitted as exact bigints; quality_score is per-row
+scalar float math with identical expression structure on both engines
+(same doubles → same 4-dp rounding — only *aggregated* floats are
+order-sensitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .relational import _t
+from . import query
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_BPE_RE = r"\w+|[^\w\s]"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS})::BIGINT AS token_cnt,
+           len(list_distinct({_TOKS}))::BIGINT AS distinct_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}'))::BIGINT AS bpe_token_cnt,
+           len(list_filter({_TOKS},
+               t -> list_contains({list(T.STOPWORDS)}, t)))::BIGINT AS stopword_hits
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = T.tokenize("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("token_cnt"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("bpe_token_cnt"),
+        F.size(F.filter(toks, lambda t: t.isin(*T.STOPWORDS)))
+        .cast("bigint")
+        .alias("stopword_hits"),
+    )
+
+
+def _lang_case_sql() -> str:
+    """DuckDB mirror of T.lang_id's deterministic fold (argmax, ties → first
+    alphabetically, 'und' when no marker hits)."""
+    hits = {
+        lang: f"len(list_filter({_TOKS}, t -> list_contains({list(m)}, t)))"
+        for lang, m in sorted(T.LANG_MARKERS.items())
+    }
+    best, best_hits = "'und'", "0"
+    for lang, h in hits.items():
+        best = f"CASE WHEN {h} > {best_hits} THEN '{lang}' ELSE {best} END"
+        best_hits = f"CASE WHEN {h} > {best_hits} THEN {h} ELSE {best_hits} END"
+    return best
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_declared, {_lang_case_sql()} AS lang_detected
+    FROM documents
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        T.lang_id("text").alias("lang_detected"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text)
+                  ELSE 0.0 END AS punct_r,
+             CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                  THEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE
+                       / len(string_split_regex(lower(trim(text)), '\\s+'))
+                  ELSE 0.0 END AS stop_r,
+             least(length(text) / 500.0, 1.0) AS len_score
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.5 * len_score + 0.25 * (1 - punct_r) + 0.25 * (1 - stop_r), 4)
+             AS quality
+    FROM s
+    """,
+)
+def quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.quality_score("text").alias("quality")
+    )
+
+
+@query(
+    "text_ngram_top20",
+    oracle=f"""
+    WITH g AS (
+      SELECT unnest(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM (SELECT {_TOKS} AS toks FROM documents)
+    )
+    SELECT gram, count(*)::BIGINT AS n
+    FROM g GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(T.ngrams("text", 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
