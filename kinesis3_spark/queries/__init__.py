@@ -47,3 +47,5 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import llmtext  # noqa: E402,F401
 from . import ingestion  # noqa: E402,F401
+from . import merge  # noqa: E402,F401
+from . import streamq  # noqa: E402,F401

@@ -1,0 +1,142 @@
+"""Streaming queries (SURVEY.md §2b rows 41-45) — each executes a REAL
+Structured Streaming job over the events parquet (availableNow trigger →
+memory sink) and returns the completed result, so the driver oracle-checks
+genuine streaming output against batch SQL. Complete output mode keeps
+final windows from being withheld by the closing watermark; the dedup query
+runs in append mode (emits immediately, watermark evicts state).
+
+Also here: the /stats metrics snapshot (reference core.clj:74-86 A1-A5 +
+O1) re-expressed as an aggregation over the event stream's history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import (
+    dedup_stream,
+    run_to_memory,
+    session_counts,
+    sliding_value_stats,
+    stream_events,
+    tumbling_counts,
+)
+from .relational import _t
+from . import query
+
+_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '{_FMT}') AS win_start,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        tumbling_counts(stream_events(spark, sf_dir)), output_mode="complete"
+    )
+
+
+@query(
+    "stream_sliding_value_stats",
+    oracle=f"""
+    WITH placed AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+      FROM events
+    )
+    SELECT strftime(win_start, '{_FMT}') AS win_start,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM placed GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        sliding_value_stats(stream_events(spark, sf_dir)), output_mode="complete"
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_FMT}') AS session_start,
+           strftime(max(ts) + INTERVAL '10 minutes', '{_FMT}') AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        session_counts(stream_events(spark, sf_dir)), output_mode="complete"
+    )
+
+
+@query(
+    "stream_dedup_replay",
+    oracle="SELECT event_id, event_type, user_id FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery simulated by unioning the stream with itself;
+    dropDuplicates(event_id) + watermark restores exactly-once, matching
+    the reference's purify :diff (db.clj:100-111)."""
+    doubled = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
+    deduped = dedup_stream(doubled, keys=("event_id",))
+    return run_to_memory(
+        deduped.select("event_id", "event_type", "user_id"), output_mode="append"
+    )
+
+
+@query(
+    "metrics_stats_snapshot",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(quantile_disc(value, 0.5), 2) AS p50,
+           round(quantile_disc(value, 0.95), 2) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def metrics_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /stats endpoint payload (core.clj:74-86): per-meter counts +
+    value percentiles, as one aggregation. Discrete percentiles rank-select
+    real values, so no interpolation divergence between engines."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 2).alias("p50"),
+        F.round(F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"), 2).alias("p95"),
+    )

@@ -1,0 +1,4 @@
+"""Sinks: partitioned Parquet archive and keyed upsert writes."""
+
+from .parquet import archive_events, write_partitioned  # noqa: F401
+from .upsert import upsert_parquet  # noqa: F401

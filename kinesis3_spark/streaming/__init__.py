@@ -1,0 +1,8 @@
+"""Structured Streaming surface: sources, windowed aggregations, dedup,
+archive/upsert sinks, and ingest metrics (reference src/kinesis3/core.clj —
+the Kinesis consumer loop, S3 archive sink, and /stats metrics)."""
+
+from .sources import stream_events, stream_jsonl  # noqa: F401
+from .windows import session_counts, sliding_value_stats, tumbling_counts  # noqa: F401
+from .dedup import dedup_stream  # noqa: F401
+from .run import run_to_memory, archive_stream, upsert_stream  # noqa: F401

@@ -1,0 +1,85 @@
+"""Streaming execution helpers: drive a stream to completion with the
+availableNow trigger (process-everything-then-stop — the testable form of
+the reference's batch-size/interval flush loop, core.clj:113-120
+`time-to-save?`), archive to partitioned Parquet, or upsert per micro-batch
+via foreachBatch."""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sinks import upsert_parquet
+
+_MEM_IDS = itertools.count()
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Execute a streaming plan with trigger(availableNow) into an in-memory
+    sink; returns the completed result as a batch DataFrame. Complete mode
+    is the right choice for windowed aggregations here — append would hold
+    back windows newer than the final watermark."""
+    name = f"stream_result_{next(_MEM_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return sdf.sparkSession.table(name)
+
+
+def archive_stream(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: tuple[str, ...] = ("dt",),
+    trigger: dict | None = None,
+):
+    """Partitioned-Parquet streaming archive (reference core.clj:41-58 S3
+    date-layout sink). `trigger` defaults to availableNow for tests; pass
+    {"processingTime": "30 seconds"} for the reference's interval flush."""
+    return (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_cols)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def upsert_stream(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str = "id",
+    order_col: str | None = None,
+    mode: str = "replace",
+    trigger: dict | None = None,
+):
+    """Stateful per-batch upsert (SURVEY.md §2b row 46; reference
+    db.clj:113-134 flush-events!): every micro-batch merges into the keyed
+    Parquet target. Exactly the foreachBatch-MERGE shape — swap the body
+    for Delta/Iceberg MERGE when an ACID format is available."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(
+            batch_df.sparkSession, batch_df, path, key=key, order_col=order_col, mode=mode
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
