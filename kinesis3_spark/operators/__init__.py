@@ -8,4 +8,5 @@ Python.
 """
 
 from . import dedup  # noqa: F401
+from . import multimodal  # noqa: F401
 from . import similarity  # noqa: F401

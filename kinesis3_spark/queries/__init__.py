@@ -49,3 +49,5 @@ from . import llmtext  # noqa: E402,F401
 from . import ingestion  # noqa: E402,F401
 from . import merge  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
+from . import multimodalq  # noqa: E402,F401
+from . import udfs  # noqa: E402,F401

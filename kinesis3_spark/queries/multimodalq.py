@@ -1,0 +1,64 @@
+"""Multimodal queries over synthesized binary columns (the corpus has no
+media table, so payloads are derived deterministically from `documents`).
+The metadata-only pass is oracle-checked; the decode path is rows-only
+(pixel decoding is not SQL-expressible) and pytest-verified in
+tests/test_multimodal.py."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from .relational import _t
+from . import query
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS payload_md5  -- md5(utf8 bytes) == md5 of the string
+    FROM documents
+    """,
+)
+def payload_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing with full oracle parity: payload = the
+    document's UTF-8 bytes as a `binary` column; stats stay JVM-side."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("data")
+    )
+    return M.payload_stats(docs)
+
+
+def _synthesize_images(docs: DataFrame) -> DataFrame:
+    """documents → RAWI grayscale 'images' (width 16, text bytes as pixels,
+    zero-padded) — deterministic stand-in for a real media table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                px = np.frombuffer(text.encode(), np.uint8)
+                h = (len(px) + 15) // 16
+                img = np.zeros((h, 16, 1), np.uint8)
+                img.flat[: len(px)] = px
+                ids.append(did)
+                payloads.append(M.encode_rawi(img))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, data binary"
+    )
+
+
+@query("multimodal_image_features", oracle=None)
+def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.image_features(_synthesize_images(docs))

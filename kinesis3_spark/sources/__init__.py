@@ -1,3 +1,17 @@
-from .batch import TABLES, load_table, load_tables, register_temp_views
+from .batch import (
+    TABLES,
+    load_table,
+    load_tables,
+    read_csv,
+    read_jsonl,
+    register_temp_views,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_temp_views"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_jsonl",
+    "register_temp_views",
+]

@@ -1,0 +1,50 @@
+"""Source-format tests (SURVEY.md §2b rows 2-3): JSON-lines and CSV scans
+round-trip against DuckDB's readers on the same files."""
+
+from __future__ import annotations
+
+import duckdb
+
+from kinesis3_spark.sources import read_csv, read_jsonl
+
+
+ROWS = [
+    {"id": 1, "name": "alpha", "score": 1.5},
+    {"id": 2, "name": "beta", "score": -2.0},
+    {"id": 3, "name": "gamma, delta", "score": 0.0},  # embedded comma
+]
+
+
+def test_jsonl_scan_matches_duckdb(spark, tmp_path):
+    import json
+
+    p = tmp_path / "d.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in ROWS))
+    got = {
+        r.id: (r.name, r.score)
+        for r in read_jsonl(spark, str(p), schema="id long, name string, score double").collect()
+    }
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(f"SELECT id, name, score FROM read_json_auto('{p}')").fetchall()
+    }
+    assert got == exp
+
+
+def test_csv_scan_matches_duckdb(spark, tmp_path):
+    import csv
+
+    p = tmp_path / "d.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["id", "name", "score"])
+        w.writeheader()
+        w.writerows(ROWS)
+    got = {
+        r.id: (r.name, r.score)
+        for r in read_csv(spark, str(p), schema="id long, name string, score double").collect()
+    }
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(f"SELECT id, name, score FROM read_csv_auto('{p}')").fetchall()
+    }
+    assert got == exp
