@@ -28,6 +28,11 @@ HEADLINE = [
     "agg_percentiles_price",
     "win_top3_orders_per_customer",
     "setops_customer_keys",
+    # round 2: ingest pipeline + LLM-data operators
+    "pipeline_ingest_projection",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk_pandas",
+    "stream_tumbling_counts",
 ]
 
 
