@@ -11,6 +11,7 @@ Layout:
     functions    scalar function library (reference utils.clj / db.clj parity)
     operators    relational + LLM-data operators (dedup, similarity, as-of, ...)
     pipeline     the reference's event ingest pipeline (parse/project/upsert)
+    sinks        partitioned Parquet archive + keyed upsert writers
     streaming    Structured Streaming wiring (triggers, sinks, metrics)
     queries      the oracle-checked query registry (SURVEY.md §2b inventory)
 """

@@ -238,6 +238,64 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# Winnowing (rolling-hash fingerprints, Schleimer et al. — the MOSS scheme)
+# --------------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint set: hash every character k-gram,
+    then keep the minimum hash of each length-w window of consecutive
+    k-gram hashes. Guarantees any shared substring of length >= k+w-1
+    produces a shared fingerprint — the positional/local dedup complement
+    to set-based MinHash.
+
+    Returns (id, n_fingerprints, fp_digest) where fp_digest is md5 over the
+    sorted distinct fingerprint set (hash-stable digest of the set), built
+    on the portable 60-bit hash so any engine reproduces the fingerprints.
+
+    Shape: posexplode k-gram positions → hash once per position → rolling
+    `min() OVER (rows between current and w-1 following)` per document.
+    A pure-HOF formulation (slice+array_min per window) is quadratic in
+    practice — Catalyst inlines the hash-array expression into every
+    window's slice, recomputing all m hashes per window (measured 75x
+    slower). The explode+window form hashes each k-gram exactly once and
+    costs one shuffle keyed by doc id.
+    """
+    from pyspark.sql.window import Window
+
+    txt = F.lower(F.trim(F.col(text_col)))
+    m = F.length(txt) - (k - 1)  # number of k-grams
+    grams = F.when(
+        m >= 1,
+        F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))), lambda i: txt.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.size(grams).alias("m"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).withColumn("h", portable_hash60("gram"))
+    roll = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    fps = (
+        ex.withColumn("win_min", F.min("h").over(roll))
+        .where(F.col("pos") <= F.col("m") - w)  # full windows only (pos 0-based)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("win_min")).alias("fps"))
+    )
+    # documents too short for a single window keep an empty fingerprint set
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(fps, "id", "left").select(
+        "id",
+        F.coalesce(F.size("fps"), F.lit(0)).cast("bigint").alias("n_fingerprints"),
+        F.md5(F.coalesce(F.array_join("fps", ","), F.lit(""))).alias("fp_digest"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -92,6 +92,35 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_winnowing_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(txt) - 7, 0) + 1),
+                            i -> ('0x' || substr(md5(substr(txt, i, 8)), 1, 15))::BIGINT)
+               AS hs
+      FROM (SELECT doc_id, lower(trim(text)) AS txt FROM documents)
+    ),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) - 3 >= 1 THEN
+               list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                             i -> list_min(hs[i:i+3])))
+             ELSE [] END AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           len(fps)::BIGINT AS n_fingerprints,
+           md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+    FROM sel
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 _SIMHASH_BITS = 32
 _BIT_SUMS = ",\n             ".join(
     f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"

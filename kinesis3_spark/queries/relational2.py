@@ -1,0 +1,69 @@
+"""Round-2 relational fill-ins: bare GROUPING SETS and a right-outer join
+(SURVEY.md §2b rows 24 and 14 — rollup/cube and left/full outer were
+already covered; these close the remaining sub-rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .relational import _t
+from . import query
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '<ALL>') AS o_orderpriority,
+           COALESCE(o_orderstatus, '<ALL>') AS o_orderstatus,
+           count(*)::BIGINT AS n,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare GROUPING SETS (not rollup/cube) via spark.sql — one shuffle,
+    each set aggregated from the same shared partial aggregation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, '<ALL>') AS o_orderpriority,
+               COALESCE(o_orderstatus, '<ALL>') AS o_orderstatus,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "join_right_outer_orders",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           COALESCE(o.o_orderkey, -1) AS o_orderkey,
+           COALESCE(CAST(o.o_totalprice AS DOUBLE), -1.0) AS o_totalprice
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (orders on the left, preserved customer side on the
+    right). At scale: equi-key shuffle join; the stream side filter is
+    pushed to the scan."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("o_orderkey", F.lit(-1)).alias("o_orderkey"),
+            F.coalesce(F.col("o_totalprice").cast("double"), F.lit(-1.0)).alias(
+                "o_totalprice"
+            ),
+        )
+    )

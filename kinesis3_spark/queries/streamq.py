@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..streaming import (
     dedup_stream,
     run_to_memory,
+    running_user_totals,
     session_counts,
     sliding_value_stats,
     stream_events,
@@ -111,6 +112,22 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(doubled, keys=("event_id",))
     return run_to_memory(
         deduped.select("event_id", "event_type", "user_id"), output_mode="append"
+    )
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState over the event stream (custom stateful
+    operator, §2b row 46/47): per-user running totals. Single availableNow
+    batch → the emitted update per user equals the batch aggregate."""
+    return run_to_memory(
+        running_user_totals(stream_events(spark, sf_dir)), output_mode="update"
     )
 
 

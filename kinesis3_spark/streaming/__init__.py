@@ -6,3 +6,4 @@ from .sources import stream_events, stream_jsonl  # noqa: F401
 from .windows import session_counts, sliding_value_stats, tumbling_counts  # noqa: F401
 from .dedup import dedup_stream  # noqa: F401
 from .run import run_to_memory, archive_stream, upsert_stream  # noqa: F401
+from .stateful import running_user_totals  # noqa: F401

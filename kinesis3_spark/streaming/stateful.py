@@ -1,0 +1,46 @@
+"""Custom stateful streaming operators via applyInPandasWithState — the
+escape hatch for aggregations Structured Streaming's built-ins can't
+express (the reference's closest analogue is the mutable metrics registry
+fed by the consumer loop, core.clj:31-34).
+
+State design for scale: state is per-KEY (user), a few scalars — the
+smallest possible footprint; it lives in the state store partitioned by the
+groupBy key, so throughput scales with executors. A timeout policy would
+evict idle users in production (NoTimeout here keeps tests deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_totals(sdf: DataFrame) -> DataFrame:
+    """Running per-user (event count, value total) maintained in group
+    state across micro-batches; each batch emits the updated totals for
+    the users it touched (update semantics — the upsert-shaped output the
+    reference's metrics endpoint approximates)."""
+
+    def update(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+        )
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
