@@ -10,3 +10,4 @@ Python.
 from . import dedup  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import similarity  # noqa: F401
+from . import skew  # noqa: F401

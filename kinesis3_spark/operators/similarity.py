@@ -194,6 +194,106 @@ def cosine_topk_lsh(
     return _topk_from_scores(scored, k)
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) index — the k-means-cell ANN scale path
+# --------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids trained on a bounded driver-side sample
+    (standard IVF practice — the index trains on a sample, assigns the full
+    corpus distributed). Deterministic: fixed seed, fixed iteration count.
+    Returns L2-normalized (n_centroids, dim)."""
+    pdf = emb.select(id_col, vec_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    C = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest-centroid assignment, one numpy matmul per Arrow
+    batch. At scale the output is what you PARTITION/cluster the stored
+    table by, so a probe reads only its cells' files."""
+
+    def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cell": np.argmax(Mn @ centroids.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign_batches, schema="id long, cell int"
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the `nprobe` nearest cells per query; exact
+    cosine + rank over cell members only — candidate volume ~ nprobe/
+    n_centroids of the corpus instead of all of it."""
+    C = train_ivf_centroids(emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    cells = ivf_assign(emb, C, id_col, vec_col)
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probes = [
+        (int(qid), int(cell))
+        for qid, row in zip(qpdf[id_col], np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe])
+        for cell in row
+    ]
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cell int")
+    cand_ids = (
+        cells.join(F.broadcast(probe_df), "cell")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cand_ids.join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
+        .withColumn("cos", cosine_similarity("qv", "nv"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_scores(scored, k)
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float,

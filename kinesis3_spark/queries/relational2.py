@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_agg
 from ..sources import load_table
 from .relational import _t
 from . import query
@@ -36,6 +37,42 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
+    )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the (low-cardinality = maximally
+    skew-prone) event_type key: shuffle on (key, salt) then on key. Result
+    identical to the direct groupBy; the plan spreads each hot key over 16
+    reducers. Exact-sum inputs keep the re-aggregated sum deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("value", "count"),
+            "total": ("value", "sum"),
+            "lo": ("value", "min"),
+            "hi": ("value", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        "lo",
+        "hi",
     )
 
 

@@ -67,6 +67,15 @@ def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+# IVF scale path: rows-only (k-means cells aren't SQL-expressible);
+# recall quality pytest-asserted on planted clusters in tests/test_similarity.py.
+@query("sim_cosine_topk_ivf", oracle=None)
+def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.cosine_topk_ivf(emb, _query_set(spark, sf_dir), k=_K)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 @query(
     "sim_embedding_neardup",
     oracle=f"""

@@ -50,6 +50,20 @@ def test_pandas_tier_matches_expression_tier(spark, planted):
     )
 
 
+def test_ivf_recall_on_planted_pairs(spark, planted):
+    emb, expected = planted
+    queries = emb.where(emb.vec_id < 5)
+    # nprobe = all cells → exhaustive within the index: recall must be 1.0
+    out = S.cosine_topk_ivf(emb, queries, k=1, nprobe=8, n_centroids=8).collect()
+    got = {r.query_id: r.neighbor_id for r in out}
+    assert got == expected
+    # sub-linear probe: the planted dup is a tiny perturbation of its
+    # source, so both land in the same cell — nprobe=1 still finds it
+    out1 = S.cosine_topk_ivf(emb, queries, k=1, nprobe=1, n_centroids=8).collect()
+    got1 = {r.query_id: r.neighbor_id for r in out1}
+    assert got1 == expected
+
+
 def test_neardup_finds_planted_pairs(spark, planted):
     emb, expected = planted
     pairs = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(emb, 0.9).collect()}
