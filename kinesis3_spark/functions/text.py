@@ -29,8 +29,13 @@ def _c(col) -> Column:
 
 
 def tokenize(col) -> Column:
-    """Lowercase whitespace tokenization → array<string>."""
-    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+    """Lowercase whitespace tokenization → array<string>.
+
+    Edges are stripped with a regexp (`trim` removes only ASCII spaces —
+    tab/newline-edged text would otherwise yield empty tokens; found by the
+    hypothesis property suite)."""
+    stripped = F.regexp_replace(F.lower(_c(col)), r"^\s+|\s+$", "")
+    return F.split(stripped, r"\s+")
 
 
 def token_count(col) -> Column:

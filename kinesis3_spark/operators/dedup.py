@@ -134,6 +134,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    num: int = 1,
+    den: int = 2,
+    df_cap: int = 100,
+) -> DataFrame:
+    """The 100 TB form of ngram_jaccard_pairs: candidate generation drops
+    grams whose document frequency exceeds `df_cap` (a gram in f docs emits
+    ~f²/2 pair rows — the quadratic skew term), then VERIFIES each candidate
+    against the FULL gram sets, so reported inter/union sizes are exact.
+
+    The trade-off is recall, not precision: a qualifying pair is missed only
+    if every gram it shares is more common than df_cap. Near-duplicate pairs
+    share many grams, most of them rare, so a generous cap loses nothing in
+    practice (tests assert equality with the uncapped operator on the
+    corpus).
+    """
+    g = _gram_sets(df, text_col, id_col, n)
+    ex = g.select("id", F.explode("grams").alias("gram"))
+    rare = (
+        ex.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("gram")
+    )
+    rare_ex = ex.join(rare, "gram")
+    a, b = rare_ex.alias("a"), rare_ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter_size", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn("union_size", F.size("grams_a") + F.size("grams_b") - F.col("inter_size"))
+        .where(den * F.col("inter_size") >= num * F.col("union_size"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter_size").cast("bigint"),
+            F.col("union_size").cast("bigint"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------

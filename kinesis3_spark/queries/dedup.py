@@ -21,7 +21,9 @@ from ..operators import dedup as D
 from .relational import _t
 from . import query
 
-_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+# mirrors functions.text.tokenize: regexp edge-strip (NOT trim — that's
+# spaces-only in both engines), then whitespace split
+_TOKS = "string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
 # DuckDB trigrams: list slices are 1-based inclusive, range() end-exclusive →
 # range(1, len-1) x toks[i:i+2] == Spark sequence(1, size-2) x slice(toks,i,3).
 _GRAMS = (
@@ -90,6 +92,15 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+# Scale variant: df-capped candidate generation + full-set verify. On this
+# corpus no qualifying pair relies solely on >cap-frequency grams, so the
+# result equals the exact all-pairs oracle (tests also assert equality with
+# the uncapped operator).
+@query("dedup_ngram_jaccard_capped", oracle=_JACCARD_ORACLE)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs_capped(_t(spark, sf_dir, "documents"), df_cap=100)
 
 
 @query(

@@ -18,7 +18,8 @@ from ..functions import text as T
 from .relational import _t
 from . import query
 
-_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+# mirrors functions.text.tokenize (regexp edge-strip, not spaces-only trim)
+_TOKS = "string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
 _BPE_RE = r"\w+|[^\w\s]"
 
 
@@ -87,10 +88,10 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN (length(text) - length(regexp_replace(text,
                        '[.,;:!?''"()\\[\\]{}-]', '', 'g')))::DOUBLE / length(text)
                   ELSE 0.0 END AS punct_r,
-             CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
-                  THEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             CASE WHEN len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) > 0
+                  THEN len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                        t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE
-                       / len(string_split_regex(lower(trim(text)), '\\s+'))
+                       / len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'))
                   ELSE 0.0 END AS stop_r,
              least(length(text) / 500.0, 1.0) AS len_score
       FROM documents

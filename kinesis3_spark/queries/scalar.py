@@ -216,7 +216,9 @@ def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_suite",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                                '\\s+') AS toks
       FROM documents WHERE doc_id % 3 = 0
     )
     SELECT doc_id,

@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): the Column-expression scalar tier
+must agree with straightforward pure-Python reference implementations on
+arbitrary inputs — not just the corpus' shapes."""
+
+from __future__ import annotations
+
+import urllib.parse
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from kinesis3_spark.functions.scalar import parse_cookies
+from kinesis3_spark.functions.text import ngrams, tokenize
+
+# plain printable tokens without separators/percent (url-codec handled below)
+_token = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters=";=% "),
+    min_size=1,
+    max_size=8,
+)
+
+_SLOW = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_cookies(s: str) -> dict:
+    out = {}
+    for part in s.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        kv = part.split("=", 1)
+        out[kv[0].strip()] = urllib.parse.unquote(kv[1]) if len(kv) > 1 else None
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(_token, _token), min_size=0, max_size=5
+    ).map(lambda kvs: "; ".join(f"{k}={urllib.parse.quote(v)}" for k, v in kvs))
+)
+@_SLOW
+def test_parse_cookies_matches_python(spark, cookie):
+    df = spark.createDataFrame([(cookie,)], "c string")
+    got = df.select(parse_cookies("c").alias("m")).collect()[0].m
+    assert (got or {}) == _py_cookies(cookie)
+
+
+@given(st.lists(_token, min_size=0, max_size=12), st.integers(min_value=1, max_value=4))
+@_SLOW
+def test_ngrams_matches_python(spark, words, n):
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(ngrams("t", n).alias("g")).collect()[0].g
+    toks = text.lower().strip().split() if text.strip() else [""]
+    exp = (
+        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if len(toks) >= n
+        else []
+    )
+    assert got == exp
+
+
+@given(st.text(min_size=0, max_size=40))
+@_SLOW
+def test_url_codec_roundtrip(spark, s):
+    df = spark.createDataFrame([(s,)], "t string")
+    got = df.select(F.url_decode(F.url_encode("t")).alias("r")).collect()[0].r
+    assert got == s
+
+
+@given(st.text(alphabet=" \t abcde", min_size=0, max_size=30))
+@_SLOW
+def test_tokenize_matches_python_split(spark, s):
+    df = spark.createDataFrame([(s,)], "t string")
+    got = df.select(tokenize("t").alias("g")).collect()[0].g
+    exp = s.lower().strip().split() if s.strip() else [""]
+    assert got == exp
