@@ -66,10 +66,14 @@ def tune(spark: SparkSession) -> SparkSession:
     The correctness driver constructs its own SparkSession and calls our
     queries with it; timezone/AQE/Arrow must hold there too or timestamp
     outputs drift from the UTC-pinned oracle (SURVEY.md §7 risk register).
+    Idempotent and memoized per session (every table load calls this).
     """
+    if getattr(spark, "_kinesis3_tuned", False):
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — builder path already set it
+    spark._kinesis3_tuned = True
     return spark
