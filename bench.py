@@ -43,19 +43,33 @@ def main() -> None:
     spark = get_spark("kinesis3-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: prime codegen + parquet footer caches on the small dims
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
-
     names = [n for n in HEADLINE if n in QUERIES]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in QUERIES]
 
+    # Warmup: run each headline plan once at the smallest SF so JIT/codegen
+    # compilation is paid before timing (different files — no data-cache
+    # crossover). Timings then measure the plan, not JVM startup.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
+        for name in names:
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception:
+                pass
+    else:
+        spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            QUERIES[name](spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # one broken query must not kill the report
+            errors[name] = str(ex).splitlines()[0][:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -65,6 +79,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     sys.stdout.flush()
 

@@ -196,6 +196,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
     shingle_n: int = SHINGLE_N,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: one column m0..m{k-1}, where
     m_i = min over shingles of xxhash64(seed=i, shingle).
@@ -211,7 +212,7 @@ def minhash_signatures(
     partial aggregation collapses each doc to ONE row before the exchange —
     the shuffle carries |docs| rows regardless of document length.
     """
-    g = _gram_sets(df, text_col, id_col, shingle_n)
+    g = grams if grams is not None else _gram_sets(df, text_col, id_col, shingle_n)
     ex = g.select("id", F.explode("grams").alias("gram")).select(
         "id", F.xxhash64("gram").alias("gh")
     )
@@ -268,8 +269,15 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs (id_a, id_b, inter_size, union_size) whenever LSH
     recall holds, which the parameter choice makes overwhelmingly likely
     (see module constants)."""
+    # The gram-set and signature subplans each have multiple consumers
+    # (banding self-join, verify join); identical exchanges are shared by
+    # Spark's ReusedExchange, and AQE stays active — measured faster than
+    # .persist(), whose cache write blocks pipelining and disables AQE
+    # inside the cached subplan. At production scale the signature table
+    # would be a STORED index beside the corpus rather than recomputed.
     g = _gram_sets(df, text_col, id_col, SHINGLE_N)
-    cand = lsh_candidate_pairs(minhash_signatures(df, text_col, id_col))
+    sig = minhash_signatures(df, text_col, id_col, grams=g)
+    cand = lsh_candidate_pairs(sig)
     ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = g.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     verified = (

@@ -35,6 +35,14 @@ _RUNTIME_CONFS = {
     # vanilla Spark refuses to scan. Read nanos as long; sources.load_table
     # converts to TimestampType (µs, matching DuckDB's truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Scan-split sizing: the right value gives each core a few tasks for the
+    # data ACTUALLY in play. The 128 MB default assumes multi-GB inputs; the
+    # local corpus is single ~10 MB files, which would scan single-threaded
+    # (measured 2-4x slower on the scan-heavy queries). Cluster deploys at
+    # full scale override back to 128 MB via the env var.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)
+    ),
 }
 
 
