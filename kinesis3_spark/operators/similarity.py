@@ -211,7 +211,10 @@ def train_ivf_centroids(
     (standard IVF practice — the index trains on a sample, assigns the full
     corpus distributed). Deterministic: fixed seed, fixed iteration count.
     Returns L2-normalized (n_centroids, dim)."""
-    pdf = emb.select(id_col, vec_col).limit(sample).toPandas()
+    # orderBy before limit: a bare limit takes arbitrary rows, which would
+    # make the trained centroids (and thus cell assignment) run-dependent.
+    # Bounded sort — at full scale use TABLESAMPLE with a seed instead.
+    pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)

@@ -41,6 +41,33 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile_approx_within_band",
+    oracle="""
+    SELECT event_type, 1 AS p50_ok, 1 AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_approx_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch tier for percentiles (§2b "percentiles", approx path):
+    percentile_approx with accuracy 1000 must land within 5% of the exact
+    discrete percentile — the scalable substitute when exact rank-select
+    would need a full sort at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("ap50"),
+        F.percentile_approx("value", 0.95, 1000).alias("ap95"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("ep50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("ep95"),
+    )
+    band = lambda a, e: (F.abs(F.col(a) - F.col(e)) <= 0.05 * F.abs(F.col(e))).cast("int")
+    return agg.select(
+        "event_type",
+        band("ap50", "ep50").alias("p50_ok"),
+        band("ap95", "ep95").alias("p95_ok"),
+    )
+
+
+@query(
     "agg_salted_skew",
     oracle="""
     SELECT event_type,
