@@ -201,11 +201,19 @@ def minhash_signatures(
     """Per-document MinHash signature: one column m0..m{k-1}, where
     m_i = min over shingles of xxhash64(seed=i, shingle).
 
+    Returns (id, sig: array<bigint>) with sig[i] = m_i.
+
     Shape: explode shingles → hash each shingle string ONCE to a long →
     groupBy(id) with k min-aggregates over cheap seed-mixed long-hashes.
     The k permutations never touch strings, and the hash aggregate runs
     vectorized inside whole-stage codegen (measured ~2x faster than the
     equivalent array-HOF formulation, which Spark interprets).
+
+    The k aggregates are built as ONE SQL string: k separate Column
+    objects cost ~4 py4j round-trips each, and those ~3s of driver-side
+    plan construction dominated the whole pipeline's wall clock (the
+    executors finish the actual data work faster than the driver can
+    build the plan).
 
     Scale note: the explode looks like it inflates |docs|x|shingles| rows,
     but every exploded row stays in its doc's input partition, so map-side
@@ -216,12 +224,8 @@ def minhash_signatures(
     ex = g.select("id", F.explode("grams").alias("gram")).select(
         "id", F.xxhash64("gram").alias("gh")
     )
-    return ex.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("gh"))).alias(f"m{i}")
-            for i in range(n_hashes)
-        ]
-    )
+    mins = ", ".join(f"min(xxhash64({i}, gh))" for i in range(n_hashes))
+    return ex.groupBy("id").agg(F.expr(f"array({mins})").alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -229,20 +233,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature and equi-join on (band_id, band_hash): two docs are
     candidates iff some band agrees on all its rows. Plain hash join on a
-    composite key — the scalable LSH shape (never all-pairs)."""
+    composite key — the scalable LSH shape (never all-pairs).
+
+    The band projection is one transform-over-sequence SQL expression
+    (single py4j call) rather than `bands` Python-built structs — see the
+    plan-construction note on minhash_signatures."""
+    row_refs = ", ".join(f"sig[j * {rows} + {r}]" for r in range(rows))
     banded = signatures.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.hash(*[F.col(f"m{j * rows + r}") for r in range(rows)]).alias("bh"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("b"),
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), "
+            f"j -> named_struct('band', j, 'bh', hash({row_refs})))) AS b"
+        ),
     ).select("id", "b.band", "b.bh")
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -367,21 +369,17 @@ def simhash(
     set than clear. Returns (id, simhash).
 
     Explode + groupBy with `bits` integer sums — all JVM-side, one shuffle.
+    Both the per-bit sums and the bit-reassembly are single SQL strings:
+    built as `bits` Python Column objects they cost ~200 py4j round-trips
+    of driver-side plan construction (see minhash_signatures).
     """
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokenize(text_col))).alias("t"),
     ).withColumn("hv", portable_hash60("t"))
-    sums = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    sums = ", ".join(
+        f"sum(if((shiftright(hv, {b}) & 1) = 1, 1, -1))" for b in range(bits)
     )
-    sig = sum(
-        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)),
-        F.lit(0),
-    )
-    return sums.select("id", sig.cast("bigint").alias("simhash"))
+    per_bit = tok.groupBy("id").agg(F.expr(f"array({sums})").alias("s"))
+    sig = " + ".join(f"if(s[{b}] > 0, {1 << b}L, 0L)" for b in range(bits))
+    return per_bit.select("id", F.expr(f"({sig})").cast("bigint").alias("simhash"))
