@@ -1,0 +1,275 @@
+"""SQL-completeness fill-ins beyond the SURVEY.md §2b checklist rows:
+pivot/unpivot, scalar subquery, ranking-distribution windows (ntile /
+percent_rank / cume_dist), ordered string aggregation, filtered/boolean
+aggregates, argmin/argmax, null-safe equality join, nth_value, and
+explicit NULLS FIRST/LAST ordering.
+
+These generalize the reference's relational surface (HoneySQL-generated
+Postgres queries, reference src/kinesis3/db.clj:70-97) the same way §2b
+does: each query is a DataFrame-API plan hash-checked against a DuckDB
+oracle. All are single-shuffle (one groupBy or one window partition) or
+broadcast-joined shapes that hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .relational import _t
+from . import query
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COALESCE(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0) AS st_open,
+           COALESCE(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0) AS st_filled,
+           COALESCE(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0) AS st_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): revenue per priority × status. The value list is
+    given explicitly, so Spark skips the extra distinct-values job and the
+    plan is ONE hash aggregate with |values| conditional sums — identical
+    shuffle profile to a plain groupBy at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0.0)).alias("st_open"),
+        F.coalesce("F", F.lit(0.0)).alias("st_filled"),
+        F.coalesce("P", F.lit(0.0)).alias("st_partial"),
+    )
+
+
+@query(
+    "unpivot_lineitem_totals",
+    oracle="""
+    SELECT 'sum_qty' AS metric, round(sum(l_quantity), 2) AS val FROM lineitem
+    UNION ALL
+    SELECT 'sum_price', round(sum(l_extendedprice), 2) FROM lineitem
+    UNION ALL
+    SELECT 'sum_disc', round(sum(l_discount), 2) FROM lineitem
+    UNION ALL
+    SELECT 'sum_tax', round(sum(l_tax), 2) FROM lineitem
+    """,
+)
+def unpivot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) after aggregation: one scan + one global agg to a
+    single row, then melt 4 columns to 4 (metric, val) rows. Aggregating
+    BEFORE the unpivot keeps the melt driver-trivial at any scale — never
+    unpivot the fact table itself when an aggregate is what's wanted."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+    )
+    return wide.unpivot([], ["sum_qty", "sum_price", "sum_disc", "sum_tax"], "metric", "val")
+
+
+@query(
+    "subquery_scalar_above_1p5x_avg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a WHERE clause. Catalyst plans the
+    subquery as an independent 1-row aggregate broadcast into the main
+    scan's filter — two passes over orders, no shuffle join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_ss")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM _orders_ss
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM _orders_ss)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "win_ntile_pctrank_cumedist",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4)        OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    """,
+)
+def ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile/percent_rank/cume_dist in one window pass
+    (single shuffle on the partition key, one in-partition sort). The order
+    key is unique, so ranks are engine-independent."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "agg_listagg_nations",
+    oracle="""
+    SELECT n_regionkey::BIGINT AS n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect_list is unordered in a
+    distributed engine, so the deterministic form is array_sort before the
+    join — safe only for bounded groups (25 nations; for unbounded groups
+    cap with slice() or use a top-k window first)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "agg_count_if_bools",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_totalprice > 200000)::BIGINT AS n_big,
+           CAST(bool_or(o_totalprice > 400000) AS INT)  AS any_huge,
+           CAST(bool_and(o_totalprice > 1000) AS INT)   AS all_above_floor
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def count_if_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered count + boolean aggregates — the predicates fold into the
+    same single hash aggregate as the groupBy (no extra pass per metric)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_totalprice") > 400000).cast("int").alias("any_huge"),
+        F.bool_and(F.col("o_totalprice") > 1000).cast("int").alias("all_above_floor"),
+    )
+
+
+@query(
+    "agg_argmax_customer",
+    oracle="""
+    SELECT c_mktsegment,
+           round(max(c_acctbal), 2) AS top_bal,
+           arg_max(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000000 + c_custkey) AS top_name
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max: richest customer per segment in ONE aggregate pass —
+    the scalable replacement for the join-back-on-max or window-rank-1
+    idioms (both need a second shuffle). The ordering key folds the
+    tie-break (unique custkey) into one integer so every engine picks the
+    same winner on equal balances."""
+    c = _t(spark, sf_dir, "customer")
+    key = (F.round(F.col("c_acctbal") * 100, 0).cast("bigint") * 10000000) + F.col("c_custkey")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+        F.max_by("c_name", key).alias("top_name"),
+    )
+
+
+@query(
+    "join_nullsafe_status_counts",
+    oracle="""
+    WITH d AS (
+      SELECT nullif(o_orderstatus, 'P') AS st, count(*)::BIGINT AS n
+      FROM orders GROUP BY nullif(o_orderstatus, 'P')
+    )
+    SELECT COALESCE(a.st, '<NULL>') AS st, a.n AS n_a, b.n AS n_b
+    FROM d a JOIN d b ON a.st IS NOT DISTINCT FROM b.st
+    """,
+)
+def nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of dropping out. Spark plans <=> as an ordinary
+    equi-join key (nulls hash to one partition — salt if the null share is
+    skewed at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.nullif("o_orderstatus", F.lit("P")).alias("st")).count()
+    a = d.alias("a")
+    b = d.alias("b")
+    return a.join(b, F.col("a.st").eqNullSafe(F.col("b.st"))).select(
+        F.coalesce(F.col("a.st"), F.lit("<NULL>")).alias("st"),
+        F.col("a.count").alias("n_a"),
+        F.col("b.count").alias("n_b"),
+    )
+
+
+@query(
+    "win_nth_value_third",
+    oracle="""
+    SELECT DISTINCT c_mktsegment,
+           nth_value(c_name, 3) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_name
+    FROM customer
+    """,
+)
+def nth_value_third(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value with an explicit full frame (the default frame stops at the
+    current row, which would yield NULL for the first two rows). Unique
+    tie-break key keeps the pick deterministic across engines."""
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_mktsegment", F.nth_value("c_name", 3).over(w).alias("third_name")
+    ).distinct()
+
+
+@query(
+    "sort_nulls_last_top20",
+    oracle="""
+    SELECT COALESCE(nullif(o_orderstatus, 'P'), '<NULL>') AS st, o_orderkey
+    FROM orders
+    ORDER BY nullif(o_orderstatus, 'P') ASC NULLS LAST, o_orderkey
+    LIMIT 20
+    """,
+)
+def nulls_last_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering under a LIMIT (engines default
+    differently: Spark sorts nulls first ASC, DuckDB last — the modifier
+    makes the selected set identical). orderBy+limit plans as
+    TakeOrderedAndProject: per-partition top-20 then a 20-row driver merge,
+    never a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    st = F.nullif("o_orderstatus", F.lit("P"))
+    return (
+        o.select(st.alias("st_raw"), "o_orderkey")
+        .orderBy(F.col("st_raw").asc_nulls_last(), "o_orderkey")
+        .limit(20)
+        .select(F.coalesce("st_raw", F.lit("<NULL>")).alias("st"), "o_orderkey")
+    )
