@@ -30,6 +30,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--store", required=True, help="keyed events Parquet table (upsert target)")
     ap.add_argument("--archive", required=True, help="raw-record archive root (dt-partitioned Parquet)")
     ap.add_argument("--checkpoint", required=True, help="streaming checkpoint directory")
+    ap.add_argument("--quarantine", default=None,
+                    help="dead-letter Parquet path for unparseable/keyless records (dropped-but-counted if unset)")
     ap.add_argument("--mode", choices=("replace", "ignore"), default="replace",
                     help="upsert semantics: replace=last-writer-wins, ignore=reference first-writer-wins")
     ap.add_argument("--trigger-seconds", type=int, default=None,
@@ -47,7 +49,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     collector = Collector(
         spark, args.input, args.store, args.archive, args.checkpoint,
-        mode=args.mode, trigger=trigger,
+        mode=args.mode, trigger=trigger, quarantine_path=args.quarantine,
     )
     if args.stats_port is not None:
         port = collector.serve_stats(args.stats_port)

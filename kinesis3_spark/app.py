@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .pipeline import ingest
+from .pipeline import parse_raw_records, project_events
 from .sinks import upsert_parquet, write_partitioned
 
 # The Kinesis record shape (SURVEY.md §1.1; reference core.clj:149
@@ -85,6 +85,7 @@ class Collector:
         checkpoint: str,
         mode: str = "replace",
         trigger: dict | None = None,
+        quarantine_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.input_dir = input_dir
@@ -93,9 +94,11 @@ class Collector:
         self.checkpoint = checkpoint
         self.mode = mode
         self.trigger = trigger or {"availableNow": True}
+        self.quarantine_path = quarantine_path
         self._lock = threading.Lock()
         self._stats: dict = {
             "messages_ingested": 0,
+            "malformed": 0,
             "batches": 0,
             "archive_writes": 0,
             "batch_seconds": [],
@@ -113,7 +116,30 @@ class Collector:
         n = batch.count()
         if n == 0:
             return
-        events = ingest(batch, raw_col="data", sid_col="sequence_number")
+        # dead-letter split: a record whose outer envelope or inner body
+        # fails the JSON parse (from_json → NULL), or that has no key,
+        # must not poison the store — it's quarantined with a reason (the
+        # operational upgrade over the reference, which would throw inside
+        # the worker loop and stall the shard).
+        parsed = parse_raw_records(batch, raw_col="data", capture_corrupt=True)
+        env_bad = F.col("_rec._corrupt").isNotNull()
+        body_bad = F.col("_rec.body").isNull() | F.col("_req._corrupt").isNotNull()
+        ok = ~env_bad & ~body_bad & F.col("sequence_number").isNotNull()
+        bad = parsed.where(~ok).select(
+            "sequence_number",
+            "data",
+            "partition",
+            F.when(env_bad, "envelope_parse_failed")
+            .when(body_bad, "body_parse_failed")
+            .otherwise("missing_key")
+            .alias("reason"),
+        )
+        n_bad = bad.count()
+        if n_bad and self.quarantine_path:
+            bad.write.mode("append").parquet(self.quarantine_path)
+        events = project_events(
+            parsed.where(ok), sid_col="sequence_number", raw_col="data"
+        )
         upsert_parquet(
             self.spark, events, self.store_path,
             key="id", order_col="ts", mode=self.mode,
@@ -132,6 +158,7 @@ class Collector:
         dt = time.perf_counter() - t0
         with self._lock:
             self._stats["messages_ingested"] += n
+            self._stats["malformed"] += n_bad
             self._stats["batches"] += 1
             self._stats["archive_writes"] += 1
             self._stats["batch_seconds"].append(dt)
@@ -144,7 +171,11 @@ class Collector:
         interval flush."""
         with self._lock:
             self._stats["started_at"] = time.time()
-        sdf = self.spark.readStream.schema(RECORD_SCHEMA).json(self.input_dir)
+        sdf = (
+            self.spark.readStream.schema(RECORD_SCHEMA)
+            .option("recursiveFileLookup", "true")  # date-nested landing dirs
+            .json(self.input_dir)
+        )
         self.query = (
             sdf.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint)
@@ -176,6 +207,7 @@ class Collector:
                 else 0.0,
             },
             "archive-uploads": {"count": s["archive_writes"]},
+            "malformed": {"count": s["malformed"]},
             "batch-timing-s": _percentiles(timings),
             "batches": s["batches"],
         }

@@ -75,12 +75,26 @@ REQUEST_SCHEMA = T.StructType(
 UTM_KEYS = ("utm_source", "utm_medium", "utm_campaign", "utm_content", "utm_term")
 
 
-def parse_raw_records(df: DataFrame, raw_col: str = "raw") -> DataFrame:
+def parse_raw_records(
+    df: DataFrame, raw_col: str = "raw", capture_corrupt: bool = False
+) -> DataFrame:
     """Two-level parse: raw JSON string column → (outer struct, inner
     request struct, cookie map) columns. Keeps the raw string for
-    `orig_data` fidelity."""
-    out = df.withColumn("_rec", F.from_json(F.col(raw_col), RAW_SCHEMA))
-    out = out.withColumn("_req", F.from_json(F.col("_rec.body"), REQUEST_SCHEMA))
+    `orig_data` fidelity.
+
+    `capture_corrupt=True` adds a `_corrupt` field to both parse levels
+    (PERMISSIVE mode writes the offending text there and nulls the rest) —
+    the dead-letter detector. This is the single-parse way to spot bad
+    JSON: from_json never returns a NULL struct for malformed input, it
+    returns a struct of NULLs, so a null-check on the struct cannot work."""
+    raw_schema, req_schema = RAW_SCHEMA, REQUEST_SCHEMA
+    opts = {}
+    if capture_corrupt:
+        raw_schema = T.StructType(raw_schema.fields + [T.StructField("_corrupt", T.StringType())])
+        req_schema = T.StructType(req_schema.fields + [T.StructField("_corrupt", T.StringType())])
+        opts = {"columnNameOfCorruptRecord": "_corrupt"}
+    out = df.withColumn("_rec", F.from_json(F.col(raw_col), raw_schema, opts))
+    out = out.withColumn("_req", F.from_json(F.col("_rec.body"), req_schema, opts))
     return out.withColumn("_cookies", parse_cookies(F.col("_req.headers.Cookie")))
 
 

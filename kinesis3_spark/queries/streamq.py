@@ -21,6 +21,7 @@ from ..streaming import (
     session_counts,
     sliding_value_stats,
     stream_events,
+    stream_stream_attribution,
     tumbling_counts,
 )
 from .relational import _t
@@ -156,4 +157,31 @@ def metrics_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 2).alias("max_value"),
         F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 2).alias("p50"),
         F.round(F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"), 2).alias("p95"),
+    )
+
+
+@query(
+    "stream_stream_click_attribution",
+    oracle="""
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval inner join with watermarks on both sides
+    (clicks attributed to purchases within a 10-minute lookback). Two
+    independent streaming sources over the same landing data — the
+    watermark + time-bound condition keep join state finite, which is the
+    difference between this and an unbounded-state stream join."""
+    clicks = stream_events(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return run_to_memory(
+        stream_stream_attribution(clicks, purchases), output_mode="append"
     )

@@ -53,6 +53,49 @@ def sliding_value_stats(
     )
 
 
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner interval join: every (purchase, click) pair where
+    the same user clicked within `lookback` before the purchase — the
+    streaming form of the batch range join (queries/temporal.py).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store retains only `lookback + watermark` of each
+    stream per user — the requirement for an unbounded-safe stream-stream
+    join. Matched rows emit immediately (append mode); the watermark governs
+    state eviction, not emission, for inner joins.
+
+    Scale: shuffles both streams on user_id once; state is per-key and
+    time-bounded. A hot user bounds a single state partition — salt the key
+    and re-aggregate if one user can exceed a partition's state budget.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    return joined.select(
+        F.col("p_user").cast("bigint").alias("user_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        F.col("click_id").cast("bigint").alias("click_id"),
+    )
+
+
 def session_counts(
     df: DataFrame, gap: str = "10 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

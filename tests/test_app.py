@@ -98,3 +98,43 @@ def test_collector_replay_is_idempotent(spark, sf_dir, tmp_path):
     final = spark.read.parquet(store)
     assert final.count() == n_ids
     assert final.select("id").distinct().count() == n_ids
+
+
+def test_collector_dead_letter_quarantine(spark, sf_dir, tmp_path):
+    """Malformed records (bad outer JSON, bad inner body, missing key) are
+    quarantined with a reason instead of poisoning the store or killing the
+    stream; good records in the same batch land normally."""
+    import json as _json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    n_ids = _land_records(spark, sf_dir, str(landing / "good"), n=50)
+    # hand-craft a file with three failure classes + the shape of a good row
+    bad_rows = [
+        {"sequence_number": "bad-env", "data": "{not json at all", "partition": "s0"},
+        {"sequence_number": "bad-body", "data": '{"epoch": 1437609280911, "body": "{broken"}', "partition": "s0"},
+        {"sequence_number": None, "data": '{"epoch": 1437609280911, "body": "{}"}', "partition": "s0"},
+    ]
+    with open(landing / "bad.json", "w") as f:
+        for r in bad_rows:
+            f.write(_json.dumps(r) + "\n")
+    # the landing dir is scanned recursively by the file source
+    c = Collector(
+        spark,
+        str(landing),
+        store_path=str(tmp_path / "store"),
+        archive_path=str(tmp_path / "archive"),
+        checkpoint=str(tmp_path / "ck"),
+        quarantine_path=str(tmp_path / "dead"),
+    )
+    stats = c.run(timeout_s=300)
+    c.stop()
+
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == n_ids
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    reasons = {r.reason for r in dead.collect()}
+    assert dead.count() == 3
+    assert reasons == {"envelope_parse_failed", "body_parse_failed", "missing_key"}
+    assert stats["malformed"]["count"] == 3
+    assert stats["message-ingested"]["count"] == 53
