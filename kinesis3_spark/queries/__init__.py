@@ -54,3 +54,4 @@ from . import udfs  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import variantq  # noqa: E402,F401
+from . import physical  # noqa: E402,F401

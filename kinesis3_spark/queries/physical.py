@@ -1,0 +1,122 @@
+"""Physical-layout and sketch-tier queries: bucketed co-located join and
+HyperLogLog distinct-count sketches.
+
+These are the two "pay once, save every query" primitives a 100 TB
+deployment leans on:
+
+* Bucketing removes the per-query shuffle from repeated equi-joins
+  (`sinks/bucketed.py`); the query here proves result parity with the
+  plain join, and `tests/test_bucketed.py` proves the Exchange is gone.
+* HLL sketches make count-distinct *re-aggregatable*: per-partition
+  sketches union losslessly, so a daily distinct-users rollup can be
+  combined into monthly/total rollups without re-touching raw data — exact
+  count_distinct cannot do that (distinct is not sum-able). Estimates are
+  oracle-checked as within-band flags against the exact count, the same
+  pattern as `agg_percentile_approx_within_band`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.bucketed import write_bucketed
+from ..sources import load_table
+from .relational import _t
+from . import query
+
+_BUCKETS = 8
+
+
+def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """customer+orders bucketed by custkey; materialized once per sf_dir
+    (catalog-checked so a fresh session re-materializes into the same
+    layout rather than failing on a stale cache)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cust_name, ord_name = f"bk_customer_{tag}", f"bk_orders_{tag}"
+    if not (
+        spark.catalog.tableExists(cust_name) and spark.catalog.tableExists(ord_name)
+    ):
+        base = tempfile.mkdtemp(prefix=f"k3s_bucketed_{tag}_")
+        write_bucketed(
+            load_table(spark, sf_dir, "customer"),
+            cust_name,
+            ["c_custkey"],
+            _BUCKETS,
+            f"{base}/customer",
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"),
+            ord_name,
+            ["o_custkey"],
+            _BUCKETS,
+            f"{base}/orders",
+        )
+    return cust_name, ord_name
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join over bucketed tables: both sides pre-hashed on custkey at write
+    time, so the sort-merge join needs no Exchange (proved in
+    tests/test_bucketed.py by scanning the executed plan). Result must be
+    byte-identical to the plain-parquet join the oracle runs."""
+    cust_name, ord_name = bucketed_pair(spark, sf_dir)
+    c = spark.table(cust_name)
+    o = spark.table(ord_name)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "agg_hll_distinct_band",
+    oracle="SELECT event_type, 1 AS hll_ok FROM events GROUP BY event_type",
+)
+def hll_distinct_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches-HLL distinct users per event_type must land within 5%
+    of exact count_distinct (lgConfigK=14 → ~0.8% typical error). The
+    sketch path is the only per-group distinct that map-side-combines:
+    exact distinct shuffles every (group, user) pair, the sketch shuffles
+    one 16 KB buffer per group per partition."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("est"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    ok = (F.abs(F.col("est") - F.col("exact")) <= 0.05 * F.col("exact")).cast("int")
+    return agg.select("event_type", ok.alias("hll_ok"))
+
+
+@query("agg_hll_mergeable_union", oracle="SELECT 1 AS union_ok")
+def hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability — the property exact distinct lacks: build one
+    HLL per day, union the day sketches, and the estimate must still land
+    within 5% of the exact global distinct. At scale this is how a
+    daily-rollup table answers 'distinct users this quarter' without
+    rescanning a quarter of raw events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    merged = daily.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact = ev.agg(F.count_distinct("user_id").alias("exact"))
+    ok = (F.abs(F.col("est") - F.col("exact")) <= 0.05 * F.col("exact")).cast("int")
+    return merged.crossJoin(exact).select(ok.alias("union_ok"))
