@@ -55,3 +55,4 @@ from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import variantq  # noqa: E402,F401
 from . import physical  # noqa: E402,F401
+from . import llmprep  # noqa: E402,F401

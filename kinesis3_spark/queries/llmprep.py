@@ -1,0 +1,230 @@
+"""LLM training-data preparation queries over the `documents` / `events`
+corpus: deterministic split, quality-rule filtering, PII-style redaction,
+token-length histograms, recursive date spine, and sequence packing.
+
+These are the extension operators the SURVEY.md LLM-pipeline mandate adds on
+top of the reference's analytics surface (bcambel/kinesis3 has no
+training-data path). Scale notes per query in the docstrings; everything
+except packing is pure Column expressions (whole-stage codegen, no Python),
+and packing is the partitioned-FFD `applyInPandas` operator from
+operators/packing.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.packing import bin_stats, pack_sequences
+from .relational import _t
+from . import query
+
+PACK_BUDGET = 256
+
+
+def _wc(col):
+    """Whitespace token count — identical split semantics in DuckDB."""
+    return F.size(F.split(col, " "))
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/holdout split: hash-based, so membership is a pure
+# function of the id — stable across runs, cluster sizes, and row order, and
+# adding documents never reshuffles existing membership (the property a
+# 100 TB incremental pipeline needs; a random()-based split has none of it).
+# First hex char of md5 < 'c' => 12/16 = 75% train.
+# --------------------------------------------------------------------------
+@query(
+    "llm_train_holdout_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                THEN 'train' ELSE 'holdout' END AS split,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c", "train"
+    ).otherwise("holdout")
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher/C4-style quality gate. All four rules are integer-arithmetic
+# rewrites (3*wc <= chars, 2*distinct >= wc, ...) so no float crosses the
+# engine boundary. One scan, map-side-combinable sums — at 100 TB this is
+# the cheapest possible shape: no shuffle wider than one row per partition.
+# --------------------------------------------------------------------------
+@query(
+    "llm_quality_filter_rules",
+    oracle="""
+    WITH f AS (
+      SELECT len(string_split(text, ' ')) AS wc,
+             length(text) AS chars,
+             len(list_distinct(string_split(text, ' '))) AS uniq,
+             (' ' || text || ' ') LIKE '% the %' AS has_stop
+      FROM documents
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           CAST(sum(CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+           CAST(sum(CASE WHEN 3 * wc <= chars - wc + 1
+                          AND chars - wc + 1 <= 8 * wc THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+           CAST(sum(CASE WHEN has_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+           CAST(sum(CASE WHEN 2 * uniq >= wc THEN 1 ELSE 0 END) AS BIGINT) AS pass_unique,
+           CAST(sum(CASE WHEN wc BETWEEN 20 AND 80
+                          AND 3 * wc <= chars - wc + 1 AND chars - wc + 1 <= 8 * wc
+                          AND has_stop AND 2 * uniq >= wc THEN 1 ELSE 0 END) AS BIGINT) AS kept
+    FROM f
+    """,
+)
+def llm_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    wc = F.size(toks)
+    chars = F.length("text")
+    uniq = F.size(F.array_distinct(toks))
+    # mean word length in [3, 8]: chars - (wc-1) separators, integer algebra
+    r_len = wc.between(20, 80)
+    r_word = (3 * wc <= chars - wc + 1) & (chars - wc + 1 <= 8 * wc)
+    r_stop = F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% the %")
+    r_uniq = 2 * uniq >= wc
+    as_n = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        as_n(r_len).alias("pass_len"),
+        as_n(r_word).alias("pass_wordlen"),
+        as_n(r_stop).alias("pass_stopword"),
+        as_n(r_uniq).alias("pass_unique"),
+        as_n(r_len & r_word & r_stop & r_uniq).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII-style redaction accounting: count and measure every digit-run in the
+# event props (stand-in for phone/SSN scrubbing — the corpus has no real
+# PII). regexp_count/regexp_replace are codegen'd JVM regex; the pattern is
+# RE2-compatible so DuckDB computes the identical answer.
+# --------------------------------------------------------------------------
+@query(
+    "llm_pii_redaction_events",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_matches,
+           CAST(sum(length(props) - length(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT)
+             AS chars_redacted
+    FROM events GROUP BY event_type
+    """,
+)
+def llm_pii_redaction_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pat = F.lit("[0-9]+")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.regexp_count(F.col("props"), pat)).alias("n_matches"),
+        F.sum(
+            F.length("props") - F.length(F.regexp_replace(F.col("props"), "[0-9]+", ""))
+        ).alias("chars_redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-length histogram on power-of-two buckets (floor(log2(wc))) — the
+# curve that drives context-window and packing-budget choices. Exact-integer
+# log2 inputs only (wc >= 10 in the corpus), so the double is safe.
+# --------------------------------------------------------------------------
+@query(
+    "llm_token_length_histogram",
+    oracle="""
+    SELECT CAST(floor(log2(len(string_split(text, ' ')))) AS BIGINT) AS bucket_log2,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    wc = _wc(F.col("text"))
+    return d.groupBy(
+        F.floor(F.log2(wc)).cast("bigint").alias("bucket_log2")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(wc).cast("bigint").alias("total_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4's WITH RECURSIVE): generate the min..max date spine
+# and gap-fill daily event counts. Scale shape: events are aggregated to
+# per-day counts FIRST (map-side partial agg, one scan, |days| rows out), so
+# the spine join is tiny⋈tiny — never a join against raw events, which at
+# 100 TB could be neither broadcast nor cheaply shuffled.
+# --------------------------------------------------------------------------
+@query(
+    "recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE spine(d, hi) AS (
+      SELECT min(CAST(ts AS DATE)), max(CAST(ts AS DATE)) FROM events
+      UNION ALL
+      SELECT d + 1, hi FROM spine WHERE d < hi
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           count(e.event_id)::BIGINT AS n_events
+    FROM spine s LEFT JOIN events e ON CAST(e.ts AS DATE) = s.d
+    GROUP BY s.d
+    """,
+)
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    view = "ev_spine_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(d, hi) AS (
+          SELECT min(to_date(ts)), max(to_date(ts)) FROM {view}
+          UNION ALL
+          SELECT date_add(d, 1), hi FROM spine WHERE d < hi
+        ),
+        daily AS (
+          SELECT to_date(ts) AS d, count(event_id) AS n
+          FROM {view} GROUP BY to_date(ts)
+        )
+        SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+               CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+        FROM spine s LEFT JOIN daily ON daily.d = s.d
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): the oracle checks the physical
+# invariants DuckDB *can* see — every document lands in exactly one bin
+# (token/doc conservation) and no bin exceeds the budget. Bin boundaries
+# themselves are heuristic output with no SQL equivalent.
+# --------------------------------------------------------------------------
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    SELECT count(*)::BIGINT AS total_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           1 AS within_budget
+    FROM documents
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _wc(F.col("text")).cast("long").alias("n_tokens")
+    )
+    stats = bin_stats(pack_sequences(d, budget=PACK_BUDGET))
+    ok = (F.col("bin_tokens") <= PACK_BUDGET) | (F.col("oversize") == 1)
+    return stats.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+        F.min(ok.cast("int")).cast("int").alias("within_budget"),
+    )
