@@ -56,3 +56,4 @@ from . import relational3  # noqa: E402,F401
 from . import variantq  # noqa: E402,F401
 from . import physical  # noqa: E402,F401
 from . import llmprep  # noqa: E402,F401
+from . import sampling  # noqa: E402,F401

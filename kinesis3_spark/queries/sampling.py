@@ -1,0 +1,70 @@
+"""Sampling operators: Bernoulli table sample and stratified sampleBy.
+
+Training pipelines subsample constantly (eval slices, ablation corpora,
+per-source mixing ratios). Spark's `sample`/`sampleBy` are seeded and
+executor-local — each task samples its own split with no shuffle and no
+coordination, which is exactly the shape that scales: sampling 100 TB costs
+one scan, zero exchanges.
+
+Randomness can't be replayed in another engine, so the oracle checks what
+IS deterministic: the exact population counts per stratum, plus an
+`in_band` flag asserting the sample landed within a >5-sigma tolerance of
+the target fraction (the `agg_percentile_approx_within_band` pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import _t
+from . import query
+
+SEED = 7
+
+
+@query(
+    "sample_bernoulli_band",
+    oracle="SELECT count(*)::BIGINT AS n_orders, 1 AS in_band FROM orders",
+)
+def sample_bernoulli_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% Bernoulli sample of orders; flag |sample/n - 0.2| <= 0.05 (the
+    sf0.01 population is 15k rows -> sigma ~ 0.0033, so the band is ~15x
+    sigma — deterministic-in-practice without fixing Spark's RNG stream)."""
+    o = _t(spark, sf_dir, "orders")
+    full = o.agg(F.count("*").alias("n_orders"))
+    samp = o.sample(fraction=0.2, seed=SEED).agg(F.count("*").alias("n_s"))
+    in_band = (F.abs(F.col("n_s") * 100 - F.col("n_orders") * 20) <= F.col("n_orders") * 5)
+    return full.crossJoin(samp).select(
+        "n_orders", in_band.cast("int").alias("in_band")
+    )
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle="""
+    SELECT lang, count(*)::BIGINT AS n_docs, 1 AS in_band
+    FROM documents GROUP BY lang
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 50% per language: equalizes source mix regardless of how
+    skewed the corpus is. The distinct-strata collect is a handful of rows
+    (languages, not documents) — driver-side by design, like IVF centroid
+    seeding. Band: |sampled/n - 0.5| <= 0.15 (~3 sigma at 100 docs/lang)."""
+    d = _t(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    s = d.sampleBy("lang", {lg: 0.5 for lg in langs}, seed=SEED)
+    full = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    samp = s.groupBy("lang").agg(F.count("*").alias("n_s"))
+    in_band = (
+        F.abs(F.col("n_s") * 100 - F.col("n_docs") * 50) <= F.col("n_docs") * 15
+    )
+    return (
+        full.join(samp, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce(in_band.cast("int"), F.lit(0)).alias("in_band"),
+        )
+    )
