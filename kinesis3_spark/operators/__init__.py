@@ -9,5 +9,7 @@ Python.
 
 from . import dedup  # noqa: F401
 from . import multimodal  # noqa: F401
+from . import packing  # noqa: F401
 from . import similarity  # noqa: F401
 from . import skew  # noqa: F401
+from . import zorder  # noqa: F401

@@ -105,6 +105,51 @@ def hll_distinct_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", ok.alias("hll_ok"))
 
 
+@query(
+    "agg_cms_heavy_hitters_band",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS exact_n, 1 AS cms_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def cms_heavy_hitters_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates vs exact counts per event_type.
+    CMS guarantees estimate >= exact; with eps=0.001 the overshoot is at
+    most ~0.1% of total stream length (w.h.p.), so the band flag is
+    deterministic in practice. The sketch aggregate is map-side combinable
+    — at 100 TB only the fixed-size sketch crosses the wire, and the probe
+    loop below touches |event_types| driver-side rows, not data."""
+    ev = _t(spark, sf_dir, "events")
+    sk = bytes(
+        ev.agg(
+            F.count_min_sketch(
+                F.col("event_type"), F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("s")
+        ).first()["s"]
+    )
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(sk)
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    rows = exact.collect()
+    total = sum(r["exact_n"] for r in rows)
+    band = max(50, int(0.01 * total))
+    out = [
+        (
+            r["event_type"],
+            r["exact_n"],
+            1
+            if r["exact_n"]
+            <= cms.estimateCount(r["event_type"])
+            <= r["exact_n"] + band
+            else 0,
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(out, "event_type string, exact_n long, cms_ok int")
+
+
 @query("agg_hll_mergeable_union", oracle="SELECT 1 AS union_ok")
 def hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch mergeability — the property exact distinct lacks: build one
