@@ -48,3 +48,14 @@ def test_csv_scan_matches_duckdb(spark, tmp_path):
         for r in duckdb.sql(f"SELECT id, name, score FROM read_csv_auto('{p}')").fetchall()
     }
     assert got == exp
+
+
+def test_kinesis_adapter_degrades_gracefully(spark):
+    # The connector jar is absent here; the adapter must fail with the
+    # actionable message, not a raw py4j stack.
+    import pytest
+
+    from kinesis3_spark.streaming.sources import kinesis_stream
+
+    with pytest.raises(NotImplementedError, match="spark-sql-kinesis-connector"):
+        kinesis_stream(spark, "events-stream")
