@@ -33,6 +33,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk_pandas",
     "stream_tumbling_counts",
+    # round 2b: sketch tier, physical layout, LLM prep
+    "agg_hll_distinct_band",
+    "join_bucketed_colocated",
+    "llm_quality_filter_rules",
 ]
 
 
