@@ -265,19 +265,21 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num: int = 1,
     den: int = 2,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket-join →
     exact-Jaccard verification of candidates. Output matches
     ngram_jaccard_pairs (id_a, id_b, inter_size, union_size) whenever LSH
     recall holds, which the parameter choice makes overwhelmingly likely
-    (see module constants)."""
-    # The gram-set and signature subplans each have multiple consumers
-    # (banding self-join, verify join); identical exchanges are shared by
-    # Spark's ReusedExchange, and AQE stays active — measured faster than
-    # .persist(), whose cache write blocks pipelining and disables AQE
-    # inside the cached subplan. At production scale the signature table
-    # would be a STORED index beside the corpus rather than recomputed.
-    g = _gram_sets(df, text_col, id_col, SHINGLE_N)
+    (see module constants).
+
+    The gram-set subplan has three consumers (signatures, both verify join
+    sides); left to Catalyst they become three full shingle recomputations
+    (the post-pruning subplans differ, so ReusedExchange does NOT fire —
+    measured). Pass a persisted `grams` (see queries/dedup._grams_for) to
+    compute shingles once; at production scale that persisted frame is the
+    STORED signature index maintained beside the corpus."""
+    g = grams if grams is not None else _gram_sets(df, text_col, id_col, SHINGLE_N)
     sig = minhash_signatures(df, text_col, id_col, grams=g)
     cand = lsh_candidate_pairs(sig)
     ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
