@@ -185,3 +185,41 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         stream_stream_attribution(clicks, purchases), output_mode="append"
     )
+
+
+@query(
+    "metrics_ewma_rates",
+    oracle="""
+    WITH m AS (SELECT max(epoch_ms(ts)) AS t_ms FROM events)
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(sum(exp(-((m.t_ms - epoch_ms(ts)) / 1000.0) / 60.0)) / 60.0, 2)
+             AS rate_1m,
+           round(sum(exp(-((m.t_ms - epoch_ms(ts)) / 1000.0) / 300.0)) / 300.0, 2)
+             AS rate_5m,
+           round(sum(exp(-((m.t_ms - epoch_ms(ts)) / 1000.0) / 900.0)) / 900.0, 2)
+             AS rate_15m
+    FROM events, m GROUP BY event_type
+    """,
+)
+def metrics_ewma_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 1/5/15-minute EWMA meters (core.clj:31-34 defmeter +
+    README's msg/s snapshot) in closed form: a Codahale meter's EWMA is a
+    tick-discretized exponential decay; over a finite history the exact
+    continuous analogue is sum(exp(-age/tau))/tau, one pass, map-side
+    combinable — no recursive state, so it distributes trivially (the
+    streaming path gets the same number from a windowed agg over arrivals).
+    Millisecond integer ages on both engines keep the doubles bit-identical
+    before the 2dp round."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_millis("ts")).alias("t_ms"))
+    age_s = (F.col("t_ms") - F.unix_millis(F.col("ts"))) / 1000.0
+
+    def rate(tau: int):
+        return F.round(F.sum(F.exp(-age_s / tau)) / tau, 2).alias(f"rate_{tau//60}m")
+
+    return (
+        ev.crossJoin(mx)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), rate(60), rate(300), rate(900))
+    )
