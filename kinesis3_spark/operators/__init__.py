@@ -7,6 +7,7 @@ Arrow-batched pandas UDFs are the explicit fallback tier, never row-at-a-time
 Python.
 """
 
+from . import components  # noqa: F401
 from . import dedup  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import packing  # noqa: F401

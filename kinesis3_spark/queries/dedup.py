@@ -188,3 +188,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.count("*").over(Window.partitionBy("simhash")).alias("cluster_size"),
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, {_GRAMS} AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) > 0 AND len(b.grams) > 0
+        AND 2 * len(list_intersect(a.grams, b.grams))
+            >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: connected components (min-label propagation,
+    operators/components.py) over the LSH near-dup pairs. The oracle
+    recomputes the same clusters as a recursive transitive closure —
+    feasible for DuckDB at test scale, where Spark's iterative form is the
+    one that survives 100 TB (closure materializes O(cluster_size^2) rows,
+    propagation never exceeds O(edges) per round)."""
+    doc = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(doc, grams=_grams_for(spark, sf_dir))
+    from ..operators.components import connected_components
+
+    return connected_components(pairs.select("id_a", "id_b"))
