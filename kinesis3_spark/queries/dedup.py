@@ -229,3 +229,49 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     return connected_components(pairs.select("id_a", "id_b"))
+
+
+@query(
+    "dedup_drop_neardup",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, {_GRAMS} AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) > 0 AND len(b.grams) > 0
+        AND 2 * len(list_intersect(a.grams, b.grams))
+            >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+    """,
+)
+def dedup_drop_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pass a training pipeline runs: LSH pairs ->
+    connected components -> keep each cluster's canonical (minimum id) doc,
+    drop the rest. The drop set is a left-anti join — |non-canonical| rows,
+    never a corpus-wide shuffle of payloads."""
+    doc = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(doc, grams=_grams_for(spark, sf_dir))
+    from ..operators.components import connected_components
+
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    losers = labels.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return doc.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
