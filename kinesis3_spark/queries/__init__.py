@@ -52,6 +52,9 @@ from . import streamq  # noqa: E402,F401
 from . import multimodalq  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
+from . import decontam  # noqa: E402,F401
+from . import statsq  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import variantq  # noqa: E402,F401
 from . import physical  # noqa: E402,F401

@@ -1,0 +1,122 @@
+"""Training-data decontamination + keyword extraction over `documents`.
+
+Benchmark decontamination is the standard 13-gram-overlap procedure from
+the LLM training literature (a document is contaminated if it shares any
+13-token n-gram with the evaluation/benchmark corpus); TF-IDF keyword
+extraction is the classic per-document term scoring. Both extend the
+reference's analytics surface to the corpus-hygiene operations a 100 TB
+training pipeline runs before every model build.
+
+Scale notes: the contamination check is an equi-join on the gram string —
+never a cross join. The benchmark side is DISTINCT-collapsed first (its
+gram set is tiny relative to the corpus) and broadcasts; the corpus side
+streams map-side through explode → semi join without materializing the
+gram table. TF-IDF's two aggregates (term frequency, document frequency)
+both shuffle on the term key with map-side combine; the per-doc top-k is
+one window pass partitioned by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import ngrams, tokenize
+from .relational import _t
+from . import query
+
+# DuckDB tokenization identical to functions.text.tokenize (lowercase,
+# edge-strip, split on runs of whitespace).
+_DUCK_TOKS = (
+    "string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+)
+
+
+@query(
+    "llm_decontaminate_13gram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, array_to_string(t[i + 1 : i + 13], ' ') AS gram
+      FROM toks, UNNEST(generate_series(0, greatest(len(t) - 13, -1))) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    hits AS (
+      SELECT DISTINCT g.doc_id, g.source
+      FROM grams g JOIN bench USING (gram)
+      WHERE g.source <> 'src0'
+    )
+    SELECT doc_id, source FROM hits ORDER BY doc_id
+    """,
+)
+def llm_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents sharing any 13-gram with the benchmark slice
+    (source = 'src0' stands in for the eval set). The benchmark gram set
+    is deduped then broadcast; the corpus side is a left-semi join, so a
+    document short-circuits on its first hit and nothing wider than
+    (doc_id, gram) ever shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", "source", F.explode(ngrams(F.col("text"), 13)).alias("gram")
+    )
+    bench = (
+        grams.where(F.col("source") == "src0").select("gram").distinct()
+    )
+    return (
+        grams.where(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC
+             ) AS rk
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+    FROM scored WHERE rk <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document. The TF-IDF score (smoothed
+    idf, reported rounded) is informational; the RANKING key is the pure
+    integer triple (tf desc, df asc, term) so the top-k cut is exact on
+    every engine — no float ordering anywhere. df is an aggregate over
+    the same exploded token relation (one extra shuffle keyed by term,
+    |vocab| rows out) and joins back via broadcast at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one job over footer-only count at rest
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
