@@ -55,6 +55,7 @@ from . import relational2  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import decontam  # noqa: E402,F401
 from . import statsq  # noqa: E402,F401
+from . import entity  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import variantq  # noqa: E402,F401
 from . import physical  # noqa: E402,F401

@@ -223,3 +223,27 @@ def metrics_ewma_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), rate(60), rate(300), rate(900))
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT event_id, user_id, c_name, round(value, 2) AS value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the static
+    customer dimension (re-read per batch, so dim updates are picked up —
+    the standard enrichment topology). Stateless, append mode, no
+    watermark needed; at scale the dim side broadcasts and the stream side
+    never shuffles."""
+    from ..streaming import stream_events
+
+    ev = stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_name", F.round("value", 2).alias("value")
+    )
+    return run_to_memory(joined, output_mode="append")
