@@ -37,6 +37,11 @@ HEADLINE = [
     "agg_hll_distinct_band",
     "join_bucketed_colocated",
     "llm_quality_filter_rules",
+    # round 2c: decision-support joins + corpus hygiene
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "llm_tfidf_top_terms",
+    "llm_decontaminate_13gram",
 ]
 
 

@@ -12,3 +12,4 @@ from .windows import (  # noqa: F401
 from .dedup import dedup_stream  # noqa: F401
 from .run import run_to_memory, archive_stream, upsert_stream  # noqa: F401
 from .stateful import running_user_totals  # noqa: F401
+from .rollup import continuous_rollup, rollup_events  # noqa: F401

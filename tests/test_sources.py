@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import duckdb
 
+from pyspark.sql import functions as F
+
 from kinesis3_spark.sources import read_csv, read_jsonl
 
 
@@ -59,3 +61,24 @@ def test_kinesis_adapter_degrades_gracefully(spark):
 
     with pytest.raises(NotImplementedError, match="spark-sql-kinesis-connector"):
         kinesis_stream(spark, "events-stream")
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """ORC source/sink: the corpus orders table written as ORC and read
+    back must agree with the Parquet original — same scan surface
+    (pushdown/pruning) through a second columnar format."""
+    orig = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "orders_orc")
+    orig.write.orc(dest)
+    back = (
+        spark.read.orc(dest)
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("t"))
+    )
+    want = (
+        orig.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("t"))
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, want.collect()))
