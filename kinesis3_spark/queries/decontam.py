@@ -59,15 +59,22 @@ def llm_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     document short-circuits on its first hit and nothing wider than
     (doc_id, gram) ever shuffles."""
     d = _t(spark, sf_dir, "documents")
+    # Join on the 64-bit hash of each gram, not the ~90-char gram string:
+    # the broadcast set and the probe keys shrink ~10x and the hash join
+    # compares longs. A hash collision could flag a clean doc, but at
+    # P(collision) ≈ n²/2⁶⁵ it is negligible even at corpus scale (the
+    # minhash tier makes the same trade, dedup.py).
     grams = d.select(
-        "doc_id", "source", F.explode(ngrams(F.col("text"), 13)).alias("gram")
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(ngrams(F.col("text"), 13), lambda g: F.xxhash64(g))
+        ).alias("gh"),
     )
-    bench = (
-        grams.where(F.col("source") == "src0").select("gram").distinct()
-    )
+    bench = grams.where(F.col("source") == "src0").select("gh").distinct()
     return (
         grams.where(F.col("source") != "src0")
-        .join(F.broadcast(bench), "gram", "left_semi")
+        .join(F.broadcast(bench), "gh", "left_semi")
         .select("doc_id", "source")
         .distinct()
         .orderBy("doc_id")
