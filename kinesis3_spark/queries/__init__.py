@@ -53,6 +53,7 @@ from . import multimodalq  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import tpch2  # noqa: E402,F401
 from . import decontam  # noqa: E402,F401
 from . import statsq  # noqa: E402,F401
 from . import entity  # noqa: E402,F401
