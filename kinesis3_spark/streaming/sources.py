@@ -15,7 +15,6 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 _STREAM_DIRS: dict[str, str] = {}
 
@@ -38,9 +37,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    from ..sources.batch import normalize_event_ts
+
+    return normalize_event_ts(df)
 
 
 def stream_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:

@@ -50,3 +50,46 @@ def test_left_outer_preaggregates_before_join(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     assert agg_pos >= 0 and join_pos >= 0
     assert plan.find("HashAggregate", join_pos) >= 0 or agg_pos < join_pos
+
+
+def test_app_wiring_is_incremental_not_memory_sink():
+    """VERDICT r3 'Next round' #5: the production collector must run the
+    incremental foreachBatch upsert path (bounded state), never the
+    complete-mode memory sink the oracle harness uses. Source-level guard:
+    app.py wires foreachBatch in update mode, and the in-memory sink
+    appears in exactly one place — streaming/run.py's clearly-labeled
+    oracle helper."""
+    import pathlib
+
+    import kinesis3_spark
+
+    pkg = pathlib.Path(kinesis3_spark.__file__).parent
+    app_src = (pkg / "app.py").read_text()
+    assert "foreachBatch" in app_src
+    assert 'outputMode("update")' in app_src
+    assert 'format("memory")' not in app_src
+
+    memory_sink_files = [
+        p.relative_to(pkg).as_posix()
+        for p in pkg.rglob("*.py")
+        if 'format("memory")' in p.read_text()
+    ]
+    assert memory_sink_files == ["streaming/run.py"], memory_sink_files
+    run_src = (pkg / "streaming/run.py").read_text()
+    assert "ORACLE-HARNESS ONLY" in run_src
+
+
+def test_decontam_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    """The decontamination broadcast guard (VERDICT r3 'wrong' #4): forcing
+    the over-limit path (max_broadcast=0) must produce the identical hit
+    set via a shuffle semi join, and the under-limit path must broadcast."""
+    from kinesis3_spark.queries.decontam import decontaminate_grams
+    from kinesis3_spark.sources.batch import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    broad = decontaminate_grams(d, 13)
+    shuf = decontaminate_grams(d, 13, max_broadcast=0)
+    assert "BroadcastHashJoin" in broad._jdf.queryExecution().executedPlan().toString()
+    rows_b = [tuple(r) for r in broad.collect()]
+    rows_s = [tuple(r) for r in shuf.collect()]
+    assert rows_b == rows_s and len(rows_b) > 0
