@@ -42,22 +42,59 @@ def token_count(col) -> Column:
     return F.size(tokenize(col))
 
 
+def _let(bound: Column, body) -> Column:
+    """Evaluate `body(var)` with `var` bound ONCE to `bound` — a let-binding
+    expressed as transform over a singleton array (lambda variables are
+    evaluated once per row; a plain Column subexpression referenced k times
+    inside a higher-order function is re-evaluated k times, which made the
+    previous n-gram formulation re-tokenize per access — measured 5-8x of
+    the whole decontamination pipeline's cost)."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def ngrams(col, n: int) -> Column:
-    """Word n-grams as array<string> (space-joined), built by zip_with-ing
-    n shifted slices of the token array — no explode needed until the
-    caller wants rows. ~5x faster than the per-gram slice+array_join
-    formulation (one O(len) pass per shift instead of a slice allocation
-    per gram)."""
-    toks = tokenize(col)
-    m = F.size(toks) - (n - 1)  # number of n-grams
-    grams = F.slice(toks, 1, m)
-    for k in range(2, n + 1):
-        grams = F.zip_with(
-            grams, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Word n-grams as array<string> (space-joined): tokenize once (let
+    binding), then one concat_ws over n element_at lookups per gram —
+    O(gram_len) char copies per gram with no intermediate string churn
+    and no re-tokenization (see _let)."""
+
+    def build(toks):
+        m = F.size(toks) - (n - 1)  # number of n-grams
+        return F.when(
+            m > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _let(tokenize(col), build)
+
+
+def ngram_hashes(col, n: int) -> Column:
+    """64-bit hash per word n-gram as array<bigint>, hashing the n tokens
+    directly (multi-arg xxhash64) — the gram string is never materialized.
+    The join/dedup operators that only compare grams (decontamination,
+    minhash shingles) should prefer this: same candidate semantics, ~10x
+    less string allocation. Hash of (tok1..tokn) differs from
+    xxhash64(space-joined gram) as a VALUE but is equally a deterministic
+    gram identity, which is all an equi-join needs."""
+
+    def build(toks):
+        m = F.size(toks) - (n - 1)
+        return F.when(
+            m > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda i: F.xxhash64(
+                    *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return _let(tokenize(col), build)
 
 
 def punct_ratio(col) -> Column:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import ngrams, tokenize
+from ..functions.text import ngram_hashes, tokenize
 from .relational import _t
 from . import query
 
@@ -57,15 +57,14 @@ def decontaminate_grams(
     adversarially large eval set (VERDICT r3 §wrong-4)."""
     # Join on the 64-bit hash of each gram, not the ~90-char gram string:
     # the broadcast set and the probe keys shrink ~10x and the hash join
-    # compares longs. A hash collision could flag a clean doc, but at
-    # P(collision) ≈ n²/2⁶⁵ it is negligible even at corpus scale (the
-    # minhash tier makes the same trade, dedup.py).
+    # compares longs. ngram_hashes hashes the n tokens directly, so the
+    # gram string is never even built. A hash collision could flag a clean
+    # doc, but at P(collision) ≈ n²/2⁶⁵ it is negligible even at corpus
+    # scale (the minhash tier makes the same trade, dedup.py).
     grams = d.select(
         "doc_id",
         "source",
-        F.explode(
-            F.transform(ngrams(F.col("text"), n), lambda g: F.xxhash64(g))
-        ).alias("gh"),
+        F.explode(ngram_hashes(F.col("text"), n)).alias("gh"),
     )
     bench = grams.where(F.col("source") == bench_source).select("gh").distinct()
     bench_occurrences = d.where(F.col("source") == bench_source).select(
