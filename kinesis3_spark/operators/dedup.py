@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, ngrams, tokenize
+from ..functions.text import fingerprint, ngram_hashes, tokenize
 
 # MinHash/LSH defaults: 64 permutations in 32 bands x 2 rows. The S-curve
 # midpoint is (1/32)^(1/2) ~= 0.18, so a true Jaccard-0.5 pair is missed with
@@ -88,9 +88,17 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
 # --------------------------------------------------------------------------
 
 def _gram_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, grams: array<bigint>) — the DISTINCT shingle set per document,
+    as 64-bit token-sequence hashes (functions.text.ngram_hashes), never
+    gram strings: every downstream consumer (inverted-index equi-join,
+    minhash min-aggregate, verify-join array_intersect) only needs gram
+    IDENTITY, and longs shuffle/compare ~10x cheaper than ~40-char strings.
+    A 64-bit collision inside one document merges two distinct shingles —
+    P ≈ |doc_grams|²/2⁶⁵ per doc, negligible at any corpus size (same trade
+    the decontamination join makes, queries/decontam.py)."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(ngrams(text_col, n)).alias("grams"),
+        F.array_distinct(ngram_hashes(text_col, n)).alias("grams"),
     ).where(F.size("grams") > 0)
 
 
@@ -203,7 +211,7 @@ def minhash_signatures(
 
     Returns (id, sig: array<bigint>) with sig[i] = m_i.
 
-    Shape: explode shingles → hash each shingle string ONCE to a long →
+    Shape: explode pre-hashed shingles →
     groupBy(id) with k min-aggregates over cheap seed-mixed long-hashes.
     The k permutations never touch strings, and the hash aggregate runs
     vectorized inside whole-stage codegen (measured ~2x faster than the
@@ -221,9 +229,9 @@ def minhash_signatures(
     the shuffle carries |docs| rows regardless of document length.
     """
     g = grams if grams is not None else _gram_sets(df, text_col, id_col, shingle_n)
-    ex = g.select("id", F.explode("grams").alias("gram")).select(
-        "id", F.xxhash64("gram").alias("gh")
-    )
+    # grams are already 64-bit shingle hashes (_gram_sets) — no per-shingle
+    # string hashing left, the k permutations seed-mix the stored long.
+    ex = g.select("id", F.explode("grams").alias("gh"))
     mins = ", ".join(f"min(xxhash64({i}, gh))" for i in range(n_hashes))
     return ex.groupBy("id").agg(F.expr(f"array({mins})").alias("sig"))
 

@@ -7,6 +7,7 @@ via foreachBatch."""
 from __future__ import annotations
 
 import itertools
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,7 +18,10 @@ _MEM_IDS = itertools.count()
 
 
 def run_to_memory(
-    sdf: DataFrame, output_mode: str = "append", timeout_s: int = 300
+    sdf: DataFrame,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """ORACLE-HARNESS ONLY: execute a streaming plan with
     trigger(availableNow) into an in-memory sink; returns the completed
@@ -31,16 +35,32 @@ def run_to_memory(
     upsert, bounded state), upsert_stream, and archive_stream — app.py
     wires those, never this (guarded by tests/test_plan_guards.py)."""
     name = f"stream_result_{next(_MEM_IDS)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    # Harness checkpoints are throwaway: land them on tmpfs when available
+    # (commit-log/WAL fsyncs cost ~0.2 s per drain on disk). Production
+    # streams pass their own durable checkpointLocation.
+    ck_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # Stateful operators create one state-store instance per shuffle
+    # partition at query start; for an availableNow drain of a bounded
+    # harness input that setup dominates wall clock (32 -> 4 partitions
+    # measured ~2.2-3.0s -> ~1.3s per query at sf0.1). Scoped to this harness run and
+    # restored after the drain — production streams (continuous_rollup,
+    # upsert_stream) keep the session setting.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_", dir=ck_parent))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.table(name)
 
 
 def archive_stream(
