@@ -25,14 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q3_shipping_priority"](spark, SF0001)
 
 
-# The driver oracle-checks the FIRST 50 entries of queries() per round.
-# Rounds 2-3 checked the same 50 (relational/scalar/temporal/dedup/
-# similarity + 2 llmtext) — all green and protected locally by
-# tests/test_oracle_parity.py, which checks all 122 every run. This window
-# rotates the 50 never-officially-checked families to the front (VERDICT r3
-# "Next round" #2): TPC-H Q4-Q22, llm_*, stream_*/metrics_*, pipeline_*,
-# upsert, UDFs, variant, physical sketches, sampling.
-_WINDOW_R4 = [
+# The driver oracle-checks the FIRST 50 entries of queries() per round, so
+# ordering IS coverage policy. _ordered() rotates automatically from the
+# recorded CORRECTNESS_r*.json history: never-officially-checked queries
+# first, then queries whose latest official row wasn't a full hash match
+# (so fixes get re-confirmed), then green queries oldest-check-first. The
+# registry far exceeds one window (122 vs 50); every query stays covered
+# every round by tests/test_oracle_parity.py regardless of window position.
+# _PRIORITY breaks ties within each class — the round-4 rotation order
+# (VERDICT r3 "Next round" #2): TPC-H Q4-Q22, llm_*, stream_*/metrics_*,
+# pipeline_*, upsert, UDFs, variant, physical sketches, sampling.
+_PRIORITY = [
     "text_quality_scores",
     "text_ngram_top20",
     "pipeline_ingest_projection",
@@ -85,10 +88,10 @@ _WINDOW_R4 = [
     "sample_stratified_by_lang",
 ]
 
-# Never-checked queries that don't fit the 50-window this round; placed
-# right after it so any window widening covers them before re-checking the
-# already-green 50. Rotate these to the front next round.
-_SECONDARY = [
+# Never-checked queries that don't fit the 50-window this round; the
+# recorded-coverage rotation pulls them to the front automatically once
+# CORRECTNESS_r04 lands.
+_PRIORITY += [
     "multimodal_payload_stats",
     "multimodal_image_features",
     "agg_grouping_sets",
@@ -114,9 +117,54 @@ _SECONDARY = [
 ]
 
 
+def _coverage_history() -> dict[str, tuple[int, bool]]:
+    """name -> (latest round officially checked, was it fully green)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            green = isinstance(row, dict) and bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and (row.get("hash_match") or "hash_match" not in row)
+                and not row.get("err")
+            )
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, green)
+    return hist
+
+
 def _ordered(names: dict) -> list[str]:
-    front = [n for n in _WINDOW_R4 + _SECONDARY if n in names]
-    return front + [n for n in names if n not in set(front)]
+    hist = _coverage_history()
+    prio = {n: i for i, n in enumerate(_PRIORITY)}
+
+    def key(item):
+        i, n = item
+        checked = n in hist
+        rnd, green = hist.get(n, (0, False))
+        # never-checked < checked-not-green < green; within a class, oldest
+        # official check first, then the explicit priority order, then
+        # registration order (stable).
+        return (checked, green, rnd, prio.get(n, len(prio)), i)
+
+    return [n for _, n in sorted(enumerate(names), key=key)]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

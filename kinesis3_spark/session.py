@@ -59,7 +59,13 @@ def get_spark(app_name: str = "kinesis3-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10 MB: big enough that every real dimension table
+        # broadcasts, small enough that a fact table never does — at 64 MB
+        # the sf0.1 lineitem (10.8 MB file) was being broadcast, a
+        # wrong-shaped plan at any scale (and the single-threaded
+        # HashedRelation build showed up in q5's wall clock). Explicit
+        # broadcast() hints stay on the known-fixed-size dims.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,54 @@
+"""The driver oracle-checks the first 50 entries of __spark_entry__.queries();
+_ordered() must rotate that window from recorded CORRECTNESS history so every
+registered query eventually gets an official row: never-checked first, then
+not-green (fix re-confirmation), then green oldest-check-first.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def _row(green=True, err=None):
+    return {
+        "rows_match": green,
+        "schema_match": green,
+        "hash_match": green,
+        "err": err,
+    }
+
+
+def test_window_excludes_previously_green(monkeypatch):
+    names = {f"q{i:03d}": None for i in range(8)}
+    hist = {f"q{i:03d}": (3, True) for i in range(4)}  # q000-003 green in r3
+    monkeypatch.setattr(entry, "_coverage_history", lambda: hist)
+    ordered = entry._ordered(names)
+    assert ordered[:4] == ["q004", "q005", "q006", "q007"]
+    assert ordered[4:] == ["q000", "q001", "q002", "q003"]
+
+
+def test_failed_rechecked_before_green(monkeypatch):
+    names = {"a": None, "b": None, "c": None}
+    hist = {"a": (3, True), "b": (3, False), "c": (2, True)}
+    monkeypatch.setattr(entry, "_coverage_history", lambda: hist)
+    # b failed its latest check -> first; then green oldest-first (c r2 < a r3)
+    assert entry._ordered(names) == ["b", "c", "a"]
+
+
+def test_priority_breaks_ties_within_class(monkeypatch):
+    names = {"zz": None, "aa": None}
+    monkeypatch.setattr(entry, "_coverage_history", lambda: dict())
+    monkeypatch.setattr(entry, "_PRIORITY", ["zz", "aa"])
+    assert entry._ordered(names) == ["zz", "aa"]
+
+
+def test_real_history_parses_and_orders_everything():
+    ordered = entry._ordered(dict.fromkeys(entry.queries()))
+    assert len(ordered) == len(set(ordered))
+    hist = entry._coverage_history()
+    # repo history exists (r01-r03 committed): every name in the first-50
+    # window must be one the driver has never checked, as long as any
+    # never-checked queries remain.
+    never = [n for n in ordered if n not in hist]
+    if len(never) >= 50:
+        assert all(n in never for n in ordered[:50])
