@@ -138,13 +138,20 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # tf holds one row per (doc, term), so document frequency is a window
+    # row-count over tf partitioned by term — the token relation is
+    # exploded and aggregated ONCE and there is no tf-vs-df join (the
+    # two-aggregate + join formulation recomputed the whole explode per
+    # side: column pruning differentiates the subtrees, so ReusedExchange
+    # never fires). Pipeline: explode -> hash agg (doc,term) -> window by
+    # term -> window by doc — three key exchanges, each carrying
+    # |distinct (doc,term)| rows, not |tokens|.
     n_docs = d.count()  # scalar: one job over footer-only count at rest
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .withColumn(
             "tfidf",
             F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4),

@@ -130,3 +130,72 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(20)
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE len({_TOKS}) >= 3
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                     i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM t
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM t
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+    a2 AS (
+      SELECT doc_id, max(c)::BIGINT AS top2_cnt, sum(c)::BIGINT AS n2_grams,
+             count(*)::BIGINT AS distinct2
+      FROM c2 GROUP BY 1
+    ),
+    a3 AS (
+      SELECT doc_id,
+             coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT AS dup3_cnt,
+             sum(c)::BIGINT AS n3_grams
+      FROM c3 GROUP BY 1
+    )
+    SELECT a2.doc_id AS doc_id, top2_cnt, n2_grams, distinct2, dup3_cnt, n3_grams
+    FROM a2 JOIN a3 USING (doc_id)
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1, public): the occurrence count of the most frequent word 2-gram
+    (top2_cnt / n2_grams = "fraction in most common 2-gram") and the
+    occurrences belonging to duplicated 3-grams (dup3_cnt / n3_grams).
+    Counts are emitted as exact bigints; ratios are the caller's division
+    (integer outputs keep the oracle hash exact — no float boundaries).
+
+    Shape: one explode per n, two-level aggregation — (doc, gram) count,
+    then per-doc max/sum — every shuffle keyed and map-side combined; the
+    doc-level join is |docs| x |docs| equi-join on the id. Grams are 64-bit
+    token-sequence hashes (functions.text.ngram_hashes), never strings."""
+    from ..functions.text import ngram_hashes
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.size(T.tokenize("text")) >= 3
+    )
+
+    def per_doc(n: int):
+        ex = d.select("doc_id", F.explode(ngram_hashes(F.col("text"), n)).alias("gh"))
+        return ex.groupBy("doc_id", "gh").agg(F.count("*").alias("c"))
+
+    a2 = per_doc(2).groupBy("doc_id").agg(
+        F.max("c").cast("bigint").alias("top2_cnt"),
+        F.sum("c").cast("bigint").alias("n2_grams"),
+        F.count("*").cast("bigint").alias("distinct2"),
+    )
+    a3 = per_doc(3).groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("dup3_cnt"),
+        F.sum("c").cast("bigint").alias("n3_grams"),
+    )
+    return a2.join(a3, "doc_id")
