@@ -68,3 +68,41 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(in_band.cast("int"), F.lit(0)).alias("in_band"),
         )
     )
+
+
+@query(
+    "sample_cap_per_source",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                        doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 50
+    """,
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap (Common-Crawl-style per-domain
+    caps in training-data curation): keep the 50 docs per source ranked by
+    a portable 60-bit md5 hash of the id — an exact, engine-reproducible
+    'random' subset, unlike seeded RNG sampling (which no other engine can
+    replay — see the band-checked queries above). One window pass
+    partitioned by source; at 100 TB the hash rank can be pre-materialized
+    and the cap becomes a filter, no sort at query time."""
+    from ..operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        portable_hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select("doc_id", "source")
+    )

@@ -58,6 +58,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)
+    elif name == "embeddings":
+        # Pin the vector element type: the ANN operators' Arrow/numpy
+        # boundary assumes float32, and a corpus regeneration switching to
+        # list<double> (as the ts regeneration switched types, VERDICT r3)
+        # would silently double the vector bytes. No-op when already float.
+        if dict(df.dtypes).get("embedding") != "array<float>":
+            df = df.withColumn(
+                "embedding", df["embedding"].cast("array<float>")
+            )
     return df
 
 
