@@ -42,6 +42,9 @@ HEADLINE = [
     "q18_large_volume_customers",
     "llm_tfidf_top_terms",
     "llm_decontaminate_13gram",
+    # round 4: repetition quality signals + deterministic per-source cap
+    "text_repetition_signals",
+    "sample_cap_per_source",
 ]
 
 

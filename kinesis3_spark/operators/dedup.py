@@ -274,6 +274,7 @@ def minhash_lsh_pairs(
     num: int = 1,
     den: int = 2,
     grams: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket-join →
     exact-Jaccard verification of candidates. Output matches
@@ -286,9 +287,20 @@ def minhash_lsh_pairs(
     (the post-pruning subplans differ, so ReusedExchange does NOT fire —
     measured). Pass a persisted `grams` (see queries/dedup._grams_for) to
     compute shingles once; at production scale that persisted frame is the
-    STORED signature index maintained beside the corpus."""
+    STORED signature index maintained beside the corpus.
+
+    Same story one level up for `signatures`: the LSH band self-join
+    consumes the signature subplan on BOTH sides, and Spark does not fire
+    ReusedExchange across the aliased copies — unpersisted, the whole
+    scan→shingle→minhash pipeline runs twice (measured 3.1 s vs 0.4 s for
+    the candidate stage at sf0.1). Pass a persisted frame
+    (queries/dedup._sigs_for) or a stored signature table."""
     g = grams if grams is not None else _gram_sets(df, text_col, id_col, SHINGLE_N)
-    sig = minhash_signatures(df, text_col, id_col, grams=g)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, grams=g)
+    )
     cand = lsh_candidate_pairs(sig)
     ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = g.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))

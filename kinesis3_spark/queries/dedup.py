@@ -103,11 +103,31 @@ def _grams_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _GRAM_INDEX[sf_dir]
 
 
+# Persisted signature index (|docs| x 64 longs — strictly smaller than the
+# gram index). The LSH band self-join reads the signature subplan twice and
+# ReusedExchange does not fire across the aliased copies, so an unpersisted
+# signature pipeline runs scan→shingle→minhash twice (operators/dedup.py
+# minhash_lsh_pairs docstring; measured 3.1 s vs 0.4 s at sf0.1).
+_SIG_INDEX: dict[str, DataFrame] = {}
+
+
+def _sigs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _SIG_INDEX:
+        doc = _t(spark, sf_dir, "documents")
+        sig = D.minhash_signatures(doc, grams=_grams_for(spark, sf_dir))
+        _SIG_INDEX[sf_dir] = sig.persist()
+    return _SIG_INDEX[sf_dir]
+
+
 # Oracle is the same exact all-pairs Jaccard — see module docstring.
 @query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(doc, grams=_grams_for(spark, sf_dir))
+    return D.minhash_lsh_pairs(
+        doc,
+        grams=_grams_for(spark, sf_dir),
+        signatures=_sigs_for(spark, sf_dir),
+    )
 
 
 # Scale variant: df-capped candidate generation + full-set verify. On this
@@ -225,7 +245,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     one that survives 100 TB (closure materializes O(cluster_size^2) rows,
     propagation never exceeds O(edges) per round)."""
     doc = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(doc, grams=_grams_for(spark, sf_dir))
+    pairs = D.minhash_lsh_pairs(
+        doc,
+        grams=_grams_for(spark, sf_dir),
+        signatures=_sigs_for(spark, sf_dir),
+    )
     from ..operators.components import connected_components
 
     return connected_components(pairs.select("id_a", "id_b"))
@@ -269,7 +293,11 @@ def dedup_drop_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop the rest. The drop set is a left-anti join — |non-canonical| rows,
     never a corpus-wide shuffle of payloads."""
     doc = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(doc, grams=_grams_for(spark, sf_dir))
+    pairs = D.minhash_lsh_pairs(
+        doc,
+        grams=_grams_for(spark, sf_dir),
+        signatures=_sigs_for(spark, sf_dir),
+    )
     from ..operators.components import connected_components
 
     labels = connected_components(pairs.select("id_a", "id_b"))
