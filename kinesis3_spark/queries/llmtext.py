@@ -173,29 +173,37 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are emitted as exact bigints; ratios are the caller's division
     (integer outputs keep the oracle hash exact — no float boundaries).
 
-    Shape: one explode per n, two-level aggregation — (doc, gram) count,
-    then per-doc max/sum — every shuffle keyed and map-side combined; the
-    doc-level join is |docs| x |docs| equi-join on the id. Grams are 64-bit
-    token-sequence hashes (functions.text.ngram_hashes), never strings."""
+    Shape: ONE explode of both gram lengths tagged with an n marker, then
+    two-level aggregation — (doc, n, gram) count, per-doc conditional
+    aggregates — 2 keyed map-side-combined shuffles total, no per-n join
+    (the two-pipeline formulation shuffled twice the volume and joined the
+    doc-level results back; see SCALE.md on self-join/subtree duplication).
+    Grams are 64-bit token-sequence hashes (functions.text.ngram_hashes),
+    never strings."""
     from ..functions.text import ngram_hashes
 
     d = _t(spark, sf_dir, "documents").where(
         F.size(T.tokenize("text")) >= 3
     )
 
-    def per_doc(n: int):
-        ex = d.select("doc_id", F.explode(ngram_hashes(F.col("text"), n)).alias("gh"))
-        return ex.groupBy("doc_id", "gh").agg(F.count("*").alias("c"))
+    def tagged(n: int):
+        return F.transform(
+            ngram_hashes(F.col("text"), n),
+            lambda h: F.struct(F.lit(n).alias("n"), h.alias("gh")),
+        )
 
-    a2 = per_doc(2).groupBy("doc_id").agg(
-        F.max("c").cast("bigint").alias("top2_cnt"),
-        F.sum("c").cast("bigint").alias("n2_grams"),
-        F.count("*").cast("bigint").alias("distinct2"),
-    )
-    a3 = per_doc(3).groupBy("doc_id").agg(
-        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+    ex = d.select(
+        "doc_id", F.explode(F.concat(tagged(2), tagged(3))).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gh").alias("gh"))
+    c = ex.groupBy("doc_id", "n", "gh").agg(F.count("*").alias("c"))
+    two = F.col("n") == 2
+    three = F.col("n") == 3
+    return c.groupBy("doc_id").agg(
+        F.max(F.when(two, F.col("c"))).cast("bigint").alias("top2_cnt"),
+        F.sum(F.when(two, F.col("c"))).cast("bigint").alias("n2_grams"),
+        F.count(F.when(two, F.lit(1))).cast("bigint").alias("distinct2"),
+        F.coalesce(F.sum(F.when(three & (F.col("c") > 1), F.col("c"))), F.lit(0))
         .cast("bigint")
         .alias("dup3_cnt"),
-        F.sum("c").cast("bigint").alias("n3_grams"),
+        F.sum(F.when(three, F.col("c"))).cast("bigint").alias("n3_grams"),
     )
-    return a2.join(a3, "doc_id")
