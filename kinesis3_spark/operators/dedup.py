@@ -405,3 +405,31 @@ def simhash(
     per_bit = tok.groupBy("id").agg(F.expr(f"array({sums})").alias("s"))
     sig = " + ".join(f"if(s[{b}] > 0, {1 << b}L, 0L)" for b in range(bits))
     return per_bit.select("id", F.expr(f"({sig})").cast("bigint").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup (new batch vs stored fingerprint index)
+# --------------------------------------------------------------------------
+
+def incremental_dedup(
+    new_df: DataFrame,
+    known_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deduplicate an incoming batch against an EXISTING corpus: drop docs
+    whose fingerprint is already in `known_fps` (one column `fp`), then
+    keep the min-id survivor per fingerprint within the batch — the shape
+    a daily-ingest pipeline runs, where the historical index is a stored
+    table that is never rescanned from raw text.
+
+    Two hash joins on the md5 digest (anti vs history, semi vs the batch's
+    own min-id set); at 100 TB the history side is a bucketed fingerprint
+    table so the anti join co-locates without a shuffle of the index.
+    """
+    keyed = new_df.withColumn("__fp", fingerprint(text_col))
+    fresh = keyed.join(
+        known_fps.select(F.col("fp").alias("__fp")).distinct(), "__fp", "left_anti"
+    )
+    keep = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keep, ["__fp", id_col], "left_semi").drop("__fp")

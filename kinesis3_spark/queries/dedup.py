@@ -303,3 +303,34 @@ def dedup_drop_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs.select("id_a", "id_b"))
     losers = labels.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return doc.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH k AS (
+      SELECT *, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM k WHERE source = 'src0'),
+    fresh AS (
+      SELECT * FROM k
+      WHERE source <> 'src0' AND fp NOT IN (SELECT fp FROM hist)
+    )
+    SELECT doc_id, lang, source, n_chars FROM fresh f
+    WHERE doc_id = (SELECT min(doc_id) FROM fresh x WHERE x.fp = f.fp)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: the src0 slice stands in for the historical
+    corpus whose fingerprint index is a stored table; the rest is the
+    incoming batch. Survivors are batch docs whose fingerprint is unseen
+    in history AND min-id within the batch (operators/dedup.py
+    incremental_dedup — two digest-keyed hash joins, raw history text is
+    never rescanned)."""
+    d = _t(spark, sf_dir, "documents")
+    hist_fps = d.where(F.col("source") == "src0").select(
+        D.fingerprint("text").alias("fp")
+    )
+    out = D.incremental_dedup(d.where(F.col("source") != "src0"), hist_fps)
+    return out.select("doc_id", "lang", "source", "n_chars")

@@ -89,3 +89,33 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), _NEARDUP_T)
+
+
+@query("ml_kmeans_embedding_clusters")  # rows-only: iterative, no SQL oracle
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding column via Spark MLlib (the idiomatic
+    Spark path for iterative algorithms — Lloyd's iterations are driver-
+    coordinated map-reduce passes; we do not hand-roll them). Returns one
+    row per vector with its cluster id plus per-cluster sizes, so the
+    rows-only oracle checks total assignment coverage.
+
+    Scale: k-means|| init + per-iteration treeAggregate are linear scans;
+    the model (k x dim doubles) broadcasts. The fixed seed pins init for
+    reproducibility, not correctness (tests assert cluster-count and
+    coverage invariants, not centroid values)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=20).fit(emb)
+    assigned = model.transform(emb).select(
+        "vec_id", F.col("prediction").alias("cluster")
+    )
+    from pyspark.sql.window import Window
+
+    return assigned.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("cluster")).cast("bigint"),
+    ).orderBy("vec_id")
