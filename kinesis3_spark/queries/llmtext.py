@@ -207,3 +207,51 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup3_cnt"),
         F.sum(F.when(three, F.col("c"))).cast("bigint").alias("n3_grams"),
     )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+      SELECT t AS term, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY 1
+    ),
+    ranked AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rnk,
+             sum(cnt) OVER (ORDER BY cnt DESC, term
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cnt
+      FROM tf
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, term, cnt, cum_cnt
+    FROM ranked WHERE rnk <= 100
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 terms with cumulative occurrence
+    counts (tokenizer/vocab design asks 'how much of the corpus do the top
+    k terms cover' — divide cum_cnt by total tokens; counts stay integer
+    so the oracle hash is exact). One explode → term count (map-side
+    combined, |vocab| rows out) → single-partition window over the top
+    slice only: the rank cutoff bounds what the final window sorts."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(T.tokenize("text")).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .where(F.col("rnk") <= 100)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "term",
+            "cnt",
+            F.col("cum_cnt").cast("bigint").alias("cum_cnt"),
+        )
+    )

@@ -116,3 +116,55 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp("asof_click_ts"), F.lit(-1)
         ).cast("bigint").alias("gap_s"),
     )
+
+
+@query(
+    "sessionize_events_batch",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*)::BIGINT AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts after
+    a >30-minute silence; the session id is the running count of session
+    starts per user. The streaming twin is `session_window`
+    (queries/streamq.stream_sessions); this is the backfill/batch form a
+    pipeline runs over historical data.
+
+    One shuffle on user_id serves both window passes (lag + running sum
+    share the partitioning and sort), then the session aggregate reuses
+    the same partitioning — Catalyst plans a single Exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("new_s", new_s).withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx")).agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
