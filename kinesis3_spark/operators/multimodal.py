@@ -102,16 +102,21 @@ def payload_stats(df: DataFrame, id_col: str = "media_id", data_col: str = "data
 
 
 def image_features(df: DataFrame, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
-    """Decode + per-image features: dims, channel mean/std, brightness."""
+    """Decode + per-image features: dims, channel mean/std, brightness.
+    `n_bytes` (raw payload size) rides along so a downstream integrity
+    check can compare the container size against the decoded shape without
+    re-reading the payload."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, b in zip(pdf[id_col], pdf[data_col]):
-                a = _decode_image(bytes(b)).astype(np.float64)
+                b = bytes(b)
+                a = _decode_image(b).astype(np.float64)
                 out.append(
                     {
                         "media_id": mid,
+                        "n_bytes": len(b),
                         "width": a.shape[1],
                         "height": a.shape[0],
                         "channels": a.shape[2],
@@ -123,7 +128,7 @@ def image_features(df: DataFrame, id_col: str = "media_id", data_col: str = "dat
 
     return df.select(id_col, data_col).mapInPandas(
         run,
-        schema="media_id long, width int, height int, channels int, "
+        schema="media_id long, n_bytes long, width int, height int, channels int, "
         "mean_px double, std_px double",
     )
 

@@ -265,11 +265,20 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the `nprobe` nearest cells per query; exact
     cosine + rank over cell members only — candidate volume ~ nprobe/
-    n_centroids of the corpus instead of all of it."""
-    C = train_ivf_centroids(emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    n_centroids of the corpus instead of all of it.
+
+    `centroids` lets a caller that also needs the cell assignment (e.g. the
+    banded integrity query) train once and share the index — retraining is
+    deterministic but costs an extra bounded-sample job."""
+    C = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    )
     cells = ivf_assign(emb, C, id_col, vec_col)
     qpdf = queries.select(id_col, vec_col).toPandas()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)

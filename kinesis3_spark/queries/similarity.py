@@ -57,23 +57,119 @@ def topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
-# ANN scale path: rows-only (LSH candidate sets are seed-deterministic but
-# not SQL-expressible; recall quality is pytest-asserted on planted
-# high-similarity fixtures in tests/test_similarity.py).
-@query("sim_cosine_topk_lsh", oracle=None)
+def _topk_integrity(topk: DataFrame, emb: DataFrame, qids: DataFrame, k: int) -> DataFrame:
+    """Per-query integrity flags over an ANN top-k result, all genuinely
+    computed from the result + corpus (the banded-oracle pattern of
+    agg_hll_distinct_band: exact columns the SQL oracle derives
+    independently, plus invariant flags the oracle asserts as literal 1 —
+    a violated invariant flips the flag and fails the value hash).
+
+      n_le_k        — at most k results per query
+      ranks_ok      — ranks are exactly 1..n (dense, unique)
+      neighbors_ok  — every neighbor exists in the corpus, is not the
+                      query itself, and appears once
+
+    ANN recall itself is not SQL-expressible (candidate sets depend on
+    hash tables / trained cells), so it stays pytest-asserted on planted
+    high-similarity fixtures (tests/test_similarity.py)."""
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("in_corpus")
+    )
+    per_q = (
+        topk.join(corpus, "neighbor_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_res"),
+            F.count_distinct("neighbor_id").alias("n_distinct"),
+            F.min(F.coalesce("in_corpus", F.lit(0))).alias("all_in_corpus"),
+            F.max((F.col("neighbor_id") == F.col("query_id")).cast("int")).alias("any_self"),
+            F.min("rank").alias("min_rk"),
+            F.max("rank").alias("max_rk"),
+            F.count_distinct("rank").alias("rk_distinct"),
+        )
+    )
+    no_res = F.col("n_res").isNull()  # zero candidates: vacuously valid
+    return qids.join(per_q, "query_id", "left").select(
+        "query_id",
+        (F.coalesce("n_res", F.lit(0)) <= k).cast("int").alias("n_le_k"),
+        F.when(no_res, F.lit(1))
+        .otherwise(
+            (
+                (F.col("min_rk") == 1)
+                & (F.col("max_rk") == F.col("n_res"))
+                & (F.col("rk_distinct") == F.col("n_res"))
+            ).cast("int")
+        )
+        .alias("ranks_ok"),
+        F.when(no_res, F.lit(1))
+        .otherwise(
+            (
+                (F.col("all_in_corpus") == 1)
+                & (F.col("any_self") == 0)
+                & (F.col("n_distinct") == F.col("n_res"))
+            ).cast("int")
+        )
+        .alias("neighbors_ok"),
+    )
+
+
+_LSH_BAND_ORACLE = f"""
+    SELECT vec_id AS query_id,
+           ({S.LSH_TABLES} * (SELECT count(*) FROM embeddings))::BIGINT AS sig_rows,
+           1 AS n_le_k, 1 AS ranks_ok, 1 AS neighbors_ok
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
+@query("sim_cosine_topk_lsh", oracle=_LSH_BAND_ORACLE)
 def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k, banded-oracle form (VERDICT r4 'Next round' #1):
+    per-query integrity flags (see _topk_integrity) plus one exact column
+    the oracle derives independently — sig_rows, the signature-index size,
+    which must equal LSH_TABLES x |corpus| (every vector gets exactly one
+    signature per hash table). A dropped/duplicated vector in the index
+    breaks it. Counting the index costs one extra signature pass at test
+    scale; in production the signature table is persisted once and the
+    count is metadata."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = S.cosine_topk_lsh(emb, _query_set(spark, sf_dir), dim=_DIM, k=_K)
-    return out.withColumnRenamed("rank", "rnk")
+    qset = _query_set(spark, sf_dir)
+    topk = S.cosine_topk_lsh(emb, qset, dim=_DIM, k=_K)
+    flags = _topk_integrity(topk, emb, qset.select(F.col("vec_id").alias("query_id")), _K)
+    sig_rows = S.lsh_signatures(emb, _DIM).agg(
+        F.count("*").cast("bigint").alias("sig_rows")
+    )
+    return flags.crossJoin(sig_rows).select(
+        "query_id", "sig_rows", "n_le_k", "ranks_ok", "neighbors_ok"
+    )
 
 
-# IVF scale path: rows-only (k-means cells aren't SQL-expressible);
-# recall quality pytest-asserted on planted clusters in tests/test_similarity.py.
-@query("sim_cosine_topk_ivf", oracle=None)
+_IVF_BAND_ORACLE = f"""
+    SELECT vec_id AS query_id,
+           (SELECT count(*) FROM embeddings)::BIGINT AS corpus_assigned,
+           1 AS n_le_k, 1 AS ranks_ok, 1 AS neighbors_ok
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
+@query("sim_cosine_topk_ivf", oracle=_IVF_BAND_ORACLE)
 def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k, banded-oracle form: per-query integrity flags plus
+    corpus_assigned — the row count of the inverted-file assignment, which
+    must equal |corpus| exactly (ivf_assign maps every vector to exactly
+    one cell; the oracle recomputes the corpus count independently).
+    Centroids are trained once and shared between the assignment audit and
+    the probe path."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = S.cosine_topk_ivf(emb, _query_set(spark, sf_dir), k=_K)
-    return out.withColumnRenamed("rank", "rnk")
+    qset = _query_set(spark, sf_dir)
+    C = S.train_ivf_centroids(emb)
+    topk = S.cosine_topk_ivf(emb, qset, k=_K, centroids=C)
+    flags = _topk_integrity(topk, emb, qset.select(F.col("vec_id").alias("query_id")), _K)
+    assigned = S.ivf_assign(emb, C).agg(
+        F.count("*").cast("bigint").alias("corpus_assigned")
+    )
+    return flags.crossJoin(assigned).select(
+        "query_id", "corpus_assigned", "n_le_k", "ranks_ok", "neighbors_ok"
+    )
 
 
 @query(
@@ -91,13 +187,13 @@ def neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), _NEARDUP_T)
 
 
-@query("ml_kmeans_embedding_clusters")  # rows-only: iterative, no SQL oracle
-def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means over the embedding column via Spark MLlib (the idiomatic
-    Spark path for iterative algorithms — Lloyd's iterations are driver-
-    coordinated map-reduce passes; we do not hand-roll them). Returns one
-    row per vector with its cluster id plus per-cluster sizes, so the
-    rows-only oracle checks total assignment coverage.
+_KMEANS_K = 8
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector k-means assignment (vec_id, cluster) via Spark MLlib —
+    the idiomatic Spark path for iterative algorithms: Lloyd's iterations
+    are driver-coordinated map-reduce passes; we do not hand-roll them.
 
     Scale: k-means|| init + per-iteration treeAggregate are linear scans;
     the model (k x dim doubles) broadcasts. The fixed seed pins init for
@@ -109,13 +205,47 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
-    model = KMeans(k=8, seed=42, maxIter=20).fit(emb)
-    assigned = model.transform(emb).select(
-        "vec_id", F.col("prediction").alias("cluster")
-    )
-    from pyspark.sql.window import Window
+    model = KMeans(k=_KMEANS_K, seed=42, maxIter=20).fit(emb)
+    return model.transform(emb).select("vec_id", F.col("prediction").alias("cluster"))
 
-    return assigned.withColumn(
-        "cluster_size",
-        F.count("*").over(Window.partitionBy("cluster")).cast("bigint"),
-    ).orderBy("vec_id")
+
+@query(
+    "ml_kmeans_embedding_clusters",
+    oracle="""
+    SELECT count(*)::BIGINT AS total_assigned,
+           count(DISTINCT vec_id)::BIGINT AS distinct_vecs,
+           1 AS clusters_ok, 1 AS coverage_ok
+    FROM embeddings
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering coverage summary, banded-oracle form (cluster IDs are
+    seed-dependent and not SQL-expressible, so the registered query emits
+    what IS independently checkable): total_assigned / distinct_vecs must
+    equal the oracle's own count over `embeddings` — every vector assigned
+    exactly once — plus invariant flags computed from the real assignment
+    (clusters_ok: 2..k clusters used, ids in [0, k); coverage_ok: no
+    vector assigned twice). Centroid/assignment quality and determinism
+    stay pytest-asserted (tests/test_ml_kmeans.py) on kmeans_assignments."""
+    a = kmeans_assignments(spark, sf_dir)
+    return a.agg(
+        F.count("*").cast("bigint").alias("total_assigned"),
+        F.count_distinct("vec_id").cast("bigint").alias("distinct_vecs"),
+        F.count_distinct("cluster").alias("k_used"),
+        F.min("cluster").alias("min_cl"),
+        F.max("cluster").alias("max_cl"),
+    ).select(
+        "total_assigned",
+        "distinct_vecs",
+        (
+            (F.col("k_used") >= 2)
+            & (F.col("k_used") <= _KMEANS_K)
+            & (F.col("min_cl") >= 0)
+            & (F.col("max_cl") < _KMEANS_K)
+        )
+        .cast("int")
+        .alias("clusters_ok"),
+        (F.col("total_assigned") == F.col("distinct_vecs"))
+        .cast("int")
+        .alias("coverage_ok"),
+    )
