@@ -237,11 +237,26 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and equi-join on (band_id, band_hash): two docs are
     candidates iff some band agrees on all its rows. Plain hash join on a
     composite key — the scalable LSH shape (never all-pairs).
+
+    `max_bucket` is the degenerate-bucket guard (the quadratic skew term,
+    same policy as ngram_jaccard_pairs_capped's df_cap): a bucket of f
+    members emits ~f²/2 pair rows, and one boilerplate bucket with 10⁶
+    members would dominate the whole join. Buckets larger than the cap are
+    dropped from candidate generation entirely — their members are
+    near-identical boilerplate that the EXACT dedup pass (hash groupBy)
+    already collapses, so LSH losing them costs recall only for pairs whose
+    every agreeing band is that popular, which near-duplicates (many rare
+    agreeing bands) essentially never are. The bucket-size relation is
+    |buckets| rows (keys + count), orders of magnitude smaller than the
+    banded relation it filters.
 
     The band projection is one transform-over-sequence SQL expression
     (single py4j call) rather than `bands` Python-built structs — see the
@@ -254,6 +269,14 @@ def lsh_candidate_pairs(
             f"j -> named_struct('band', j, 'bh', hash({row_refs})))) AS b"
         ),
     ).select("id", "b.band", "b.bh")
+    if max_bucket is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bh")
+            .agg(F.count("*").alias("bsz"))
+            .where(F.col("bsz") <= max_bucket)
+            .select("band", "bh")
+        )
+        banded = banded.join(ok_buckets, ["band", "bh"])
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -275,6 +298,7 @@ def minhash_lsh_pairs(
     den: int = 2,
     grams: DataFrame | None = None,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket-join →
     exact-Jaccard verification of candidates. Output matches
@@ -301,7 +325,7 @@ def minhash_lsh_pairs(
         if signatures is not None
         else minhash_signatures(df, text_col, id_col, grams=g)
     )
-    cand = lsh_candidate_pairs(sig)
+    cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
     ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = g.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     verified = (
@@ -423,13 +447,27 @@ def incremental_dedup(
     a daily-ingest pipeline runs, where the historical index is a stored
     table that is never rescanned from raw text.
 
-    Two hash joins on the md5 digest (anti vs history, semi vs the batch's
-    own min-id set); at 100 TB the history side is a bucketed fingerprint
-    table so the anti join co-locates without a shuffle of the index.
+    ONE shuffle of the batch, keyed on the digest: anti join vs history,
+    then a rank-only window (row_number over fp, ordered by id) for the
+    within-batch survivor — the window reuses the anti join's fp
+    partitioning (no second exchange) and gets WindowGroupLimit, so each
+    task discards non-survivors map-side. The earlier min-per-fp
+    semi-join formulation consumed the anti-join subtree twice (Catalyst
+    does not reuse the aliased copies — SCALE.md on subtree duplication)
+    and re-shuffled both copies on (fp, id). When `known_fps` is a table
+    BUCKETED on fp (sinks/bucketed.py, queries/dedup.bucketed_fp_index)
+    the history side joins straight off its scan with no Exchange ever —
+    tests/test_dedup_scale.py pins exactly one Exchange in the plan.
     """
+    from pyspark.sql.window import Window
+
     keyed = new_df.withColumn("__fp", fingerprint(text_col))
     fresh = keyed.join(
         known_fps.select(F.col("fp").alias("__fp")).distinct(), "__fp", "left_anti"
     )
-    keep = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return fresh.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )

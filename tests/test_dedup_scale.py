@@ -1,0 +1,80 @@
+"""Scale guards for the dedup tier (VERDICT r4 'Next round' #5/#6):
+the LSH degenerate-bucket cap's recall trade on a planted boilerplate
+flood, and the bucketed fingerprint index eliminating the history-side
+Exchange from the incremental-dedup anti join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis3_spark.operators import dedup as D
+
+
+def _flood_corpus(spark):
+    """40 identical boilerplate docs (one degenerate LSH bucket per band)
+    plus one genuine near-dup pair of long, distinctive docs."""
+    boiler = "terms of service apply to all users of this site please read"
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain falls mainly on the plain and every good boy deserves fudge"
+    )
+    rows = [(i, boiler) for i in range(40)]
+    rows.append((100, base))
+    rows.append((101, base + " extra"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_bucket_cap_drops_flood_keeps_neardups(spark):
+    doc = _flood_corpus(spark)
+    uncapped = D.minhash_lsh_pairs(doc)
+    capped = D.minhash_lsh_pairs(doc, max_bucket=10)
+    got_un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    got_cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    # uncapped: the flood produces ~40*39/2 pairs plus the planted pair
+    assert (100, 101) in got_un
+    assert len(got_un) >= 1 + 40 * 39 // 2
+    # capped: flood buckets (40 > 10) are dropped from candidate
+    # generation; the near-dup pair's buckets are size 2 and survive
+    assert got_cap == {(100, 101)}
+
+
+def test_lsh_cap_noop_below_threshold(spark, sf_dir):
+    from kinesis3_spark.sources import load_table
+
+    doc = load_table(spark, sf_dir, "documents")
+    a = {tuple(r) for r in D.minhash_lsh_pairs(doc).collect()}
+    b = {tuple(r) for r in D.minhash_lsh_pairs(doc, max_bucket=64).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_incremental_bucketed_history_side_never_shuffles(spark, sf_dir):
+    """The whole point of paying the bucketed fingerprint write: the anti
+    join's history side reads pre-partitioned on fp, so the executed plan
+    carries exactly ONE Exchange — the incoming batch — and none between
+    the bucketed scan and the join."""
+    from kinesis3_spark.queries.dedup import bucketed_fp_index
+    from kinesis3_spark.sources import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        hist = spark.table(bucketed_fp_index(spark, sf_dir))
+        out = D.incremental_dedup(d.where(F.col("source") != "src0"), hist)
+        out.count()  # materialize so AQE finalizes the executed plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert n_exchange == 1, f"expected only the batch-side shuffle:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_incremental_bucketed_matches_plain(spark, sf_dir):
+    from kinesis3_spark.queries import QUERIES
+
+    plain = {tuple(r) for r in QUERIES["dedup_incremental_batch"](spark, sf_dir).collect()}
+    bucketed = {
+        tuple(r) for r in QUERIES["dedup_incremental_bucketed"](spark, sf_dir).collect()
+    }
+    assert plain == bucketed and len(plain) > 0
