@@ -73,6 +73,24 @@ def ngrams(col, n: int) -> Column:
     return _let(tokenize(col), build)
 
 
+def ngram_hashes_from_tokens(toks: Column, n: int) -> Column:
+    """`ngram_hashes` over an ALREADY-BOUND token array. Callers that need
+    several gram lengths (or a size predicate) from one document should
+    bind tokenize once with `_let` and build everything from the bound
+    variable — each independent `_let` re-tokenizes per row (no CSE across
+    HOF lambda boundaries; see _let)."""
+    m = F.size(toks) - (n - 1)
+    return F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def ngram_hashes(col, n: int) -> Column:
     """64-bit hash per word n-gram as array<bigint>, hashing the n tokens
     directly (multi-arg xxhash64) — the gram string is never materialized.
@@ -81,20 +99,7 @@ def ngram_hashes(col, n: int) -> Column:
     less string allocation. Hash of (tok1..tokn) differs from
     xxhash64(space-joined gram) as a VALUE but is equally a deterministic
     gram identity, which is all an equi-join needs."""
-
-    def build(toks):
-        m = F.size(toks) - (n - 1)
-        return F.when(
-            m > 0,
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-                lambda i: F.xxhash64(
-                    *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-
-    return _let(tokenize(col), build)
+    return _let(tokenize(col), lambda toks: ngram_hashes_from_tokens(toks, n))
 
 
 def punct_ratio(col) -> Column:

