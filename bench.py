@@ -45,6 +45,12 @@ HEADLINE = [
     # round 4: repetition quality signals + deterministic per-source cap
     "text_repetition_signals",
     "sample_cap_per_source",
+    # round 5: the stateful streaming tier (state-store overhead is the
+    # regression hazard the batch queries can't see) + capped LSH
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "stream_stream_click_attribution",
+    "dedup_minhash_lsh_capped",
 ]
 
 
