@@ -54,6 +54,7 @@ from . import udfs  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
+from . import tpch3  # noqa: E402,F401
 from . import decontam  # noqa: E402,F401
 from . import statsq  # noqa: E402,F401
 from . import entity  # noqa: E402,F401
