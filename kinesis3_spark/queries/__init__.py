@@ -63,3 +63,4 @@ from . import variantq  # noqa: E402,F401
 from . import physical  # noqa: E402,F401
 from . import llmprep  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import chunking  # noqa: E402,F401

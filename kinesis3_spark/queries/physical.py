@@ -165,3 +165,61 @@ def hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.agg(F.count_distinct("user_id").alias("exact"))
     ok = (F.abs(F.col("est") - F.col("exact")) <= 0.05 * F.col("exact")).cast("int")
     return merged.crossJoin(exact).select(ok.alias("union_ok"))
+
+
+# --------------------------------------------------------------------------
+# ORC source/sink round-trip (columnar-format surface beyond parquet).
+# --------------------------------------------------------------------------
+_ORC_CACHE: dict[str, str] = {}
+
+
+def _orc_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem rewritten as ORC once per sf_dir (native Spark ORC writer,
+    zlib default). The registered query reads THIS copy, so a green oracle
+    row proves the ORC write→read path is value-lossless, not just that it
+    doesn't crash."""
+    import os
+
+    path = _ORC_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="k3s_orc_") + "/lineitem"
+        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(path)
+        _ORC_CACHE[sf_dir] = path
+    return path
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)::BIGINT AS n_lines,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_price,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the ORC rewrite of lineitem and aggregate; the oracle runs the
+    SAME aggregate on the original parquet — equal hashes mean the ORC
+    round-trip preserved every value (quantity sums are integer-valued
+    doubles, price sums go through exact integer cents, timestamps are
+    format-compared). ORC supports the same predicate pushdown / column
+    pruning as parquet, so the scan-stage story is format-neutral."""
+    li = spark.read.orc(_orc_lineitem(spark, sf_dir))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            (F.sum(cents).cast("double") / 100).alias("sum_price"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -249,3 +249,61 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("coverage_ok"),
     )
+
+
+@query(
+    "embed_l2_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             CAST(floor(sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')) * 1e6) AS BIGINT) AS norm_micro
+      FROM embeddings
+    )
+    SELECT label,
+           count(*)::BIGINT AS n_vecs,
+           CAST(sum(norm_micro) AS BIGINT) AS sum_norm_micro,
+           min(norm_micro) AS min_norm_micro,
+           max(norm_micro) AS max_norm_micro,
+           (CAST(sum(norm_micro) AS DOUBLE) / count(*)) / 1e6 AS avg_norm
+    FROM norms
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus — the sanity gate
+    before any cosine/IVF stage (un-normalized vectors silently break
+    cosine-as-dot-product shortcuts).
+
+    Float parity discipline: elements are cast float→double BEFORE
+    squaring on BOTH engines (otherwise one side squares in float32), the
+    64-element sum is a sequential left fold in array order on both sides
+    (bit-identical), and the per-vector norm is floored to integer
+    micro-units so the cross-row aggregation is exact integer arithmetic —
+    no HALF_UP-vs-binary round boundary can split the hash (floor of
+    identical doubles has no tie case). One scan, one keyed shuffle of
+    |labels| partial rows; norm arithmetic rides the scan stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+    norms = emb.select(
+        "label", F.floor(norm * 1e6).cast("bigint").alias("norm_micro")
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("norm_micro").cast("bigint").alias("sum_norm_micro"),
+            F.min("norm_micro").alias("min_norm_micro"),
+            F.max("norm_micro").alias("max_norm_micro"),
+        )
+        .withColumn(
+            "avg_norm",
+            (F.col("sum_norm_micro").cast("double") / F.col("n_vecs")) / 1e6,
+        )
+        .orderBy("label")
+    )

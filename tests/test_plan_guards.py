@@ -118,3 +118,14 @@ def test_decontam_shuffle_fallback_matches_broadcast(spark, sf_dir):
     rows_h = [tuple(r) for r in hinted.collect()]
     rows_s = [tuple(r) for r in shuf.collect()]
     assert rows_a == rows_h == rows_s and len(rows_a) > 0
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """llm_chunk_documents is a pure scan-stage map (tokenize → sequence →
+    explode → slice): any Exchange means someone reintroduced a sort or
+    repartition into an operator that must scale with input splits alone."""
+    df = QUERIES["llm_chunk_documents"](spark, sf_dir)
+    plan = _executed(df)
+    assert "Exchange" not in plan, f"chunking gained a shuffle:\n{plan[:1500]}"
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in scan and "source" not in scan, "column pruning lost"
