@@ -51,6 +51,11 @@ HEADLINE = [
     "stream_stateful_user_totals",
     "stream_stream_click_attribution",
     "dedup_minhash_lsh_capped",
+    # round 5b: TPC-H completion + chunking + embedding profile
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "llm_chunk_documents",
+    "embed_l2_norm_stats",
 ]
 
 

