@@ -64,3 +64,4 @@ from . import physical  # noqa: E402,F401
 from . import llmprep  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import chunking  # noqa: E402,F401
+from . import funnel  # noqa: E402,F401

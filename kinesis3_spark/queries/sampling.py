@@ -106,3 +106,84 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 50)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "sample_source_mixture",
+    oracle="""
+    WITH w AS (
+      SELECT source, count(*) AS n_docs, sqrt(sum(n_chars)) AS wt
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(wt) AS sum_wt FROM w),
+    tgt AS (
+      SELECT source, n_docs,
+             CAST(floor(200 * wt / (SELECT sum_wt FROM tot)) AS BIGINT) AS target
+      FROM w
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                        doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.source,
+           t.target,
+           count(*)::BIGINT AS taken,
+           md5(string_agg(r.doc_id::VARCHAR, ',' ORDER BY r.doc_id::VARCHAR))
+             AS picks_md5
+    FROM ranked r JOIN tgt t USING (source)
+    WHERE r.rk <= t.target
+    GROUP BY r.source, t.target
+    ORDER BY r.source
+    """,
+)
+def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the data-mixture step of a
+    pretraining pipeline, alpha = 0.5 over per-source character mass):
+    per-source budgets are floor-allocated from a 200-doc total, and each
+    source's budget is filled by the same portable md5 rank as
+    sample_cap_per_source — fully deterministic, engine-reproducible, no
+    seeded RNG. The per-source weight table is |sources| rows (broadcast);
+    the only big-data pass is the rank window partitioned by source, and
+    the picks_md5 digest proves the SELECTED DOC SET matches, not just the
+    counts. At 100 TB: identical shape, with the rank pre-materialized so
+    the mixture is a filter join."""
+    from ..operators.dedup import portable_hash60
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sqrt(F.sum("n_chars")).alias("wt")
+    )
+    tgt = (
+        w.withColumn("sum_wt", F.sum("wt").over(Window.partitionBy()))
+        .select(
+            "source",
+            F.floor(F.lit(200) * F.col("wt") / F.col("sum_wt"))
+            .cast("bigint")
+            .alias("target"),
+        )
+    )
+    rk_w = Window.partitionBy("source").orderBy(
+        portable_hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.withColumn("rk", F.row_number().over(rk_w)).select(
+        "doc_id", "source", "rk"
+    )
+    picked = ranked.join(F.broadcast(tgt), "source").where(
+        F.col("rk") <= F.col("target")
+    )
+    return (
+        picked.groupBy("source", "target")
+        .agg(
+            F.count("*").cast("bigint").alias("taken"),
+            F.md5(
+                F.array_join(F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ",")
+            ).alias("picks_md5"),
+        )
+        .orderBy("source")
+    )
