@@ -117,3 +117,45 @@ def test_lang_id(spark):
 def test_quality_score_bounds(spark):
     v = one(spark, quality_score(F.lit("a decent length sentence with words in it")))
     assert 0.0 <= v <= 1.0
+
+
+def test_chunking_reassembles_tokens(spark):
+    """Chunk windows (size 64, stride 48) must tile the token stream: the
+    first `stride` tokens of every chunk, plus the tail of the last chunk,
+    reconstruct the document exactly; chunk count is ceil(n/stride)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.functions.text import tokenize
+
+    sizes = [1, 2, 47, 48, 49, 63, 64, 65, 112, 200]
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(n))) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = df.select("doc_id", tokenize("text").alias("t"))
+    chunked = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 1, F.lit(48))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / 48).cast("int").alias("chunk_id"),
+            F.slice(F.col("t"), F.col("s") + 1, 64).alias("w"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, dict[int, list]] = {}
+    for r in chunked:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = list(r.w)
+    for i, n in enumerate(sizes):
+        chunks = by_doc[i]
+        assert len(chunks) == math.ceil(n / 48), (i, n, len(chunks))
+        rebuilt: list[str] = []
+        last = max(chunks)
+        for cid in range(last + 1):
+            w = chunks[cid]
+            assert len(w) <= 64
+            rebuilt.extend(w if cid == last else w[:48])
+        assert rebuilt == [f"w{i}t{j}" for j in range(n)], (i, n)

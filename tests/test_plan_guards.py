@@ -129,3 +129,18 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, f"chunking gained a shuffle:\n{plan[:1500]}"
     scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "lang" not in scan and "source" not in scan, "column pruning lost"
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """funnel_view_click_purchase promises ONE data shuffle keyed on
+    user_id (the stage walk is array HOFs on the collapsed row); the only
+    other exchange is the SinglePartition finalize carrying per-partition
+    partial counts. A third exchange means someone reintroduced a
+    per-stage self-join."""
+    df = QUERIES["funnel_view_click_purchase"](spark, sf_dir)
+    plan = _executed(df)
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange SinglePartition"
+    )
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert n_shuffles <= 4, f"funnel gained exchanges:\n{plan[:2000]}"
