@@ -56,6 +56,7 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "llm_chunk_documents",
     "embed_l2_norm_stats",
+    "pipeline_llm_corpus_prep",
 ]
 
 

@@ -65,3 +65,4 @@ from . import llmprep  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import chunking  # noqa: E402,F401
 from . import funnel  # noqa: E402,F401
+from . import pipelinex  # noqa: E402,F401

@@ -64,20 +64,21 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed per-user row (first view; first click strictly after it;
     first purchase strictly after that). The oracle expresses the same
     semantics as three correlated min-aggregations."""
-    ev = _t(spark, sf_dir, "events")
+    # Prune to the funnel's types BEFORE the aggregate: the predicate
+    # pushes to the scan, and rows of other types never reach the shuffle.
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
 
     def ts_of(t: str):
-        return F.sort_array(
-            F.filter(
-                F.collect_list(F.when(F.col("event_type") == t, F.col("ts"))),
-                lambda x: x.isNotNull(),
-            )
-        )
+        # collect_list skips the CASE's NULLs, so only type-t timestamps
+        # enter per-user state (map-side partial agg drops the rest).
+        return F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
 
     per_user = ev.groupBy("user_id").agg(
         ts_of("view").alias("vs"), ts_of("click").alias("cs"), ts_of("purchase").alias("ps")
     )
-    t1 = F.element_at("vs", 1)
+    t1 = F.array_min("vs")
     t2 = F.array_min(F.filter(F.col("cs"), lambda c: c > F.col("t1")))
     t3 = F.array_min(F.filter(F.col("ps"), lambda p: p > F.col("t2")))
     stages = (

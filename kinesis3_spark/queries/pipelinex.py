@@ -1,0 +1,164 @@
+"""End-to-end corpus preparation pipeline as ONE registered, oracle-checked
+query: quality gate → exact dedup → benchmark decontamination →
+per-source cap → train/holdout split, composed exactly as a production
+100 TB pretraining-data build would chain them.
+
+Every stage reuses the SAME semantics its standalone query certifies
+(`llm_quality_filter_rules`, `dedup_exact_groups`, `llm_decontaminate_13gram`,
+`sample_cap_per_source`, `llm_train_holdout_split`) — this query certifies
+the COMPOSITION: stage order, survivor flow, and the determinism of the
+final selected set (per-cell md5 digest over the kept doc_ids, not just
+counts).
+
+Shuffle budget at scale (one pass each, nothing quadratic):
+  1. quality gate — scan-stage predicate, zero exchange;
+  2. exact dedup — one shuffle keyed on the md5 text fingerprint
+     (rank-only window → WindowGroupLimit, map-side discard);
+  3. decontam — gram explode streams map-side into a semi join whose
+     bench side AQE broadcasts when small (runtime-sized, decontam.py),
+     then a doc_id anti join on the survivors' partitioning;
+  4. cap — one rank window partitioned by source;
+  5. split + digest — final |sources × 2| cell aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import ngram_hashes
+from ..operators.dedup import portable_hash60
+from .decontam import _DUCK_TOKS
+from .relational import _t
+from . import query
+
+_CAP = 30
+
+
+@query(
+    "pipeline_llm_corpus_prep",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars, text,
+             len(string_split(text, ' ')) AS wc,
+             length(text) AS chars,
+             len(list_distinct(string_split(text, ' '))) AS uniq,
+             (' ' || text || ' ') LIKE '% the %' AS has_stop
+      FROM documents WHERE source <> 'src0'
+    ),
+    q AS (
+      SELECT doc_id, source, n_chars, text FROM base
+      WHERE wc BETWEEN 20 AND 80
+        AND 3 * wc <= chars - wc + 1 AND chars - wc + 1 <= 8 * wc
+        AND has_stop AND 2 * uniq >= wc
+    ),
+    d1 AS (
+      SELECT doc_id, source, n_chars, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM d1),
+    bench_toks AS (
+      SELECT {_DUCK_TOKS} AS t FROM documents WHERE source = 'src0'
+    ),
+    bench AS (
+      SELECT DISTINCT array_to_string(t[i + 1 : i + 13], ' ') AS gram
+      FROM bench_toks, UNNEST(generate_series(0, greatest(len(t) - 13, -1))) AS u(i)
+    ),
+    flagged AS (
+      SELECT DISTINCT g.doc_id FROM (
+        SELECT doc_id, array_to_string(t[i + 1 : i + 13], ' ') AS gram
+        FROM toks, UNNEST(generate_series(0, greatest(len(t) - 13, -1))) AS u(i)
+      ) g JOIN bench USING (gram)
+    ),
+    d2 AS (
+      SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    capped AS (
+      SELECT doc_id, source, n_chars FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source
+          ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+        ) AS rk FROM d2
+      ) WHERE rk <= {_CAP}
+    )
+    SELECT source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                THEN 'train' ELSE 'holdout' END AS split,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR))
+             AS picks_md5
+    FROM capped
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def pipeline_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0")
+
+    # 1. Quality gate (identical predicates to llm_quality_filter_rules).
+    toks = F.split(F.col("text"), " ")
+    wc = F.size(toks)
+    chars = F.length("text")
+    uniq = F.size(F.array_distinct(toks))
+    keep = (
+        wc.between(20, 80)
+        & (3 * wc <= chars - wc + 1)
+        & (chars - wc + 1 <= 8 * wc)
+        & F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% the %")
+        & (2 * uniq >= wc)
+    )
+    q = corpus.where(keep).select("doc_id", "source", "n_chars", "text")
+
+    # 2. Exact dedup: min doc_id per text fingerprint (rank-only window →
+    #    WindowGroupLimit applies).
+    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d1 = (
+        q.withColumn("rn", F.row_number().over(w_fp))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # 3. Decontamination vs the src0 bench slice: gram-hash semi join
+    #    flags, doc_id anti join keeps the clean survivors. Short docs
+    #    (< 13 tokens) produce no grams and stay clean on both engines.
+    grams = d1.select("doc_id", F.explode(ngram_hashes(F.col("text"), 13)).alias("gh"))
+    bench = (
+        docs.where(F.col("source") == "src0")
+        .select(F.explode(ngram_hashes(F.col("text"), 13)).alias("gh"))
+        .distinct()
+    )
+    flagged = grams.join(bench, "gh", "left_semi").select("doc_id").distinct()
+    d2 = d1.join(flagged, "doc_id", "left_anti")
+
+    # 4. Deterministic per-source cap by the portable md5 rank.
+    w_cap = Window.partitionBy("source").orderBy(
+        portable_hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = (
+        d2.withColumn("rk", F.row_number().over(w_cap))
+        .where(F.col("rk") <= _CAP)
+        .select("doc_id", "source", "n_chars")
+    )
+
+    # 5. Hash split + per-cell set digest.
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c", "train"
+    ).otherwise("holdout")
+    return (
+        capped.groupBy("source", split.alias("split"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.md5(
+                F.array_join(
+                    F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
+                )
+            ).alias("picks_md5"),
+        )
+        .orderBy("source", "split")
+    )
