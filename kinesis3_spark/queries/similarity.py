@@ -307,3 +307,69 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embed_label_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT label, u.i AS pos,
+             CAST(sum(CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * 1e6) AS BIGINT))
+                  AS BIGINT) AS dim_sum_micro
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+      GROUP BY label, pos
+    ),
+    vecs AS (SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings GROUP BY label)
+    SELECT d.label, v.n_vecs,
+           CAST(sum(abs(dim_sum_micro)) AS BIGINT) AS l1_micro,
+           md5(string_agg(dim_sum_micro::VARCHAR, ',' ORDER BY pos)) AS centroid_md5
+    FROM dims d JOIN vecs v USING (label)
+    GROUP BY d.label, v.n_vecs
+    ORDER BY d.label
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus (class prototypes — the
+    building block of nearest-centroid classification and IVF coarse
+    quantizers), computed as a DIMENSION-WISE aggregate: posexplode to
+    (label, pos, value), integer-micro quantize each element (floor — no
+    round-boundary tie), and sum exactly per (label, pos). The cross-row
+    float-sum order problem never arises because only exact integers cross
+    partition boundaries; the centroid_md5 digest certifies every
+    dimension's value, not a summary.
+
+    Scale: the exploded relation is |vecs| × dims rows but collapses
+    map-side to |labels| × dims partial rows before the exchange (hash
+    aggregate with combine); the second rollup to |labels| rows sorts the
+    ≤ dims array in place. At 100 TB this is the canonical two-level
+    vector-aggregation shape — never a collect, never a Python loop."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * 1e6).cast("bigint"))
+            .cast("bigint")
+            .alias("dim_sum_micro")
+        )
+    )
+    vecs = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n_vecs"))
+    return (
+        dims.join(vecs, "label")
+        .groupBy("label", "n_vecs")
+        .agg(
+            F.sum(F.abs("dim_sum_micro")).cast("bigint").alias("l1_micro"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "dim_sum_micro"))
+                        ),
+                        lambda s: s["dim_sum_micro"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("centroid_md5"),
+        )
+        .orderBy("label")
+    )
