@@ -114,26 +114,33 @@ def pipeline_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = corpus.where(keep).select("doc_id", "source", "n_chars", "text")
 
-    # 2. Exact dedup: min doc_id per text fingerprint (rank-only window →
-    #    WindowGroupLimit applies).
-    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    d1 = (
-        q.withColumn("rn", F.row_number().over(w_fp))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-
-    # 3. Decontamination vs the src0 bench slice: gram-hash semi join
-    #    flags, doc_id anti join keeps the clean survivors. Short docs
-    #    (< 13 tokens) produce no grams and stay clean on both engines.
-    grams = d1.select("doc_id", F.explode(ngram_hashes(F.col("text"), 13)).alias("gh"))
+    # 2./3. swapped vs the oracle's CTE order (result-identical): duplicate
+    # texts share their contamination status, so decontaminating BEFORE the
+    # exact dedup keeps the same min-doc_id survivor per fingerprint group
+    # (a group is either fully flagged or fully clean). The payoff is
+    # plan-shaped: `q` — the subtree consumed by BOTH the gram explode and
+    # the anti join (Catalyst computes it twice; no subtree reuse across
+    # join sides, SCALE.md round-4 lesson) — is a map-only scan+filter
+    # here, so the duplication re-scans but never re-shuffles; ordered the
+    # oracle's way, the duplicated subtree would contain the fingerprint
+    # window's exchange.
+    grams = q.select("doc_id", F.explode(ngram_hashes(F.col("text"), 13)).alias("gh"))
     bench = (
         docs.where(F.col("source") == "src0")
         .select(F.explode(ngram_hashes(F.col("text"), 13)).alias("gh"))
         .distinct()
     )
     flagged = grams.join(bench, "gh", "left_semi").select("doc_id").distinct()
-    d2 = d1.join(flagged, "doc_id", "left_anti")
+    clean = q.join(flagged, "doc_id", "left_anti")
+
+    # Exact dedup: min doc_id per text fingerprint (rank-only window →
+    # WindowGroupLimit applies), over the decontaminated set.
+    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d2 = (
+        clean.withColumn("rn", F.row_number().over(w_fp))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
 
     # 4. Deterministic per-source cap by the portable md5 rank.
     w_cap = Window.partitionBy("source").orderBy(
