@@ -1,0 +1,242 @@
+"""Search/IR surface over `documents`: BM25 ranking, cross-document
+duplicate-passage statistics, and an inverted-index (posting list) build.
+
+These extend the corpus-analytics tier (SURVEY.md §2b "ext: LLM-data ops")
+with the retrieval-side operations a training-data platform runs next to
+dedup/decontamination: scoring documents against a query (BM25 — Robertson
+& Spärck Jones' probabilistic ranking, the default in Lucene/Elasticsearch),
+measuring cross-document passage duplication (the signal behind
+"deduplicating training data makes language models better", Lee et al.
+2021 — here the exact n-gram-overlap statistic, not the suffix-array
+approximation), and materializing term posting lists.
+
+Scale notes (100 TB): every pipeline below starts from ONE explode of the
+tokenized corpus and aggregates with map-side combine before any shuffle —
+the wide token relation never shuffles raw. Cross-doc statistics join on
+64-bit gram/term hashes, not strings. Final top-k cuts are
+TakeOrderedAndProject (orderBy+limit), never a global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import ngram_hashes, tokenize
+from .decontam import _DUCK_TOKS
+from .relational import _t
+from . import query
+
+# BM25 free parameters (the Robertson defaults used by Lucene).
+_K1 = 1.2
+_B = 0.75
+# Fixed query term set for the registered query (mid-frequency terms from
+# the synthetic corpus vocabulary — a mechanism test, not an IR benchmark).
+_QUERY_TERMS = ("window", "hash", "merge")
+
+
+def bm25_scores(d: DataFrame, terms: tuple[str, ...], k1: float = _K1,
+                b: float = _B) -> DataFrame:
+    """BM25 score of every document against a bag-of-words query.
+
+    Pipeline: explode tokens once → (doc, term) hash agg (map-side
+    combined; the only wide shuffle) → filter to the |terms| query terms
+    BEFORE anything joins — so df/idf and the score aggregation run on
+    |terms| * |matching docs| rows, a sliver of the corpus. Document
+    length comes from the same scan (size(tokenize) in the scan stage,
+    no second pass); avgdl and N are a 1-row aggregate broadcast into
+    the score expression via a cross join (1-row side).
+    """
+    toks = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # Document frequency per query term: distinct-doc count over the tf
+    # relation (already one row per (doc, term)) — no second corpus pass.
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 4).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+            F.sum("tf").alias("tf_total"),
+        )
+    )
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, len({_DUCK_TOKS}) AS dl FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('window', 'hash', 'merge') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ({_K1} + 1.0)
+               / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+             ), 4) AS bm25,
+             count(*) AS n_terms_hit,
+             CAST(sum(tf) AS BIGINT) AS tf_total
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, n_terms_hit, tf_total FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed 3-term query. The final cut is
+    orderBy+limit (TakeOrderedAndProject — map-side partial top-k, never a
+    single-partition window). Ranking key is the 4-dp-rounded score with
+    doc_id tie-break, computed in IEEE double on both engines."""
+    scores = bm25_scores(_t(spark, sf_dir, "documents"), _QUERY_TERMS)
+    return (
+        scores.select("doc_id", "bm25", "n_terms_hit", "tf_total")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_dup_passage_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(t[i + 1 : i + 8], ' ') AS gram
+      FROM toks, UNNEST(generate_series(0, greatest(len(t) - 8, -1))) AS u(i)
+    ),
+    gdf AS (
+      SELECT gram, count(*) AS n_docs_with FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id, g.source, count(*) AS n_grams,
+             count(*) FILTER (WHERE n_docs_with >= 2) AS n_dup
+      FROM grams g JOIN gdf USING (gram)
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_dup > 0) AS BIGINT) AS docs_with_dup,
+           CAST(sum(n_grams) AS BIGINT) AS grams_total,
+           CAST(sum(n_dup) AS BIGINT) AS dup_grams_total,
+           round(sum(n_dup) * 1.0 / sum(n_grams), 4) AS dup_frac
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def llm_dup_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage statistic: per source, how many
+    distinct 8-gram passages appear in ≥2 documents (the exact version of
+    Lee et al. 2021's duplicate-substring measure at fixed gram length).
+
+    Scale shape: one explode → per-doc DISTINCT gram hashes (map-side
+    partial distinct; 64-bit hashes, the gram string is never built) →
+    gram doc-frequency agg keyed by hash → join back on the hash (AQE
+    picks broadcast iff the dup set is small) → two map-side-combined
+    rollups (doc, then source). No all-pairs comparison anywhere: cost is
+    O(|grams|) shuffled as longs, vs the suffix-array build the paper
+    uses single-node. A gram-hash collision could overcount one dup gram
+    (P ≈ n²/2⁶⁵ — the decontamination tier accepts the same trade)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", "source",
+        F.explode(ngram_hashes(F.col("text"), 8)).alias("gh"),
+    ).distinct()
+    gdf = grams.groupBy("gh").agg(F.count("*").alias("n_docs_with"))
+    per_doc = (
+        grams.join(gdf, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("n_docs_with") >= 2, True)).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("n_dup") > 0, True)).alias("docs_with_dup"),
+            F.sum("n_grams").alias("grams_total"),
+            F.sum("n_dup").alias("dup_grams_total"),
+            F.round(F.sum("n_dup") / F.sum("n_grams"), 4).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "search_inverted_postings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    postings AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS tf_total,
+             array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',')
+               AS head_postings
+      FROM tf GROUP BY term
+    )
+    SELECT term, df, tf_total, head_postings FROM postings
+    ORDER BY df DESC, term LIMIT 50
+    """,
+)
+def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the head of the doc_id posting list (first 5, ascending
+    — the shape a search shard stores). One explode → (doc, term) agg →
+    per-term agg with an ordered collect bounded to the head slice; the
+    full posting list is never concatenated into one row (at 100 TB a
+    stopword's complete postings would be the corpus itself — the head
+    slice keeps per-term state O(df) integers during the agg but the
+    OUTPUT row bounded; production would write the full list sharded by
+    (term, bucket) instead, same aggregation shape). Top-50 cut is
+    orderBy+limit (TakeOrderedAndProject)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    postings = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5), ","
+        ).alias("head_postings"),
+    )
+    return (
+        postings.select("term", "df", "tf_total", "head_postings")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(50)
+    )

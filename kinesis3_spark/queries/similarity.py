@@ -373,3 +373,74 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, label, v,
+             list_max(list_transform(v, x -> abs(x))) AS m
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, label,
+             list_transform(
+               v, x -> CAST(floor(x * (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END)
+                                  + 0.5) AS BIGINT)) AS codes
+      FROM scaled
+    )
+    SELECT vec_id, label,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(codes, c -> abs(c)), 'sum')
+                AS BIGINT) AS q_l1,
+           CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+           md5(array_to_string(codes, ',')) AS codes_md5
+    FROM q ORDER BY vec_id
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (SQ8) — the standard
+    4x memory reduction that makes billion-vector ANN indexes fit in RAM
+    (FAISS's ScalarQuantizer shape): scale = 127/max|x| per vector, code_i
+    = floor(x_i*scale + 0.5). The codes_md5 digest certifies every code of
+    every vector, not a summary.
+
+    Float parity discipline (embed_l2_norm_stats sets the pattern): cast
+    float→double BEFORE any arithmetic on both engines, and quantize via
+    floor(x+0.5) — identical IEEE doubles floor identically, so there is
+    no round-half-tie mode to diverge on (Spark HALF_UP vs a C library's
+    rounding never enters). Zero vectors quantize to all-zero codes.
+
+    Scale: pure per-row scan-stage expression work — zero shuffles, zero
+    Python; the quantizer rides whatever scan already reads the vectors.
+    At 100 TB the output is the 4x-smaller ANN-index input, written
+    partition-parallel."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    withv = emb.select("vec_id", "label", v.alias("v"))
+    m = F.array_max(F.transform("v", F.abs))
+    scaled = withv.withColumn(
+        "scale", F.when(m > 0, 127.0 / m).otherwise(F.lit(0.0))
+    )
+    codes = F.transform(
+        "v", lambda x: F.floor(x * F.col("scale") + 0.5).cast("bigint")
+    )
+    q = scaled.select("vec_id", "label", codes.alias("codes"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, c: a + c).alias("q_sum"),
+        F.aggregate(
+            F.transform("codes", F.abs), F.lit(0).cast("bigint"), lambda a, c: a + c
+        ).alias("q_l1"),
+        F.size(F.filter("codes", lambda c: F.abs(c) == 127)).cast("bigint").alias("n_sat"),
+        F.md5(F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")).alias(
+            "codes_md5"
+        ),
+    ).orderBy("vec_id")

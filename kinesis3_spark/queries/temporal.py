@@ -168,3 +168,105 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + linear interpolation (resample-to-daily): the
+# classic hypertable/time_bucket_gapfill + locf/interpolate operation.
+# --------------------------------------------------------------------------
+@query(
+    "ts_gap_fill_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY user_id),
+    spine AS (
+      SELECT user_id, CAST(u.d AS DATE) AS day
+      FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)
+    ),
+    j AS (
+      SELECT s.user_id, s.day, o.v
+      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+    ),
+    fb AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * date_diff('day', pd, day)
+                            / date_diff('day', pd, nd) END, 4) AS value,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS interpolated
+    FROM fb ORDER BY user_id, day
+    """,
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream to a daily per-user series, fill calendar
+    gaps, and linearly interpolate missing days between the surrounding
+    observations (TimescaleDB's time_bucket_gapfill + interpolate shape;
+    the reference's metrics tier only aggregates observed points).
+
+    Scale shape: the raw stream collapses to (user, day) via ONE
+    map-side-combined aggregate — the wide table never reaches the
+    windows. The day spine is sequence()+explode per user (executor-side;
+    bounded by the series' calendar span, no driver loop, no cross join
+    against a global calendar). The spine⋈obs join and all four
+    interpolation windows share the user_id partitioning, and because the
+    spine is bounded by each user's min/max OBSERVED day, every gap has
+    both neighbors — no extrapolation branch. State per task is
+    O(days-per-user), the same bound the aggregate already set."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    fb = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wn))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        "day", "pd"
+    ) / F.datediff("nd", "pd")
+    return fb.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 4).alias(
+            "value"
+        ),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias("interpolated"),
+    ).orderBy("user_id", "day")
