@@ -57,6 +57,12 @@ HEADLINE = [
     "llm_chunk_documents",
     "embed_l2_norm_stats",
     "pipeline_llm_corpus_prep",
+    # round 5c: search/IR tier + CDC compaction + gap-fill resample
+    "search_bm25_topk",
+    "llm_dup_passage_stats",
+    "merge_cdc_apply",
+    "ts_gap_fill_interpolate",
+    "embed_quantize_int8",
 ]
 
 

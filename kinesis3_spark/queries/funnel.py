@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from .relational import _t
 from . import query
 
@@ -169,4 +171,45 @@ def metrics_rolling_7d_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.groupBy("day")
         .agg(F.count_distinct("user_id").cast("bigint").alias("dau_7d"))
         .orderBy("day")
+    )
+
+
+@query(
+    "seq_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 4)
+             AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def seq_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (the sequence-mining summary behind next-event prediction and funnel
+    discovery): count (prev → next) type pairs and the row-normalized
+    transition probability. One user-keyed exchange for the lag window;
+    the pair counts collapse map-side to ≤ |types|² rows, and the
+    row-normalizing window runs on that tiny aggregate — the raw stream
+    is shuffled once, exactly like the funnel/sessionization tier."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(wrow), 4))
+        .orderBy("prev_type", "next_type")
     )

@@ -187,3 +187,47 @@ def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_weighted_es",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                 / (1152921504606846976.0 + 1.0)) / n_chars AS ekey
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM keyed ORDER BY ekey, doc_id LIMIT 100
+    """,
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via exponential keys
+    (Efraimidis–Spirakis A-ES): each doc draws key = -ln(u)/w with w =
+    n_chars and u a portable 60-bit md5 uniform — the k smallest keys ARE
+    a weighted sample, and because u is hash-derived (not seeded RNG) any
+    engine replays the identical sample (the sample_cap_per_source
+    discipline, extended to weights).
+
+    Scale shape: key computation rides the scan; the top-k cut is
+    orderBy+limit → TakeOrderedAndProject (map-side partial top-k per
+    partition, k rows to the driver-side final — never a global sort).
+    This is THE one-pass distributed weighted sampler: no total weight
+    pre-pass, no rejection loop, merge-safe across partitions. Ordering
+    compares doubles from identical IEEE inputs; adjacent keys differ at
+    ~1e-3 relative scale, astronomically above the 1-ulp ln() libm
+    divergence, and doc_id breaks exact ties."""
+    d = _t(spark, sf_dir, "documents")
+    from ..operators.dedup import portable_hash60
+
+    u = (portable_hash60(F.col("doc_id").cast("string")) + 1.0) / (
+        float(1 << 60) + 1.0
+    )
+    ekey = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", ekey.alias("ekey"))
+        .orderBy("ekey", "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -94,3 +94,88 @@ def agg_median_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_quantity").alias("med_qty"),
         F.round(F.median("l_discount"), 4).alias("med_disc"),
     )
+
+
+@query(
+    "stats_daily_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           round((n - mu) / sigma, 4) AS z,
+           CAST(CASE WHEN abs((n - mu) / sigma) > 2.0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_anomaly
+    FROM daily d JOIN stats s USING (event_type)
+    ORDER BY event_type, day
+    """,
+)
+def stats_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the event stream: per event type, flag
+    days whose count deviates > 2 sigma from that type's daily mean (the
+    ops-dashboard alert the reference's /stats endpoint feeds). Two
+    map-side-combined aggregates (raw → daily, daily → per-type moments)
+    and a broadcast join of the |types|-row stats back onto daily rows —
+    the raw stream is touched once, and nothing wider than (type, day)
+    ever shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) > 2.0, 1).otherwise(0).cast("bigint").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "win_rolling_median_value",
+    oracle="""
+    SELECT user_id, event_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM events WHERE user_id < 30
+    ORDER BY user_id, event_id
+    """,
+)
+def win_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-event median of `value` per user — the robust-smoothing
+    twin of the EWMA meters (metrics_ewma_rates): medians shrug off the
+    spikes the mean-based meters chase. One shuffle keyed by user_id; the
+    ROWS frame bounds per-row state to 7 values, so the window pass is
+    O(7) per row regardless of stream length — this is the exact-median
+    window; at 100 TB cardinality the sketch tier (agg_percentiles /
+    t-digest shape) replaces it only when the frame itself is huge."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med7"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -178,7 +178,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_gap_fill_interpolate",
     oracle="""
     WITH obs AS (
-      SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS v
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE)
+               / (1000000.0 * count(*)) AS v
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ),
     bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY user_id),
@@ -207,9 +209,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j
     )
     SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
-           round(CASE WHEN v IS NOT NULL THEN v
+           CAST(floor((CASE WHEN v IS NOT NULL THEN v
                  ELSE pv + (nv - pv) * date_diff('day', pd, day)
-                            / date_diff('day', pd, nd) END, 4) AS value,
+                            / date_diff('day', pd, nd) END) * 1e6 + 0.5)
+                AS BIGINT) AS value_micro,
            CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS interpolated
     FROM fb ORDER BY user_id, day
     """,
@@ -230,9 +233,18 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     both neighbors — no extrapolation branch. State per task is
     O(days-per-user), the same bound the aggregate already set."""
     ev = _t(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "user_id", F.to_date("ts").alias("day")
-    ).agg(F.avg("value").alias("v"))
+    # Daily mean via exact integer-micro sum (embed_l2_norm_stats
+    # discipline): a float avg's cross-row addition order differs per
+    # engine/partitioning, and the ±1-ulp noise surfaces at round-4
+    # boundaries once it flows through the interpolation (3 rows at
+    # sf0.01). Only exact integers cross partition boundaries; the
+    # division is one deterministic scalar op on both engines.
+    obs = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.floor(F.col("value") * 1e6).cast("bigint")).cast("double")
+            / (1e6 * F.count("*"))
+        ).alias("v")
+    )
     spine = (
         obs.groupBy("user_id")
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
@@ -262,11 +274,70 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
         "day", "pd"
     ) / F.datediff("nd", "pd")
+    val = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp)
     return fb.select(
         "user_id",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 4).alias(
-            "value"
-        ),
+        # floor(x*1e6 + 0.5), not round(x, 4): interpolated midpoints of
+        # micro-exact daily means land EXACTLY on .00005 boundaries, where
+        # Spark's decimal HALF_UP and a binary-double round() disagree
+        # (5 rows at sf0.01). floor of identical IEEE doubles is bit-exact
+        # on every engine — same fixed-point discipline as the embedding
+        # norm/centroid queries.
+        F.floor(val * 1e6 + 0.5).cast("bigint").alias("value_micro"),
         F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias("interpolated"),
     ).orderBy("user_id", "day")
+
+
+# --------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user (gaps-and-islands on the
+# calendar instead of the clock — the retention metric next to
+# cohort_weekly_retention).
+# --------------------------------------------------------------------------
+@query(
+    "ts_longest_daily_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           max(run_len) AS longest_streak,
+           CAST(sum(run_len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user (day minus
+    row_number is constant within a run — the classic islands key). Two
+    data exchanges, both carrying (user, day) rows — never the raw
+    stream: the distinct collapses map-side to its (user, day) exchange,
+    the islands window re-keys on user alone, and BOTH rollups (runs by
+    (user, grp), then per-user max) reuse the window's user partitioning
+    with no further exchange — hashpartitioning(user) satisfies any
+    user-prefixed grouping (executed-plan verified; the remaining
+    exchange is the presentation sort)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count("*").alias("run_len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.sum("run_len").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
