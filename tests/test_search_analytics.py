@@ -1,0 +1,207 @@
+"""Planted-fixture semantics for the round-5 search/IR + analytics tier:
+the oracle-parity suite proves engine equality on the real corpus; these
+pin WHAT each operator computes on inputs constructed to trip it
+(FIXTURES.md discipline — each fixture plants exactly one behavior)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write(d: str, name: str, df: pd.DataFrame) -> None:
+    df.to_parquet(os.path.join(d, f"{name}.parquet"))
+
+
+@pytest.fixture(scope="module")
+def doc_dir():
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        # 0 and 1 share a planted 10-token passage (≥3 distinct 8-grams)
+        (0, f"unique0 start {shared} tail0", "en", "srcA"),
+        (1, f"unique1 open {shared} tail1", "en", "srcA"),
+        # 2 shares nothing 8 tokens long with anyone
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "srcB"),
+    ]
+    d = tempfile.mkdtemp(prefix="k3s_search_")
+    _write(d, "documents", pd.DataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ))
+    return d
+
+
+def test_dup_passage_planted(spark, doc_dir):
+    from kinesis3_spark.queries.search import llm_dup_passage_stats
+
+    out = {r.source: r for r in llm_dup_passage_stats(spark, doc_dir).collect()}
+    # srcA: both docs carry dup grams (the shared passage); the 10-token
+    # shared run yields exactly 3 shared 8-grams per doc.
+    assert out["srcA"].n_docs == 2 and out["srcA"].docs_with_dup == 2
+    assert out["srcA"].dup_grams_total == 6
+    # srcB: fully unique
+    assert out["srcB"].docs_with_dup == 0 and out["srcB"].dup_grams_total == 0
+
+
+def test_bm25_ranks_denser_shorter_doc_first(spark):
+    from kinesis3_spark.queries.search import bm25_scores
+
+    rows = [
+        # same tf for 'window', shorter doc → higher BM25 (length norm)
+        (0, "window " + "filler " * 30),
+        (1, "window " + "filler " * 5),
+        (2, "no query terms here at all"),
+    ]
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(d, ("window",)).collect()}
+    assert 2 not in got  # zero-hit docs are absent, not zero-scored
+    assert got[1] > got[0]
+
+
+@pytest.fixture(scope="module")
+def event_dir():
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    day = pd.Timedelta(days=1)
+    rows = [
+        # user 1: signup then update then DELETE last → absent from snapshot
+        (100, t0, 1, "signup", 1.0, "{}"),
+        (101, t0 + day, 1, "click", 2.0, "{}"),
+        (102, t0 + 2 * day, 1, "error", 3.0, "{}"),
+        # user 2: delete mid-stream, update after → present, last value wins
+        (200, t0, 2, "error", 1.0, "{}"),
+        (201, t0 + day, 2, "purchase", 7.5, "{}"),
+        # user 3 (gap fill): day0 v=10, day2 v=20, nothing on day1
+        (300, t0, 3, "view", 10.0, "{}"),
+        (301, t0 + 2 * day, 3, "view", 20.0, "{}"),
+        # user 4 (streak): active days 1,2,3 then 10,11 → longest 3, total 5
+        (400, t0, 4, "view", 0.0, "{}"),
+        (401, t0 + day, 4, "view", 0.0, "{}"),
+        (402, t0 + 2 * day, 4, "view", 0.0, "{}"),
+        (403, t0 + 9 * day, 4, "view", 0.0, "{}"),
+        (404, t0 + 10 * day, 4, "view", 0.0, "{}"),
+    ]
+    d = tempfile.mkdtemp(prefix="k3s_events_")
+    _write(d, "events", pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ))
+    return d
+
+
+def test_cdc_delete_drops_key_and_late_update_revives(spark, event_dir):
+    from kinesis3_spark.queries.merge import merge_cdc_apply
+
+    out = {r.user_id: r for r in merge_cdc_apply(spark, event_dir).collect()}
+    assert 1 not in out  # last op is a delete → key gone
+    assert out[2].last_op == "U" and out[2].last_value == 7.5
+    assert out[2].n_ops == 2  # counts include the overwritten delete
+
+
+def test_gap_fill_interpolates_midpoint(spark, event_dir):
+    from kinesis3_spark.queries.temporal import ts_gap_fill_interpolate
+
+    rows = [
+        r for r in ts_gap_fill_interpolate(spark, event_dir).collect()
+        if r.user_id == 3
+    ]
+    by_day = {r.day: r for r in rows}
+    assert len(rows) == 3  # spine bounded by observed min/max day
+    assert by_day["2024-01-01"].value_micro == 10_000_000
+    assert by_day["2024-01-02"].value_micro == 15_000_000  # linear midpoint
+    assert by_day["2024-01-02"].interpolated == 1
+    assert by_day["2024-01-03"].interpolated == 0
+
+
+def test_longest_streak_planted(spark, event_dir):
+    from kinesis3_spark.queries.temporal import ts_longest_daily_streak
+
+    out = {r.user_id: r for r in ts_longest_daily_streak(spark, event_dir).collect()}
+    assert out[4].longest_streak == 3 and out[4].n_active_days == 5
+    assert out[3].longest_streak == 1 and out[3].n_active_days == 2
+
+
+def test_transition_matrix_rows_normalize(spark, event_dir):
+    from kinesis3_spark.queries.funnel import seq_event_transition_matrix
+
+    out = seq_event_transition_matrix(spark, event_dir).collect()
+    # user 1: signup→click→error; user 2: error→purchase; others view→view
+    got = {(r.prev_type, r.next_type): r.n for r in out}
+    assert got[("signup", "click")] == 1 and got[("click", "error")] == 1
+    by_prev: dict[str, float] = {}
+    for r in out:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-6, (prev, total)
+
+
+def test_weighted_sample_matches_python_recomputation(spark):
+    rows = [(i, f"s{i % 3}", 10 + (i * 37) % 500) for i in range(150)]
+    d = tempfile.mkdtemp(prefix="k3s_wsample_")
+    _write(d, "documents", pd.DataFrame(
+        [(i, "x", "en", s, n) for i, s, n in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ))
+    from kinesis3_spark.queries.sampling import sample_weighted_es
+
+    got = [r.doc_id for r in sample_weighted_es(spark, d).collect()]
+
+    def ekey(doc_id: int, w: int) -> float:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / (float(1 << 60) + 1.0)
+        return -math.log(u) / w
+
+    want = sorted(rows, key=lambda r: (ekey(r[0], r[2]), r[0]))[:100]
+    assert sorted(got) == sorted(r[0] for r in want)
+    # heavier docs must be overrepresented: mean weight of the sample
+    # strictly above the corpus mean (planted weights span 10-510)
+    wmap = {i: n for i, _, n in rows}
+    mean_all = sum(wmap.values()) / len(wmap)
+    mean_sample = sum(wmap[i] for i in got) / len(got)
+    assert mean_sample > mean_all
+
+
+def test_quantize_int8_reconstruction_bound(spark):
+    import numpy as np
+
+    rng = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector → all-zero codes
+        (2, [1e-3, 2e-3, -3e-3, 4e-3]),
+    ]
+    d = tempfile.mkdtemp(prefix="k3s_quant_")
+    tbl = pd.DataFrame(
+        [(i, pd.array(v, dtype="float32"), 0) for i, v in rng],
+        columns=["vec_id", "embedding", "label"],
+    )
+    import pyarrow as pa
+
+    pa_tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rng], pa.int64()),
+        "embedding": pa.array([r[1] for r in rng], pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rng), pa.int32()),
+    })
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa_tbl, os.path.join(d, "embeddings.parquet"))
+    from kinesis3_spark.queries.similarity import embed_quantize_int8
+
+    out = {r.vec_id: r for r in embed_quantize_int8(spark, d).collect()}
+    assert out[1].q_l1 == 0 and out[1].n_sat == 0
+    # reconstruct and bound the error: |x - q/scale| <= 0.5/scale
+    for vec_id, v in ((0, rng[0][1]), (2, rng[2][1])):
+        m = max(abs(x) for x in v)
+        scale = 127.0 / m
+        codes = [math.floor(x * scale + 0.5) for x in v]
+        assert out[vec_id].q_sum == sum(codes)
+        assert out[vec_id].n_sat == sum(1 for c in codes if abs(c) == 127)
+        for x, c in zip(v, codes):
+            assert abs(x - c / scale) <= 0.5 / scale + 1e-12
+        assert max(abs(c) for c in codes) <= 127
