@@ -39,30 +39,35 @@ def bm25_scores(d: DataFrame, terms: tuple[str, ...], k1: float = _K1,
                 b: float = _B) -> DataFrame:
     """BM25 score of every document against a bag-of-words query.
 
-    Pipeline: explode tokens once → (doc, term) hash agg (map-side
-    combined; the only wide shuffle) → filter to the |terms| query terms
-    BEFORE anything joins — so df/idf and the score aggregation run on
-    |terms| * |matching docs| rows, a sliver of the corpus. Document
-    length comes from the same scan (size(tokenize) in the scan stage,
-    no second pass); avgdl and N are a 1-row aggregate broadcast into
-    the score expression via a cross join (1-row side).
+    Pipeline: tokenize once into a projected column, then ONE relation
+    carries both the per-doc length and the exploded terms — the query-
+    term filter lands in the scan stage, so the (doc, term) hash agg (the
+    only corpus-width shuffle) receives |terms| * |matching docs| rows,
+    and the doc length rides the aggregate as first(dl) instead of a
+    second scan + |docs|-row shuffle join (plan-audited: the dl join was
+    the one exchange whose rows scaled with the corpus, not the match
+    set). Term df is a WINDOW count over the tf relation — a df-side
+    groupBy+join would duplicate the whole scan→tokenize→tf subtree
+    (column pruning defeats ReusedExchange; the round-4 TF-IDF lesson),
+    measured as a third corpus scan in the plan audit. avgdl/N are a
+    1-row aggregate-only pass broadcast into the score via a cross join.
     """
-    toks = d.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("term"),
+    from pyspark.sql.window import Window
+
+    toks_df = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    base = toks_df.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    ).where(F.col("term").isin(*terms))
+    tf = base.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
-    tf = (
-        toks.where(F.col("term").isin(*terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    # Document frequency per query term: distinct-doc count over the tf
-    # relation (already one row per (doc, term)) — no second corpus pass.
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dl = d.select(
-        "doc_id", F.size(tokenize(F.col("text"))).alias("dl"),
-    )
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
+    # Document frequency per query term: distinct-doc row-count over tf
+    # (one row per (doc, term)) via window — no join, no second subtree.
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    stats = toks_df.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
     idf = F.log(
         1.0
@@ -73,9 +78,7 @@ def bm25_scores(d: DataFrame, terms: tuple[str, ...], k1: float = _K1,
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     return (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(contrib), 4).alias("bm25"),

@@ -225,13 +225,18 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the raw stream collapses to (user, day) via ONE
     map-side-combined aggregate — the wide table never reaches the
-    windows. The day spine is sequence()+explode per user (executor-side;
-    bounded by the series' calendar span, no driver loop, no cross join
-    against a global calendar). The spine⋈obs join and all four
-    interpolation windows share the user_id partitioning, and because the
-    spine is bounded by each user's min/max OBSERVED day, every gap has
-    both neighbors — no extrapolation branch. State per task is
-    O(days-per-user), the same bound the aggregate already set."""
+    window. Each observed row then looks ONE observation ahead (lead) and
+    emits days [day, next_day) by sequence()+explode, interpolating from
+    its own (v, next_v) pair directly — no calendar spine relation, no
+    spine⋈obs join, and no second traversal of the obs subtree (the
+    first formulation derived spine bounds from a second obs reference;
+    Spark re-planned the whole scan+aggregate per reference — the
+    round-4 self-join-duplication lesson, confirmed by plan audit at 2x
+    scan rows). Two exchanges total: the (user, day) aggregate and the
+    user-keyed lead window; the explode is executor-side, bounded by the
+    series' calendar span. Because emission stops at the NEXT observed
+    day, every emitted gap day has both neighbors by construction — no
+    extrapolation branch, and per-task state is O(1) beyond the sort."""
     ev = _t(spark, sf_dir, "events")
     # Daily mean via exact integer-micro sum (embed_l2_norm_stats
     # discipline): a float avg's cross-row addition order differs per
@@ -245,39 +250,35 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (1e6 * F.count("*"))
         ).alias("v")
     )
-    spine = (
-        obs.groupBy("user_id")
-        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
-        )
+    w = Window.partitionBy("user_id").orderBy("day")
+    nxt = obs.withColumn("nd", F.lead("day").over(w)).withColumn(
+        "nv", F.lead("v").over(w)
     )
-    j = spine.join(obs, ["user_id", "day"], "left")
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # Emit [day, next_day) per observed row (the final row emits itself):
+    # every emitted day's interpolation neighbors are this row's (day, v)
+    # and (nd, nv) — the left/right ignore-nulls window scans of the
+    # spine formulation collapse into plain columns.
+    fb = nxt.select(
+        "user_id",
+        "day",
+        "v",
+        "nd",
+        "nv",
+        F.explode(
+            F.sequence(
+                "day",
+                F.coalesce(F.date_sub("nd", 1), F.col("day")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_out"),
     )
-    wn = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
-    fb = (
-        j.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
-        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wp))
-        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
-        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wn))
-    )
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
-        "day", "pd"
-    ) / F.datediff("nd", "pd")
-    val = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp)
+    interp = F.col("v") + (F.col("nv") - F.col("v")) * F.datediff(
+        "day_out", "day"
+    ) / F.datediff("nd", "day")
+    val = F.when(F.col("day_out") == F.col("day"), F.col("v")).otherwise(interp)
     return fb.select(
         "user_id",
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.date_format("day_out", "yyyy-MM-dd").alias("day"),
         # floor(x*1e6 + 0.5), not round(x, 4): interpolated midpoints of
         # micro-exact daily means land EXACTLY on .00005 boundaries, where
         # Spark's decimal HALF_UP and a binary-double round() disagree
@@ -285,7 +286,10 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # on every engine — same fixed-point discipline as the embedding
         # norm/centroid queries.
         F.floor(val * 1e6 + 0.5).cast("bigint").alias("value_micro"),
-        F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias("interpolated"),
+        F.when(F.col("day_out") != F.col("day"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("interpolated"),
     ).orderBy("user_id", "day")
 
 
