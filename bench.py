@@ -63,6 +63,7 @@ HEADLINE = [
     "merge_cdc_apply",
     "ts_gap_fill_interpolate",
     "embed_quantize_int8",
+    "dq_constraint_suite",
 ]
 
 

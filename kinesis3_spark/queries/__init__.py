@@ -67,3 +67,4 @@ from . import chunking  # noqa: E402,F401
 from . import funnel  # noqa: E402,F401
 from . import pipelinex  # noqa: E402,F401
 from . import search  # noqa: E402,F401
+from . import dataquality  # noqa: E402,F401

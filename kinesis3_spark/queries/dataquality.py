@@ -1,0 +1,137 @@
+"""Data-quality constraint checking (Deequ/dbt-test shape): a declared
+constraint suite evaluated in one pass per table, emitting one row per
+constraint with its violation metric — the admission gate a 100 TB
+ingest runs before publishing a partition (extends the reference's
+collector validation, which dropped malformed records inline,
+src/kinesis3/core.clj:96-111, to declarative table-level contracts).
+
+Scale notes: every non-join constraint on a table is FUSED into a single
+aggregate — one scan per table regardless of constraint count, shuffling
+one partial row per map partition. The referential-integrity check is a
+left-anti join on the key (broadcast or shuffle by AQE's sizing), counted
+— never materialized. Constraint results are 1-row frames unioned at the
+end; the union of N one-row aggregates is driver-negligible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import _t
+from . import query
+
+
+def _cname(s: str):
+    return F.lit(s).alias("constraint")
+
+
+@query(
+    "dq_constraint_suite",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dups,
+             CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_cust,
+             CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS bad_price
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                  AS BIGINT) AS bad_qty,
+             CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R'))
+                  AS BIGINT) AS bad_flag,
+             CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                  AS BIGINT) AS bad_disc
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphans
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT * FROM (
+      SELECT 'orders_pk_unique' AS check_name, pk_dups AS violations,
+             CASE WHEN pk_dups = 0 THEN 1 ELSE 0 END AS passed FROM o
+      UNION ALL
+      SELECT 'orders_custkey_not_null', null_cust,
+             CASE WHEN null_cust = 0 THEN 1 ELSE 0 END FROM o
+      UNION ALL
+      SELECT 'orders_totalprice_positive', bad_price,
+             CASE WHEN bad_price = 0 THEN 1 ELSE 0 END FROM o
+      UNION ALL
+      SELECT 'orders_custkey_fk_customer', orphans,
+             CASE WHEN orphans = 0 THEN 1 ELSE 0 END FROM fk
+      UNION ALL
+      SELECT 'lineitem_quantity_in_1_50', bad_qty,
+             CASE WHEN bad_qty = 0 THEN 1 ELSE 0 END FROM l
+      UNION ALL
+      SELECT 'lineitem_returnflag_domain', bad_flag,
+             CASE WHEN bad_flag = 0 THEN 1 ELSE 0 END FROM l
+      UNION ALL
+      SELECT 'lineitem_discount_in_0_10pct', bad_disc,
+             CASE WHEN bad_disc = 0 THEN 1 ELSE 0 END FROM l
+    ) ORDER BY check_name
+    """,
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over orders/lineitem/customer:
+    key uniqueness, non-null, value range, accepted values, and FK referential integrity. One fused aggregate per table
+    + one anti-join count; output is (constraint, violations, passed)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+
+    o = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_dups"),
+        F.count(F.when(F.col("o_custkey").isNull(), True)).alias("null_cust"),
+        F.count(F.when(F.col("o_totalprice") <= 0, True)).alias("bad_price"),
+    )
+    l = lineitem.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), True)
+        ).alias("bad_qty"),
+        F.count(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), True)
+        ).alias("bad_flag"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), True)
+        ).alias("bad_disc"),
+    )
+    fk = (
+        orders.join(customer.select(F.col("c_custkey").alias("o_custkey")),
+                    "o_custkey", "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+
+    # Melt the three 1-row aggregates into constraint rows via ONE
+    # crossJoin + explode — referencing the `o` frame once per constraint
+    # (union-of-selects) would re-plan the orders scan per reference
+    # (the self-join-duplication lesson; each aggregate scans its table
+    # exactly once here).
+    metrics = {
+        "orders_pk_unique": "pk_dups",
+        "orders_custkey_not_null": "null_cust",
+        "orders_totalprice_positive": "bad_price",
+        "orders_custkey_fk_customer": "orphans",
+        "lineitem_quantity_in_1_50": "bad_qty",
+        "lineitem_returnflag_domain": "bad_flag",
+        "lineitem_discount_in_0_10pct": "bad_disc",
+    }
+    melted = o.crossJoin(l).crossJoin(fk).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col(col).cast("bigint").alias("violations"),
+                    )
+                    for name, col in metrics.items()
+                ]
+            )
+        ).alias("c")
+    )
+    return melted.select(
+        "c.check_name",
+        "c.violations",
+        F.when(F.col("c.violations") == 0, 1).otherwise(0).cast("bigint").alias("passed"),
+    ).orderBy("check_name")

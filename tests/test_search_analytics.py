@@ -205,3 +205,39 @@ def test_quantize_int8_reconstruction_bound(spark):
         for x, c in zip(v, codes):
             assert abs(x - c / scale) <= 0.5 / scale + 1e-12
         assert max(abs(c) for c in codes) <= 127
+
+
+def test_dq_suite_detects_planted_violations(spark):
+    d = tempfile.mkdtemp(prefix="k3s_dq_")
+    _write(d, "orders", pd.DataFrame(
+        [
+            (1, 10, 100.0),
+            (1, 11, 50.0),     # duplicate PK
+            (2, 99, 75.0),     # orphan custkey
+            (3, 10, -5.0),     # non-positive price
+        ],
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ))
+    _write(d, "customer", pd.DataFrame(
+        [(10, "a"), (11, "b")], columns=["c_custkey", "c_name"]
+    ))
+    _write(d, "lineitem", pd.DataFrame(
+        [
+            (1, 10.0, "A", 0.05),
+            (1, 99.0, "X", 0.5),   # bad qty, bad flag, bad discount
+        ],
+        columns=["l_orderkey", "l_quantity", "l_returnflag", "l_discount"],
+    ))
+    from kinesis3_spark.queries.dataquality import dq_constraint_suite
+
+    out = {r.check_name: r for r in dq_constraint_suite(spark, d).collect()}
+    assert out["orders_pk_unique"].violations == 1
+    assert out["orders_custkey_fk_customer"].violations == 1
+    assert out["orders_totalprice_positive"].violations == 1
+    assert out["orders_custkey_not_null"].violations == 0
+    assert out["lineitem_quantity_in_1_50"].violations == 1
+    assert out["lineitem_returnflag_domain"].violations == 1
+    assert out["lineitem_discount_in_0_10pct"].violations == 1
+    assert all(
+        (r.passed == 1) == (r.violations == 0) for r in out.values()
+    )
