@@ -247,3 +247,102 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "c_name", F.round("value", 2).alias("value")
     )
     return run_to_memory(joined, output_mode="append")
+
+
+@query(
+    "stream_corpus_ingest_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text,
+             len(t) AS wc, length(text) AS chars,
+             len(list_distinct(t)) AS uniq,
+             (' ' || text || ' ') LIKE '% the %' AS has_stop
+      FROM toks
+    ),
+    fp AS (
+      SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(regexp_replace(lower(text),
+                 '^\\s+|\\s+$', '', 'g'), '\\s+'))), ' ')) AS fpr
+      FROM q
+      WHERE wc BETWEEN 20 AND 80
+        AND 3 * wc <= chars - wc + 1 AND chars - wc + 1 <= 8 * wc
+        AND has_stop AND 2 * uniq >= wc
+    ),
+    hist AS (
+      SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(regexp_replace(lower(text),
+                 '^\\s+|\\s+$', '', 'g'), '\\s+'))), ' ')) AS fpr
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    adm AS (SELECT fpr FROM fp WHERE fpr NOT IN (SELECT fpr FROM hist))
+    SELECT CAST(count(*) AS BIGINT) AS n_admitted,
+           coalesce(md5(string_agg(fpr, ',' ORDER BY fpr)), '') AS admitted_md5
+    FROM adm
+    """,
+)
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep pipeline's DAILY-INGEST shape as a real streaming
+    job: new document shards stream in, pass the Gopher-style quality
+    gate, exact-dedup WITHIN the stream on the canonical fingerprint
+    (streaming dropDuplicates — first writer wins, state keyed by the
+    16-byte digest), and drop anything already in the stored corpus
+    (stream-static left-outer join against the history index + null
+    filter — stream-static LEFT ANTI is not a supported streaming join,
+    the outer+filter form is). The batch twin is dedup_incremental_batch;
+    this proves the same admission logic runs under Structured Streaming
+    semantics with bounded per-key state.
+
+    Output is order-independent on purpose: admitted count + an md5 over
+    the SORTED admitted fingerprint set — which docs carry a duplicated
+    fingerprint first is arrival-order-dependent, but the fingerprint SET
+    is not. Scale: quality gate and fingerprint ride the scan; dedup
+    state is one digest per distinct doc; the history side is a static
+    relation AQE broadcasts (at 100 TB: the bucketed fingerprint index of
+    dedup_incremental_bucketed)."""
+    from ..functions.text import fingerprint
+    from ..streaming import run_to_memory, stream_documents
+
+    toks = F.split(F.col("text"), " ")
+    wc = F.size(toks)
+    chars = F.length("text")
+    uniq = F.size(F.array_distinct(toks))
+    passes = (
+        wc.between(20, 80)
+        & (3 * wc <= chars - wc + 1)
+        & (chars - wc + 1 <= 8 * wc)
+        & F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% the %")
+        & (2 * uniq >= wc)
+    )
+    stream = (
+        stream_documents(spark, sf_dir)
+        .where(passes)
+        .withColumn("fpr", fingerprint(F.col("text")))
+        .dropDuplicates(["fpr"])
+    )
+    hist = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select(fingerprint(F.col("text")).alias("fpr"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    admitted = (
+        stream.join(hist, "fpr", "left_outer")
+        .where(F.col("in_hist").isNull())
+        .select("fpr")
+    )
+    out = run_to_memory(admitted, output_mode="append")
+    # empty-set parity: DuckDB's string_agg over 0 rows is NULL->'' while
+    # md5('') is a real digest — emit '' explicitly when nothing admitted
+    return out.agg(
+        F.count("*").alias("n_admitted"),
+        F.when(
+            F.count("*") > 0,
+            F.md5(F.array_join(F.array_sort(F.collect_list("fpr")), ",")),
+        )
+        .otherwise("")
+        .alias("admitted_md5"),
+    )

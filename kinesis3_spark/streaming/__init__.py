@@ -2,7 +2,7 @@
 archive/upsert sinks, and ingest metrics (reference src/kinesis3/core.clj —
 the Kinesis consumer loop, S3 archive sink, and /stats metrics)."""
 
-from .sources import stream_events, stream_jsonl  # noqa: F401
+from .sources import stream_documents, stream_events, stream_jsonl  # noqa: F401
 from .windows import (  # noqa: F401
     session_counts,
     sliding_value_stats,

@@ -89,3 +89,12 @@ def kinesis_stream(
             "spark-sql-kinesis-connector) and call kinesis_stream() again; "
             "all downstream operators are source-agnostic."
         ) from ex
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus `documents` table as a stream — the daily-ingest shape
+    of the corpus-prep pipeline (new crawl shards landing in a directory,
+    each file an exactly-once unit)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_as_stream_dir(path))
