@@ -345,3 +345,63 @@ def ts_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# GLOBAL interval join (no shared entity key): bucketize time so Catalyst
+# gets an equi key — the standard rewrite that keeps a pure time-window
+# theta join from planning as an all-pairs nested loop.
+# --------------------------------------------------------------------------
+@query(
+    "join_interval_bucketed_global",
+    oracle="""
+    SELECT e.event_id, count(c.event_id)::BIGINT AS n_recent_clicks
+    FROM events e
+    LEFT JOIN events c
+      ON c.event_type = 'click' AND c.ts < e.ts
+     AND c.ts >= e.ts - INTERVAL 5 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id ORDER BY e.event_id
+    """,
+)
+def join_interval_bucketed_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error, clicks from ANY user in the preceding 5 minutes —
+    an interval join with NO entity equi key (join_range_clicks_before_error
+    has user_id to hash on; here nothing). The naive plan is a nested-loop
+    cross product over |errors|x|clicks|. The scale rewrite: bucket ts
+    into window-sized (5 min) epochs; a click in bucket b can only
+    precede-within-window an error in bucket b or b+1, so each click is
+    EXPLODED to those two bucket keys and the join becomes an equi join
+    on the bucket with the interval as a residual predicate. Each
+    (click, error) candidate pair arises exactly once (the error's bucket
+    is single-valued), so no post-dedup. Cost: 2x click rows shuffled on
+    a key whose density is bounded by events-per-5-minutes — at 100 TB
+    the bucket width tunes the shuffle-width vs candidates-per-bucket
+    trade (same lever as the LSH band count, operators/dedup.py)."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", F.col("ts").alias("e_ts"),
+        F.floor(F.unix_timestamp("ts") / 300).alias("bk"),
+    )
+    clk = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"),
+            F.floor(F.unix_timestamp("ts") / 300).alias("cb"),
+        )
+        .select(
+            "c_id", "c_ts",
+            F.explode(F.array(F.col("cb"), F.col("cb") + 1)).alias("bk"),
+        )
+    )
+    residual = (F.col("c_ts") < F.col("e_ts")) & (
+        F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES")
+    )
+    joined = err.join(clk, ["bk"], "left").withColumn(
+        "hit", F.when(residual, F.col("c_id"))
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("hit").alias("n_recent_clicks"))
+        .orderBy("event_id")
+    )
