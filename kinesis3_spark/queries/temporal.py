@@ -405,3 +405,91 @@ def join_interval_bucketed_global(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("hit").alias("n_recent_clicks"))
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (feature-store) join: each label event gets the latest
+# prior value of K feature streams, leakage-free. K features = K columns
+# in ONE union+window pass — not K as-of joins.
+# --------------------------------------------------------------------------
+@query(
+    "join_pointintime_features",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           round(coalesce(c.value, -1), 2) AS last_click_value,
+           round(coalesce(v.value, -1), 2) AS last_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'click' GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'view' GROUP BY user_id, ts) v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def join_pointintime_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store training join: for every purchase (label event),
+    the latest click value and latest view value by the same user at or
+    before the label timestamp — point-in-time correct (no feature
+    leakage from the future). Generalizes `join_asof_click_before_purchase`
+    to MULTIPLE feature streams with the same single-shuffle shape: union
+    all sides tagged, one window sort per user, one `last(x,
+    ignorenulls)` column PER FEATURE. K feature tables cost K columns in
+    one pass — the K-way chain of as-of joins the oracle runs would be K
+    shuffles and K sorts, which is exactly what kills point-in-time joins
+    at 100 TB feature-platform scale.
+
+    Ties: a feature at exactly the label ts counts (>= semantics) — the
+    side tag sorts features before labels at equal ts. Same-(user, ts)
+    duplicate feature rows are collapsed (max) BEFORE the pass, because
+    an as-of pick among equal-ts rows is engine-arbitrary."""
+    ev = _t(spark, sf_dir, "events")
+
+    def feat(tp: str, col: str):
+        # collapse same-(user, ts) duplicates FIRST (max value) so the
+        # as-of pick under timestamp ties is deterministic on every
+        # engine — DuckDB's ASOF chooses arbitrarily among equal-ts rows
+        # (the reason join_asof_click_before_purchase emits only the ts)
+        return (
+            ev.where(F.col("event_type") == tp)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias(col))
+            .select(
+                "user_id", "ts",
+                F.lit(None).cast("long").alias("event_id"),
+                F.col(col) if col == "click_v" else F.lit(None).cast("double").alias("click_v"),
+                F.col(col) if col == "view_v" else F.lit(None).cast("double").alias("view_v"),
+                F.lit(0).alias("side"),
+            )
+        )
+
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("click_v"),
+        F.lit(None).cast("double").alias("view_v"),
+        F.lit(1).alias("side"),
+    )
+    merged = feat("click", "click_v").unionByName(feat("view", "view_v")).unionByName(labels)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = merged.withColumn(
+        "last_click_value", F.last("click_v", ignorenulls=True).over(w)
+    ).withColumn("last_view_value", F.last("view_v", ignorenulls=True).over(w))
+    return (
+        out.where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.coalesce("last_click_value", F.lit(-1)), 2).alias(
+                "last_click_value"
+            ),
+            F.round(F.coalesce("last_view_value", F.lit(-1)), 2).alias(
+                "last_view_value"
+            ),
+        )
+        .orderBy("event_id")
+    )
