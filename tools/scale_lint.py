@@ -1,0 +1,93 @@
+"""Scale-lint: sweep EVERY registered query's executed plan for the
+shapes that are correct at test SF but die at 100 TB:
+
+  * an Exchange SinglePartition whose runtime row count exceeds a bound
+    (global sorts/windows that funnel data through one task — the
+    llm_vocab_coverage defect class, VERDICT r4);
+  * BroadcastNestedLoopJoin / CartesianProduct with a non-trivial row
+    count (theta joins that degenerate to all-pairs);
+  * row-at-a-time Python eval (BatchEvalPython / PythonUDF in the plan —
+    the registry's contract is Arrow-batched or JVM-only).
+
+Allowlisted SinglePartition shapes: final 1-row global aggregates and
+TakeOrderedAndProject's driver-side final (bounded by k). The lint runs
+each query to completion (AQE-final metrics), so run it at a small SF.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/scale_lint.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+SINGLE_PARTITION_ROW_BOUND = 5_000  # rows one task may legitimately hold
+NESTED_LOOP_ROW_BOUND = 1_000      # all-pairs candidates tolerated
+
+
+def _walk(node, out):
+    name = node.getClass().getSimpleName()
+    it = node.metrics().iterator()
+    mets = {}
+    while it.hasNext():
+        kv = it.next()
+        mets[kv._1()] = kv._2().value()
+    out.append((name, node, mets))
+    if name == "AdaptiveSparkPlanExec":
+        _walk(node.executedPlan(), out)
+    else:
+        cit = node.children().iterator()
+        while cit.hasNext():
+            _walk(cit.next(), out)
+        if name.endswith("QueryStageExec"):
+            _walk(node.plan(), out)
+    return out
+
+
+def lint_query(spark, fn, sf_dir: str) -> list[str]:
+    df = fn(spark, sf_dir)
+    df.collect()
+    findings = []
+    nodes = _walk(df._jdf.queryExecution().executedPlan(), [])
+    for name, node, mets in nodes:
+        if name == "ShuffleExchangeExec" and "SinglePartition" in node.toString().splitlines()[0]:
+            rows = mets.get("shuffleRecordsWritten", 0)
+            if rows > SINGLE_PARTITION_ROW_BOUND:
+                findings.append(f"SinglePartition exchange carrying {rows} rows")
+        if name in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
+            rows = mets.get("numOutputRows", 0)
+            if rows > NESTED_LOOP_ROW_BOUND:
+                findings.append(f"{name} producing {rows} rows")
+        if name in ("BatchEvalPythonExec",):
+            findings.append("row-at-a-time Python eval (BatchEvalPythonExec)")
+    return findings
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from kinesis3_spark.queries import QUERIES
+    from kinesis3_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    names = sys.argv[1:] or sorted(QUERIES)
+    spark = get_spark("scale-lint")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_flagged = 0
+    for n in names:
+        try:
+            findings = lint_query(spark, QUERIES[n], sf_dir)
+        except Exception as ex:
+            print(f"{n}: ERROR {str(ex).splitlines()[0][:120]}", flush=True)
+            n_flagged += 1
+            continue
+        if findings:
+            n_flagged += 1
+            for f in findings:
+                print(f"{n}: {f}", flush=True)
+        else:
+            print(f"{n}: ok", flush=True)
+    print(f"-- flagged {n_flagged}/{len(names)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
