@@ -144,3 +144,33 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
     )
     assert "Exchange hashpartitioning(user_id" in plan
     assert n_shuffles <= 4, f"funnel gained exchanges:\n{plan[:2000]}"
+
+
+def test_scale_lint_sample_is_clean(spark, sf_dir):
+    """tools/scale_lint.py over a regression-prone sample: global-window /
+    top-k queries (the llm_vocab_coverage defect class), the theta-join
+    rewrites, and the round-5 additions. The full 157-query sweep runs
+    out-of-band (SCALE.md cites it clean at sf0.01); this keeps the
+    worst offender shapes from regressing silently in CI."""
+    from tools.scale_lint import ALLOWED_AMPLIFICATION, lint_query
+
+    sample = [
+        "llm_vocab_coverage",
+        "llm_tfidf_top_terms",
+        "text_ngram_top20",
+        "search_bm25_topk",
+        "search_inverted_postings",
+        "sample_weighted_es",
+        "join_interval_bucketed_global",
+        "join_pointintime_features",
+        "llm_dup_passage_stats",
+        "ts_gap_fill_interpolate",
+    ]
+    bad = {}
+    for name in sample:
+        findings = lint_query(spark, QUERIES[name], sf_dir)
+        if name in ALLOWED_AMPLIFICATION:
+            findings = [f for f in findings if "amplifying" not in f]
+        if findings:
+            bad[name] = findings
+    assert not bad, bad

@@ -24,6 +24,15 @@ import sys
 SINGLE_PARTITION_ROW_BOUND = 5_000  # rows one task may legitimately hold
 NESTED_LOOP_ROW_BOUND = 1_000      # all-pairs candidates tolerated
 
+# Queries whose nested-loop amplification is DECLARED and bounded by
+# design — each carries the justification the lint would otherwise demand.
+ALLOWED_AMPLIFICATION = {
+    # brute-force tier: |Q| is the bounded 10-vector query set broadcast
+    # against the corpus — |Q|x|corpus| is this tier's definition; the
+    # LSH/IVF tiers are the unbounded-|Q| path (operators/similarity.py).
+    "sim_cosine_topk_brute": "bounded 10-vector query-set broadcast",
+}
+
 
 def _walk(node, out):
     name = node.getClass().getSimpleName()
@@ -56,8 +65,24 @@ def lint_query(spark, fn, sf_dir: str) -> list[str]:
                 findings.append(f"SinglePartition exchange carrying {rows} rows")
         if name in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
             rows = mets.get("numOutputRows", 0)
-            if rows > NESTED_LOOP_ROW_BOUND:
-                findings.append(f"{name} producing {rows} rows")
+            # a cross join that ATTACHES a 1-row (or tiny) broadcast side
+            # multiplies nothing: output ≈ the larger input. Flag only
+            # genuine pair amplification (output well beyond either input).
+            child_rows = []
+            cit = node.children().iterator()
+            while cit.hasNext():
+                sub = _walk(cit.next(), [])
+                child_rows.append(
+                    max(
+                        (m.get("numOutputRows", 0) for _, _, m in sub),
+                        default=0,
+                    )
+                )
+            biggest_input = max(child_rows, default=0)
+            if rows > NESTED_LOOP_ROW_BOUND and rows > 2 * biggest_input:
+                findings.append(
+                    f"{name} amplifying {biggest_input} -> {rows} rows"
+                )
         if name in ("BatchEvalPythonExec",):
             findings.append("row-at-a-time Python eval (BatchEvalPythonExec)")
     return findings
@@ -76,6 +101,13 @@ def main() -> None:
     for n in names:
         try:
             findings = lint_query(spark, QUERIES[n], sf_dir)
+            if n in ALLOWED_AMPLIFICATION:
+                findings = [
+                    f for f in findings if "amplifying" not in f
+                ] or [f"ok (allowed: {ALLOWED_AMPLIFICATION[n]})"]
+                if findings == [f"ok (allowed: {ALLOWED_AMPLIFICATION[n]})"]:
+                    print(f"{n}: {findings[0]}", flush=True)
+                    continue
         except Exception as ex:
             print(f"{n}: ERROR {str(ex).splitlines()[0][:120]}", flush=True)
             n_flagged += 1
