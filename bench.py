@@ -64,6 +64,16 @@ HEADLINE = [
     "ts_gap_fill_interpolate",
     "embed_quantize_int8",
     "dq_constraint_suite",
+    # round 5d: analytics, IR postings, theta-join rewrites, streaming ingest
+    "stats_daily_anomaly_zscore",
+    "ts_longest_daily_streak",
+    "seq_event_transition_matrix",
+    "win_rolling_median_value",
+    "sample_weighted_es",
+    "search_inverted_postings",
+    "join_interval_bucketed_global",
+    "join_pointintime_features",
+    "stream_corpus_ingest_dedup",
 ]
 
 
