@@ -12,6 +12,11 @@ daemon mode):
     python -m kinesis3_spark --input ./landing --store ./events \
         --archive ./archive --checkpoint ./ck \
         --trigger-seconds 30 --stats-port 8080
+
+Query surface (the analytics side of the engine):
+    python -m kinesis3_spark query <name> [--sf-dir DIR] [--limit N]
+    python -m kinesis3_spark explain <name> [--sf-dir DIR]
+    python -m kinesis3_spark list [pattern]
 """
 
 from __future__ import annotations
@@ -24,7 +29,48 @@ from .app import Collector
 from .session import get_spark
 
 
+_DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _query_main(argv: list[str]) -> int:
+    """`query`/`explain`/`list` subcommands over the registered surface."""
+    cmd = argv[0]
+    ap = argparse.ArgumentParser(prog=f"kinesis3_spark {cmd}")
+    if cmd != "list":
+        ap.add_argument("name", help="registered query name (see `list`)")
+        ap.add_argument("--sf-dir", default=_DEFAULT_SF_DIR, help="corpus directory")
+        if cmd == "query":
+            ap.add_argument("--limit", type=int, default=20, help="rows to print (JSON lines)")
+    else:
+        ap.add_argument("pattern", nargs="?", default="", help="substring filter")
+    args = ap.parse_args(argv[1:])
+
+    from .queries import ORACLE, QUERIES
+
+    if cmd == "list":
+        for n in sorted(QUERIES):
+            if args.pattern in n:
+                print(n + ("" if n in ORACLE else "  [rows-only]"))
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; try `list`", file=sys.stderr)
+        return 2
+    spark = get_spark("kinesis3-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if cmd == "explain":
+        df.explain("formatted")
+        return 0
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] in ("query", "explain", "list"):
+        return _query_main(argv)
     ap = argparse.ArgumentParser(prog="kinesis3_spark", description=__doc__)
     ap.add_argument("--input", required=True, help="JSONL landing directory of {sequence_number,data,partition} records")
     ap.add_argument("--store", required=True, help="keyed events Parquet table (upsert target)")

@@ -138,3 +138,21 @@ def test_collector_dead_letter_quarantine(spark, sf_dir, tmp_path):
     assert reasons == {"envelope_parse_failed", "body_parse_failed", "missing_key"}
     assert stats["malformed"]["count"] == 3
     assert stats["message-ingested"]["count"] == 53
+
+
+def test_cli_query_subcommands(spark, sf_dir, capsys):
+    """`python -m kinesis3_spark query/list/explain` — the user-facing
+    analytics surface next to the collector daemon."""
+    from kinesis3_spark.__main__ import main
+
+    assert main(["list", "dq_"]) == 0
+    out = capsys.readouterr().out
+    assert "dq_constraint_suite" in out
+
+    assert main(["query", "dq_constraint_suite", "--sf-dir", sf_dir, "--limit", "2"]) == 0
+    import json as _json
+
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2 and _json.loads(lines[0])["passed"] in (0, 1)
+
+    assert main(["query", "no_such_query"]) == 2
