@@ -273,3 +273,47 @@ def nulls_last_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.coalesce("st_raw", F.lit("<NULL>")).alias("st"), "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (SQL-surface completeness, Spark 4): top-N
+# per group expressed the ANSI way. The DataFrame twin is the rank-window
+# top-k (win_top3_orders_per_customer); registering the SQL form proves
+# the engine's SQL dialect carries it too.
+# --------------------------------------------------------------------------
+@query(
+    "sql_lateral_topn_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    ORDER BY n.n_name, c_acctbal DESC, t.c_name
+    """,
+)
+def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by balance per nation via a LATERAL correlated
+    subquery — exercised through spark.sql so the SQL dialect surface is
+    what's tested (Catalyst decorrelates it to the same rank-window /
+    join shape as the DataFrame form; per-nation LIMIT keeps any plan's
+    per-group state at k rows)."""
+    import hashlib as _h
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    _t(spark, sf_dir, "nation").createOrReplaceTempView(f"nation_{tag}")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(f"customer_{tag}")
+    return spark.sql(
+        f"""
+        SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS c_acctbal
+        FROM nation_{tag} n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer_{tag} c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        ORDER BY n.n_name, c_acctbal DESC, t.c_name
+        """
+    )
