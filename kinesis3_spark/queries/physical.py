@@ -223,3 +223,53 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "agg_approx_topk_band",
+    oracle="""
+    WITH exact AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+      ORDER BY n DESC, user_id LIMIT 10
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n AS BIGINT) AS exact_n, 1 AS sketch_ok
+    FROM exact ORDER BY exact_n DESC, user_id
+    """,
+)
+def approx_topk_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's built-in `approx_top_k` sketch vs the exact top-10 heavy
+    users. The sketch aggregate is map-side combinable (fixed-size state
+    crossing the wire — the same scale contract as the CMS/HLL tier);
+    the band asserts every exact-top-10 key appears in the sketch's
+    top-k with its count within 1% of exact. Output rows are the EXACT
+    top-10 (engine-reproducible, |rows| = 10); the sketch agreement is
+    the in-band flag."""
+    ev = _t(spark, sf_dir, "events")
+    approx = {
+        r["item"]: r["count"]
+        for r in ev.selectExpr("approx_top_k(cast(user_id as string), 20) AS tk")
+        .first()["tk"]
+    }
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    total = sum(r["exact_n"] for r in exact)
+    band = max(20, int(0.01 * total))
+    out = [
+        (
+            r["user_id"],
+            r["exact_n"],
+            1
+            if abs(approx.get(str(r["user_id"]), -(10**9)) - r["exact_n"]) <= band
+            else 0,
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        out, "user_id long, exact_n long, sketch_ok int"
+    ).orderBy(F.desc("exact_n"), "user_id")
