@@ -27,11 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver oracle-checks the FIRST 50 entries of queries() per round, so
 # ordering IS coverage policy. _ordered() rotates automatically from the
-# recorded CORRECTNESS_r*.json history: never-officially-checked queries
-# first, then queries whose latest official row wasn't a full hash match
-# (so fixes get re-confirmed), then green queries oldest-check-first. The
-# registry far exceeds one window (122 vs 50); every query stays covered
-# every round by tests/test_oracle_parity.py regardless of window position.
+# recorded CORRECTNESS_r*.json history: queries whose latest official row
+# wasn't fully green FIRST (fix re-confirmation — a standing red row
+# outranks exploration), then never-officially-checked queries, then green
+# queries oldest-check-first. The registry far exceeds one window (159 vs
+# 50); every query stays covered every round by
+# tests/test_oracle_parity.py regardless of window position.
 # _PRIORITY breaks ties within each class — the round-4 rotation order
 # (VERDICT r3 "Next round" #2): TPC-H Q4-Q22, llm_*, stream_*/metrics_*,
 # pipeline_*, upsert, UDFs, variant, physical sketches, sampling.
@@ -88,10 +89,50 @@ _PRIORITY = [
     "sample_stratified_by_lang",
 ]
 
-# Never-checked queries that don't fit the 50-window this round; the
-# recorded-coverage rotation pulls them to the front automatically once
-# CORRECTNESS_r04 lands.
+# Never-checked priority within the rotation's middle class: the 5 red
+# rows lead the window regardless (class 0); these rank the 59
+# never-checked for the remaining 45 slots. Round-5 flagship operators
+# (the LLM/search/CDC/time-series tier the verdict grades first-class)
+# and the multimodal/sketch heads go in; 14 defer-tolerant relational
+# variants (each pytest-parity-green locally) wait for round 6.
 _PRIORITY += [
+    "sessionize_events_batch",
+    "ts_gap_fill_interpolate",
+    "ts_longest_daily_streak",
+    "join_interval_bucketed_global",
+    "join_pointintime_features",
+    "dedup_minhash_lsh_capped",
+    "dedup_incremental_batch",
+    "dedup_incremental_bucketed",
+    "ml_kmeans_embedding_clusters",
+    "embed_l2_norm_stats",
+    "embed_label_centroids",
+    "embed_quantize_int8",
+    "text_repetition_signals",
+    "llm_vocab_coverage",
+    "merge_cdc_apply",
+    "stream_corpus_ingest_dedup",
+    "q2_min_cost_supplier",
+    "q20_excess_shipments",
+    "q21_waiting_suppliers",
+    "stats_daily_anomaly_zscore",
+    "win_rolling_median_value",
+    "sql_lateral_topn_per_nation",
+    "source_orc_roundtrip",
+    "agg_approx_topk_band",
+    "sample_cap_per_source",
+    "sample_source_mixture",
+    "sample_weighted_es",
+    "llm_chunk_documents",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "metrics_rolling_7d_dau",
+    "seq_event_transition_matrix",
+    "pipeline_llm_corpus_prep",
+    "search_bm25_topk",
+    "llm_dup_passage_stats",
+    "search_inverted_postings",
+    "dq_constraint_suite",
     "multimodal_payload_stats",
     "multimodal_image_features",
     "agg_grouping_sets",
@@ -159,10 +200,16 @@ def _ordered(names: dict) -> list[str]:
         i, n = item
         checked = n in hist
         rnd, green = hist.get(n, (0, False))
-        # never-checked < checked-not-green < green; within a class, oldest
+        # checked-NOT-green < never-checked < green: a standing official
+        # FAIL/err row is worse than an unchecked one (unchecked rows have
+        # local pytest-parity evidence; red rows say "broken" to every
+        # reader), so fix re-confirmation outranks exploration — round 5
+        # made this matter: 59 never-checked would otherwise crowd the 5
+        # red rows out of the 50-window entirely. Within a class: oldest
         # official check first, then the explicit priority order, then
         # registration order (stable).
-        return (checked, green, rnd, prio.get(n, len(prio)), i)
+        cls = 0 if (checked and not green) else (1 if not checked else 2)
+        return (cls, rnd, prio.get(n, len(prio)), i)
 
     return [n for _, n in sorted(enumerate(names), key=key)]
 

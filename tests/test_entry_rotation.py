@@ -1,7 +1,8 @@
 """The driver oracle-checks the first 50 entries of __spark_entry__.queries();
 _ordered() must rotate that window from recorded CORRECTNESS history so every
-registered query eventually gets an official row: never-checked first, then
-not-green (fix re-confirmation), then green oldest-check-first.
+registered query eventually gets an official row: latest-check-not-green
+first (fix re-confirmation — a standing red row outranks exploration),
+then never-checked, then green oldest-check-first.
 """
 
 from __future__ import annotations
@@ -50,5 +51,8 @@ def test_real_history_parses_and_orders_everything():
     # window must be one the driver has never checked, as long as any
     # never-checked queries remain.
     never = [n for n in ordered if n not in hist]
-    if len(never) >= 50:
-        assert all(n in never for n in ordered[:50])
+    red = [n for n in ordered if n in hist and not hist[n][1]]
+    # red rows lead the window; never-checked fill the rest
+    assert ordered[: len(red)] == red or not red
+    if len(red) + len(never) >= 50:
+        assert all((n in never or n in red) for n in ordered[:50])
