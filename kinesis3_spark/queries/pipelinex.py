@@ -89,8 +89,8 @@ _CAP = 30
                 THEN 'train' ELSE 'holdout' END AS split,
            count(*)::BIGINT AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR))
-             AS picks_md5
+           CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS picks_sum
     FROM capped
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -161,11 +161,13 @@ def pipeline_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.md5(
-                F.array_join(
-                    F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
-                )
-            ).alias("picks_md5"),
+            # constant-state set checksum (see sampling.source_mixture):
+            # collect_list held the whole per-cell pick set in agg state.
+            F.sum(
+                portable_hash60(F.col("doc_id").cast("string")) % 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("picks_sum"),
         )
         .orderBy("source", "split")
     )

@@ -133,8 +133,8 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.source,
            t.target,
            count(*)::BIGINT AS taken,
-           md5(string_agg(r.doc_id::VARCHAR, ',' ORDER BY r.doc_id::VARCHAR))
-             AS picks_md5
+           CAST(sum(('0x' || substr(md5(r.doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS picks_sum
     FROM ranked r JOIN tgt t USING (source)
     WHERE r.rk <= t.target
     GROUP BY r.source, t.target
@@ -149,7 +149,7 @@ def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_cap_per_source — fully deterministic, engine-reproducible, no
     seeded RNG. The per-source weight table is |sources| rows (broadcast);
     the only big-data pass is the rank window partitioned by source, and
-    the picks_md5 digest proves the SELECTED DOC SET matches, not just the
+    the picks_sum checksum proves the SELECTED DOC SET matches, not just the
     counts. At 100 TB: identical shape, with the rank pre-materialized so
     the mixture is a filter join."""
     from ..operators.dedup import portable_hash60
@@ -181,9 +181,16 @@ def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.groupBy("source", "target")
         .agg(
             F.count("*").cast("bigint").alias("taken"),
-            F.md5(
-                F.array_join(F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ",")
-            ).alias("picks_md5"),
+            # order-independent SET checksum with CONSTANT agg state: the
+            # previous md5-of-sorted-collect_list held every picked id in
+            # the aggregation buffer — at 100 TB a hot source's pick list
+            # is the OOM. sum of (portable-hash mod 1e9) commutes, costs
+            # one long per group, and any set difference shifts it.
+            F.sum(
+                portable_hash60(F.col("doc_id").cast("string")) % 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("picks_sum"),
         )
         .orderBy("source")
     )

@@ -221,22 +221,32 @@ def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: per term, document frequency, total term
     frequency, and the head of the doc_id posting list (first 5, ascending
     — the shape a search shard stores). One explode → (doc, term) agg →
-    per-term agg with an ordered collect bounded to the head slice; the
-    full posting list is never concatenated into one row (at 100 TB a
-    stopword's complete postings would be the corpus itself — the head
-    slice keeps per-term state O(df) integers during the agg but the
-    OUTPUT row bounded; production would write the full list sharded by
-    (term, bucket) instead, same aggregation shape). Top-50 cut is
-    orderBy+limit (TakeOrderedAndProject)."""
+    per-term RANK window → per-term agg whose collect holds ≤5 ids of
+    state (at 100 TB a stopword's complete postings would be the corpus
+    itself, so the rank filter runs BEFORE aggregation buffers anything;
+    production writes the full list sharded by (term, bucket) with the
+    same pre-ranked shape). Top-50 cut is orderBy+limit
+    (TakeOrderedAndProject)."""
+    from pyspark.sql.window import Window
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    postings = tf.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").alias("tf_total"),
-        F.array_join(
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5), ","
-        ).alias("head_postings"),
+    # rank postings per term BEFORE aggregating so the collect_list holds
+    # at most 5 ids per group — the unranked form buffered a term's ENTIRE
+    # posting list in aggregation state (a stopword's list is the corpus).
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    postings = (
+        tf.withColumn("rn", rn)
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.when(F.col("rn") <= 5, F.col("doc_id")))),
+                ",",
+            ).alias("head_postings"),
+        )
     )
     return (
         postings.select("term", "df", "tf_total", "head_postings")

@@ -279,7 +279,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     adm AS (SELECT fpr FROM fp WHERE fpr NOT IN (SELECT fpr FROM hist))
     SELECT CAST(count(*) AS BIGINT) AS n_admitted,
-           coalesce(md5(string_agg(fpr, ',' ORDER BY fpr)), '') AS admitted_md5
+           CAST(coalesce(sum(('0x' || substr(md5(fpr), 1, 15))::BIGINT
+                             % 1000000000), 0) AS BIGINT) AS admitted_sum
     FROM adm
     """,
 )
@@ -295,10 +296,10 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     this proves the same admission logic runs under Structured Streaming
     semantics with bounded per-key state.
 
-    Output is order-independent on purpose: admitted count + an md5 over
-    the SORTED admitted fingerprint set — which docs carry a duplicated
-    fingerprint first is arrival-order-dependent, but the fingerprint SET
-    is not. Scale: quality gate and fingerprint ride the scan; dedup
+    Output is order-independent on purpose: admitted count + a commutative
+    checksum over the admitted fingerprint SET — which docs carry a
+    duplicated fingerprint first is arrival-order-dependent, but the
+    fingerprint set is not. Scale: quality gate and fingerprint ride the scan; dedup
     state is one digest per distinct doc; the history side is a static
     relation AQE broadcasts (at 100 TB: the bucketed fingerprint index of
     dedup_incremental_bucketed)."""
@@ -335,14 +336,17 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fpr")
     )
     out = run_to_memory(admitted, output_mode="append")
-    # empty-set parity: DuckDB's string_agg over 0 rows is NULL->'' while
-    # md5('') is a real digest — emit '' explicitly when nothing admitted
+    # order-independent SET checksum with constant agg state (the
+    # md5-of-sorted-collect_list form held every admitted fingerprint in
+    # one aggregation buffer); sum-over-empty is NULL on both engines —
+    # coalesce to 0.
+    from ..operators.dedup import portable_hash60
+
     return out.agg(
         F.count("*").alias("n_admitted"),
-        F.when(
-            F.count("*") > 0,
-            F.md5(F.array_join(F.array_sort(F.collect_list("fpr")), ",")),
+        F.coalesce(
+            F.sum(portable_hash60(F.col("fpr")) % 1_000_000_000), F.lit(0)
         )
-        .otherwise("")
-        .alias("admitted_md5"),
+        .cast("bigint")
+        .alias("admitted_sum"),
     )

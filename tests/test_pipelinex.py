@@ -75,4 +75,6 @@ def test_dedup_keeps_min_doc_id_after_decontam_reorder(spark, planted_dir):
     out = pipeline_llm_corpus_prep(spark, planted_dir)
     cells = {r.source: r for r in out.collect() if r.source == "srcB"}
     r = cells["srcB"]
-    assert r.picks_md5 == hashlib.md5(b"20").hexdigest()
+    # picks_sum is the commutative set checksum: hash60("20") mod 1e9
+    want = int(hashlib.md5(b"20").hexdigest()[:15], 16) % 1_000_000_000
+    assert r.picks_sum == want
