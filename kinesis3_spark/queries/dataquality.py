@@ -46,8 +46,13 @@ def _cname(s: str):
       FROM lineitem
     ),
     fk AS (
+      -- NOT-NULL custkeys only: a NULL custkey is the not-null
+      -- constraint's violation, not an FK orphan (and NOT IN's NULL
+      -- three-valued logic would silently exclude it anyway — make the
+      -- intent explicit so both engines agree by construction).
       SELECT CAST(count(*) AS BIGINT) AS orphans
-      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      FROM orders WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
     )
     SELECT * FROM (
       SELECT 'orders_pk_unique' AS check_name, pk_dups AS violations,
@@ -97,9 +102,14 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), True)
         ).alias("bad_disc"),
     )
+    # FK semantics: NULL custkeys belong to the not-null constraint, not
+    # the orphan count — Spark's left_anti RETAINS null-key rows while a
+    # SQL NOT IN excludes them, so filter nulls out explicitly and the
+    # two engines agree by construction rather than by data luck.
     fk = (
-        orders.join(customer.select(F.col("c_custkey").alias("o_custkey")),
-                    "o_custkey", "left_anti")
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(customer.select(F.col("c_custkey").alias("o_custkey")),
+              "o_custkey", "left_anti")
         .agg(F.count("*").alias("orphans"))
     )
 

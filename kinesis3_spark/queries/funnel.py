@@ -6,15 +6,21 @@ cross-event-type sequence semantics).
 
 Scale design (100 TB):
 
-* Funnel: ONE shuffle keyed on user_id. Per-type timestamp arrays are
-  built with conditional collect_list inside a single hash aggregate, and
-  the ordered-stage logic (first view, first click AFTER it, first
-  purchase after THAT) runs as array HOFs on the collapsed per-user row —
-  no per-stage self-join, no re-shuffle per funnel step. Adding a funnel
-  stage is an expression change, not a new exchange. Per-user state is
-  that user's event timestamps for the funnel's types only; for
-  pathological power users, pre-collapse to (user, type, hour) first —
-  same plan shape.
+* Funnel: ONE shuffle keyed on user_id and BOUNDED aggregation state.
+  The ordered-stage logic (first view, first click AFTER it, first
+  purchase after THAT) is a cascade of running-min windows over the
+  user-keyed sort: `rv` = min view ts so far makes "click after first
+  view" a plain row predicate (ts > rv ⟺ ts > t1, since the t1-view
+  sorts strictly before any such click); `rc` = running min of those
+  click candidates makes the purchase stage the same predicate one level
+  up. The final per-user aggregate is then THREE SCALAR MINS — no
+  collect_list, no per-user array, state is O(1) regardless of how many
+  events a bot/power user emits (the planted-hot-user test in
+  test_search_analytics.py proves a 200k-event user costs nothing).
+  Windows and the groupBy share the same hashpartitioning(user_id), so
+  the cascade adds ZERO exchanges over the collect_list form it
+  replaces. Adding a funnel stage is one more window+predicate pair,
+  not a new exchange.
 * Cohort retention: two shuffles — per-user first-seen (agg by user_id),
   then the events⋈first-seen join lands on the SAME user_id partitioning
   (exchange reused) before the (cohort_week, week_offset) rollup, whose
@@ -61,32 +67,43 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     """,
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered three-stage funnel in one hash aggregate: conditional
-    collect_list per stage type, then array HOFs walk the stages on the
-    collapsed per-user row (first view; first click strictly after it;
-    first purchase strictly after that). The oracle expresses the same
+    """Ordered three-stage funnel with O(1) per-user aggregation state:
+    a running-min window per stage turns "first X strictly after the
+    previous stage's first" into a row-local predicate, so the per-user
+    aggregate is three scalar mins (t1, t2, t3) instead of buffered
+    timestamp arrays. Correctness of the running-min reduction: the
+    default RANGE frame includes every row with ts <= current, and each
+    stage's predicate is STRICT (>), so for any candidate row the
+    previous stage's global first (which has strictly smaller ts) is
+    already inside the frame — the running min equals the global min
+    exactly where the predicate can pass. The oracle expresses the same
     semantics as three correlated min-aggregations."""
-    # Prune to the funnel's types BEFORE the aggregate: the predicate
-    # pushes to the scan, and rows of other types never reach the shuffle.
+    # Prune to the funnel's types BEFORE the window: the predicate pushes
+    # to the scan, and rows of other types never reach the shuffle.
     ev = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "click", "purchase")
     )
-
-    def ts_of(t: str):
-        # collect_list skips the CASE's NULLs, so only type-t timestamps
-        # enter per-user state (map-side partial agg drops the rest).
-        return F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
-
-    per_user = ev.groupBy("user_id").agg(
-        ts_of("view").alias("vs"), ts_of("click").alias("cs"), ts_of("purchase").alias("ps")
+    # Default frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW) is
+    # tie-deterministic: equal-ts rows are all in frame, and equal-ts
+    # candidates can never satisfy the strict > anyway.
+    w = Window.partitionBy("user_id").orderBy("ts")
+    is_view = F.when(F.col("event_type") == "view", F.col("ts"))
+    staged = ev.withColumn("rv", F.min(is_view).over(w))
+    c2 = F.when(
+        (F.col("event_type") == "click") & (F.col("ts") > F.col("rv")), F.col("ts")
     )
-    t1 = F.array_min("vs")
-    t2 = F.array_min(F.filter(F.col("cs"), lambda c: c > F.col("t1")))
-    t3 = F.array_min(F.filter(F.col("ps"), lambda p: p > F.col("t2")))
-    stages = (
-        per_user.withColumn("t1", t1).withColumn("t2", t2).withColumn("t3", t3)
+    staged = staged.withColumn("rc", F.min(c2).over(w))
+    c3 = F.when(
+        (F.col("event_type") == "purchase") & (F.col("ts") > F.col("rc")), F.col("ts")
     )
-    return stages.agg(
+    # hashpartitioning(user_id) from the windows satisfies this groupBy:
+    # no new exchange, and state per user is exactly three timestamps.
+    per_user = staged.groupBy("user_id").agg(
+        F.min(is_view).alias("t1"),
+        F.min(c2).alias("t2"),
+        F.min(c3).alias("t3"),
+    )
+    return per_user.agg(
         F.count("t1").cast("bigint").alias("users_view"),
         F.count("t2").cast("bigint").alias("users_click"),
         F.count("t3").cast("bigint").alias("users_purchase"),

@@ -239,37 +239,42 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_topk_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's built-in `approx_top_k` sketch vs the exact top-10 heavy
-    users. The sketch aggregate is map-side combinable (fixed-size state
-    crossing the wire — the same scale contract as the CMS/HLL tier);
-    the band asserts every exact-top-10 key appears in the sketch's
-    top-k with its count within 1% of exact. Output rows are the EXACT
-    top-10 (engine-reproducible, |rows| = 10); the sketch agreement is
-    the in-band flag."""
+    users, as ONE lazy plan (round 6 — no Spark job fires at
+    construction): the sketch's single aggregate row is exploded to
+    (user_id, approx_n) and broadcast-joined onto the exact top-10
+    (TakeOrderedAndProject). The sketch aggregate is map-side combinable
+    (fixed-size state crossing the wire — the same scale contract as
+    the CMS/HLL tier). Band semantics are PER KEY: each exact-top-10
+    key's sketch count must be within max(20, 1% of THAT key's exact
+    count); a key missing from the sketch fails its band (NULL-safe ->
+    0). Output rows are the EXACT top-10 (engine-reproducible,
+    |rows| = 10); the sketch agreement is the in-band flag the oracle
+    expects to be all-1 (sketch capacity 20 >= the corpus' distinct-user
+    count tracked by the default maxItemsTracked, so top-10 counts are
+    exact at oracle SF)."""
     ev = _t(spark, sf_dir, "events")
-    approx = {
-        r["item"]: r["count"]
-        for r in ev.selectExpr("approx_top_k(cast(user_id as string), 20) AS tk")
-        .first()["tk"]
-    }
+    sketch = ev.selectExpr(
+        "explode(approx_top_k(cast(user_id as string), 20)) AS s"
+    ).select(
+        F.col("s.item").cast("bigint").alias("user_id"),
+        F.col("s.count").cast("bigint").alias("approx_n"),
+    )
     exact = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("exact_n"))
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(10)
-        .collect()
     )
-    total = sum(r["exact_n"] for r in exact)
-    band = max(20, int(0.01 * total))
-    out = [
-        (
-            r["user_id"],
-            r["exact_n"],
-            1
-            if abs(approx.get(str(r["user_id"]), -(10**9)) - r["exact_n"]) <= band
-            else 0,
+    band = F.greatest(F.lit(20), F.floor(F.col("exact_n") * 0.01))
+    return (
+        exact.join(F.broadcast(sketch), "user_id", "left")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.when(F.abs(F.col("approx_n") - F.col("exact_n")) <= band, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("sketch_ok"),
         )
-        for r in exact
-    ]
-    return spark.createDataFrame(
-        out, "user_id long, exact_n long, sketch_ok int"
-    ).orderBy(F.desc("exact_n"), "user_id")
+        .orderBy(F.desc("exact_n"), "user_id")
+    )

@@ -108,9 +108,9 @@ def agg_median_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY event_type
     )
     SELECT d.event_type, strftime(day, '%Y-%m-%d') AS day, n,
-           round((n - mu) / sigma, 4) AS z,
-           CAST(CASE WHEN abs((n - mu) / sigma) > 2.0 THEN 1 ELSE 0 END AS BIGINT)
-             AS is_anomaly
+           round((n - mu) / nullif(sigma, 0), 4) AS z,
+           CAST(CASE WHEN abs((n - mu) / nullif(sigma, 0)) > 2.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM daily d JOIN stats s USING (event_type)
     ORDER BY event_type, day
     """,
@@ -130,7 +130,13 @@ def stats_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
     )
-    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    # sigma == 0 (a type whose daily counts are all identical) must be a
+    # deterministic NULL z / 0 flag on BOTH engines — Spark's x/0.0 is
+    # NULL but DuckDB's ieee_floating_point_ops mode yields ±inf, so
+    # guard the divisor explicitly rather than lean on engine defaults.
+    z = F.when(
+        F.col("sigma") != 0, (F.col("n") - F.col("mu")) / F.col("sigma")
+    )
     return (
         daily.join(F.broadcast(stats), "event_type")
         .select(

@@ -89,3 +89,17 @@ def test_oversized_dim_falls_back_to_plain_join(spark):
         assert out.count() == 100  # correct result via the plain join
     finally:
         pruning.MAX_PRUNE_VALUES = old
+
+
+def test_non_prunable_how_is_rejected(spark):
+    """The isin pre-filter drops unmatched fact rows — legal only for
+    inner/left_semi. Outer and anti joins must be refused loudly, never
+    silently mis-joined (ADVICE r5)."""
+    import pytest
+
+    fact = spark.range(10).select(F.col("id").alias("k"))
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("left", "full", "left_anti", "right", "anti"):
+        with pytest.raises(ValueError, match="not prunable"):
+            pruned_star_join(fact, dim, "k", how=how)
+    assert pruned_star_join(fact, dim, "k", how="left_semi").count() == 5

@@ -215,6 +215,7 @@ def test_dq_suite_detects_planted_violations(spark):
             (1, 11, 50.0),     # duplicate PK
             (2, 99, 75.0),     # orphan custkey
             (3, 10, -5.0),     # non-positive price
+            (4, None, 30.0),   # NULL custkey: not-null violation, NOT an orphan
         ],
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     ))
@@ -232,12 +233,105 @@ def test_dq_suite_detects_planted_violations(spark):
 
     out = {r.check_name: r for r in dq_constraint_suite(spark, d).collect()}
     assert out["orders_pk_unique"].violations == 1
+    # the NULL-custkey row must land in not_null, never in the FK orphans
+    # (Spark left_anti keeps NULL keys; the explicit isNotNull pre-filter
+    # pins NOT IN-compatible semantics — ADVICE r5)
     assert out["orders_custkey_fk_customer"].violations == 1
     assert out["orders_totalprice_positive"].violations == 1
-    assert out["orders_custkey_not_null"].violations == 0
+    assert out["orders_custkey_not_null"].violations == 1
     assert out["lineitem_quantity_in_1_50"].violations == 1
     assert out["lineitem_returnflag_domain"].violations == 1
     assert out["lineitem_discount_in_0_10pct"].violations == 1
     assert all(
         (r.passed == 1) == (r.violations == 0) for r in out.values()
+    )
+
+
+def test_funnel_bounded_state_hot_user(spark):
+    """A 200k-event bot user must cost O(1) aggregation state: the funnel
+    is a running-min window cascade + three scalar mins, NOT a per-user
+    collect_list (the one bounded-state exception VERDICT r5 flagged).
+    Asserts both the semantics on a planted ordering-edge fixture and the
+    structural bound (no collect_list / object-hash aggregate in plan)."""
+    d = tempfile.mkdtemp(prefix="k3s_funnel_")
+    base = pd.Timestamp("2024-01-01")
+    n_hot = 200_000
+    hot = pd.DataFrame(
+        {
+            "event_id": range(n_hot),
+            "ts": base + pd.to_timedelta(range(n_hot), unit="s"),
+            "user_id": 0,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    extra = pd.DataFrame(
+        [
+            # hot user converts: click after first view, purchase after that
+            (n_hot, base + pd.Timedelta(seconds=n_hot + 1), 0, "click", 1.0, "{}"),
+            (n_hot + 1, base + pd.Timedelta(seconds=n_hot + 2), 0, "purchase", 1.0, "{}"),
+            # user 1: purchase BEFORE its first click -> not counted at stage 3
+            (n_hot + 2, base + pd.Timedelta(seconds=5), 1, "purchase", 1.0, "{}"),
+            (n_hot + 3, base + pd.Timedelta(seconds=10), 1, "view", 1.0, "{}"),
+            (n_hot + 4, base + pd.Timedelta(seconds=20), 1, "click", 1.0, "{}"),
+            # user 2: click strictly before its first view -> stage 2 empty
+            (n_hot + 5, base + pd.Timedelta(seconds=1), 2, "click", 1.0, "{}"),
+            (n_hot + 6, base + pd.Timedelta(seconds=2), 2, "view", 1.0, "{}"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    _write(d, "events", pd.concat([hot, extra], ignore_index=True))
+    from kinesis3_spark.queries.funnel import funnel_view_click_purchase
+
+    df = funnel_view_click_purchase(spark, d)
+    row = df.collect()[0]
+    assert (row.users_view, row.users_click, row.users_purchase) == (3, 2, 1)
+    assert abs(row.conversion - 1 / 3) < 1e-12
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, "funnel regressed to buffered arrays"
+    assert "ObjectHashAggregate" not in plan, "non-scalar aggregation state"
+
+
+def test_anomaly_zscore_constant_counts_sigma_zero(spark):
+    """A type whose daily counts are all identical has sigma == 0: z must
+    be deterministically NULL and is_anomaly 0 on BOTH engines (Spark's
+    x/0.0 is NULL; DuckDB's IEEE mode would give inf without the nullif
+    guard — ADVICE r5). The spiky type pins the positive path."""
+    import duckdb
+
+    d = tempfile.mkdtemp(prefix="k3s_anom_")
+    rows = []
+    eid = 0
+    # steady: exactly 3 events/day for 3 days -> sigma 0
+    for day in range(1, 4):
+        for _ in range(3):
+            rows.append((eid, pd.Timestamp(f"2024-02-{day:02d} 12:00:00"), 1, "steady", 1.0, "{}"))
+            eid += 1
+    # spiky: 1/day for 9 days then 10 on day 10 -> z = 8.1/2.846 > 2
+    for day in range(1, 10):
+        rows.append((eid, pd.Timestamp(f"2024-03-{day:02d} 12:00:00"), 2, "spiky", 1.0, "{}"))
+        eid += 1
+    for _ in range(10):
+        rows.append((eid, pd.Timestamp("2024-03-10 12:00:00"), 2, "spiky", 1.0, "{}"))
+        eid += 1
+    _write(d, "events", pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ))
+    from kinesis3_spark.queries import ORACLE
+    from kinesis3_spark.queries.statsq import stats_daily_anomaly_zscore
+    from .conftest import assert_parity
+
+    out = stats_daily_anomaly_zscore(spark, d).toPandas()
+    steady = out[out.event_type == "steady"]
+    assert steady.z.isna().all() and (steady.is_anomaly == 0).all()
+    spiky = out[out.event_type == "spiky"].set_index("day")
+    assert spiky.loc["2024-03-10"].is_anomaly == 1
+    assert (spiky.drop(index="2024-03-10").is_anomaly == 0).all()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    assert_parity(
+        stats_daily_anomaly_zscore(spark, d), con,
+        ORACLE["stats_daily_anomaly_zscore"],
     )
