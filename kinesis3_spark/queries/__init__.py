@@ -68,3 +68,4 @@ from . import funnel  # noqa: E402,F401
 from . import pipelinex  # noqa: E402,F401
 from . import search  # noqa: E402,F401
 from . import dataquality  # noqa: E402,F401
+from . import roundtrip  # noqa: E402,F401
