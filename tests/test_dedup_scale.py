@@ -78,3 +78,60 @@ def test_incremental_bucketed_matches_plain(spark, sf_dir):
         tuple(r) for r in QUERIES["dedup_incremental_bucketed"](spark, sf_dir).collect()
     }
     assert plain == bucketed and len(plain) > 0
+
+
+def test_daily_ingest_loop_prep_store_incremental(spark, sf_dir):
+    """The FULL daily-ingest loop (VERDICT r5 stretch item): day-0 corpus
+    prep (quality gate + within-day exact dedup), admitted fingerprints
+    persisted through the bucketed sink keyed on fp, then the next day's
+    batch incrementally deduped against the store — and the day-1 executed
+    plan carries exactly ONE Exchange (the incoming batch). Survivors are
+    recomputed in plain Python to pin semantics end-to-end."""
+    import hashlib
+    import re
+    import tempfile
+
+    from kinesis3_spark.functions.text import fingerprint
+    from kinesis3_spark.sinks.bucketed import write_bucketed
+    from kinesis3_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    day0 = docs.where(F.col("doc_id") % 2 == 0)
+    day1 = docs.where(F.col("doc_id") % 2 == 1)
+
+    # Day-0 prep: gate + exact dedup (empty history), store fps bucketed.
+    gate = F.col("n_chars") >= 50
+    prep = D.incremental_dedup(
+        day0.where(gate), spark.createDataFrame([], "fp string")
+    )
+    name = "bk_daily_loop_fps"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = tempfile.mkdtemp(prefix="k3s_daily_loop_")
+    write_bucketed(
+        prep.select(fingerprint("text").alias("fp")), name, ["fp"], 8, base + "/fps"
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = D.incremental_dedup(day1, spark.table(name))
+        got = sorted(r.doc_id for r in out.select("doc_id").collect())
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, (
+            f"daily loop gained a shuffle:\n{plan[:2000]}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    pdf = docs.select("doc_id", "text", "n_chars").toPandas()
+
+    def fp(t: str) -> str:
+        toks = re.split(r"\s+", re.sub(r"^\s+|\s+$", "", t.lower()))
+        return hashlib.md5(" ".join(sorted(set(toks))).encode()).hexdigest()
+
+    pdf["fp"] = pdf.text.map(fp)
+    d0 = pdf[(pdf.doc_id % 2 == 0) & (pdf.n_chars >= 50)]
+    hist = set(d0.fp)  # within-day dedup keeps the fp SET identical
+    d1 = pdf[(pdf.doc_id % 2 == 1) & (~pdf.fp.isin(hist))]
+    want = sorted(d1.groupby("fp").doc_id.min())
+    assert got == want and len(got) > 0
