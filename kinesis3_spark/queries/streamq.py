@@ -400,3 +400,123 @@ if _protobuf_available():
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, old)
+
+
+# --------------------------------------------------------------------------
+# Watermark late-data drop as an ORACLE-CHECKABLE round-trip (§2b row 44).
+# --------------------------------------------------------------------------
+_WM_SINK_CACHE: dict[str, str] = {}
+
+
+def _watermark_two_phase_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Make watermark dropping DETERMINISTIC, hence SQL-expressible: split
+    events by event_id parity into two files, drain the checkpointed
+    windowed aggregation twice (availableNow per phase — phase 2 restarts
+    from phase 1's committed watermark). Everything the append-mode file
+    sink then contains is a pure function of the corpus:
+
+      wm1 = max(even ts) - delay   (watermark after phase 1)
+      wm2 = max(all ts)  - delay   (watermark after phase 2)
+
+    phase-1 emits windows closing <= wm1 with EVEN-only counts (their
+    state is then evicted, so phase-2 odd rows for them are late-dropped);
+    phase-2 emits windows closing in (wm1, wm2] with full counts; windows
+    past wm2 are withheld by append mode. The oracle recomputes exactly
+    that from the raw table — if the engine failed to drop late rows (or
+    dropped on-time ones) the per-window counts hash-mismatch."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    out = _WM_SINK_CACHE.get(sf_dir)
+    if out is not None and os.path.isdir(out):
+        return out
+    base = tempfile.mkdtemp(prefix="k3s_wmrt_")
+    src, out, ck = base + "/src", base + "/out", base + "/ck"
+    os.makedirs(src)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+
+    def land(df, name: str) -> None:
+        tmp = os.path.join(base, "tmp_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(
+            glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(src, name + ".parquet"),
+        )
+
+    land(ev.where(F.col("event_id") % 2 == 0), "day1")
+    schema = spark.read.parquet(src).schema
+
+    def drain() -> None:
+        sdf = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                "event_type",
+                "n",
+            )
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        drain()
+        land(ev.where(F.col("event_id") % 2 == 1), "day2")
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    _WM_SINK_CACHE[sf_dir] = out
+    return out
+
+
+@query(
+    "stream_watermark_late_drop",
+    oracle="""
+    WITH e AS (
+      SELECT ts, event_type, (event_id % 2 = 0) AS is_even FROM events
+    ),
+    wm AS (
+      SELECT max(ts) FILTER (WHERE is_even) - INTERVAL 30 MINUTE AS wm1,
+             max(ts) - INTERVAL 30 MINUTE AS wm2
+      FROM e
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+             count(*) FILTER (WHERE is_even) AS n_even,
+             count(*) FILTER (WHERE NOT is_even) AS n_odd
+      FROM e GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           (n_even + CASE WHEN ws + INTERVAL 5 MINUTE > wm.wm1
+                          THEN n_odd ELSE 0 END)::BIGINT AS n
+    FROM agg, wm
+    WHERE ws + INTERVAL 5 MINUTE <= wm.wm2
+      AND (n_even + CASE WHEN ws + INTERVAL 5 MINUTE > wm.wm1
+                         THEN n_odd ELSE 0 END) > 0
+    ORDER BY win_start, event_type
+    """,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed counts surviving the two-phase watermark drain
+    (see _watermark_two_phase_sink) — the §2b row-44 semantics, officially
+    oracle-checked instead of pytest-only."""
+    out = _watermark_two_phase_sink(spark, sf_dir)
+    return (
+        spark.read.schema("win_start string, event_type string, n long")
+        .parquet(out)
+        .orderBy("win_start", "event_type")
+    )
