@@ -323,3 +323,64 @@ def statestore_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_Z_CACHE: dict[str, str] = {}
+
+
+@query(
+    "sink_zorder_roundtrip",
+    oracle="""
+    SELECT CAST(CASE WHEN user_id BETWEEN 10 AND 40 AND value >= 10 AND value <= 60
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_box,
+           count(*)::BIGINT AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS value_micro_sum
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rewritten through the Z-order layout writer
+    (operators/zorder.py — Morton interleave of (user_id, value),
+    range-partitioned so every file covers a compact curve segment) and
+    read back grouped by a 2-D box flag. The identity sums over BOTH
+    groups prove the clustered rewrite is value-lossless; the box group
+    is the predicate shape whose file pruning `tests/test_zorder.py`
+    measures against footer stats (<half the files touched vs all). At
+    100 TB this is the Delta/Iceberg OPTIMIZE ZORDER primitive built from
+    plain Column expressions — pay one range exchange at write time, scan
+    ~sqrt of the files on every 2-D selective query after."""
+    from ..operators.zorder import write_zordered
+
+    path = _Z_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="k3s_zorder_") + "/events"
+        write_zordered(
+            load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "value"
+            ),
+            path,
+            "user_id",
+            "value",
+            n_files=16,
+        )
+        _Z_CACHE[sf_dir] = path
+    ev = spark.read.parquet(path)
+    in_box = (
+        F.col("user_id").between(10, 40)
+        & (F.col("value") >= 10)
+        & (F.col("value") <= 60)
+    )
+    return (
+        ev.groupBy(F.when(in_box, 1).otherwise(0).cast("bigint").alias("in_box"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("bigint")
+            .alias("value_micro_sum"),
+        )
+        .orderBy("in_box")
+    )
