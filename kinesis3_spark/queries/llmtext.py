@@ -276,3 +276,54 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_cnt").cast("bigint").alias("cum_cnt"),
         )
     )
+
+
+@query(
+    "text_token_rarity_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t
+    ),
+    f AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY hv) AS freq FROM h
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tok,
+           CAST(sum(freq) AS BIGINT) AS sum_freq,
+           CAST(floor(100.0 * sum(freq) / count(*)) AS BIGINT) AS avg_freq_x100
+    FROM f GROUP BY doc_id
+    """,
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity score per document (the LM-free cousin of
+    CCNet's perplexity quality bucket, Wenzek et al. 2020 — public): each
+    token contributes its global corpus frequency; a document dominated by
+    corpus-rare tokens (gibberish, codes, boilerplate IDs) scores low
+    avg_freq, a stopword-heavy one scores high. Integer-exact outputs
+    (counts + floor of an exact-int ratio whose distance from integer
+    boundaries is >= 1/n_tok — no float parity edge).
+
+    Scale shape: ONE explode, tokens hashed to 60-bit longs BEFORE any
+    exchange (gram-hashes-not-strings discipline), then a count window
+    partitioned by hash followed by the per-doc aggregate — two keyed
+    map-side-bounded shuffles, NO vocab self-join (the agg+join-back
+    formulation would consume the exploded subtree twice; Catalyst
+    re-plans duplicated subtrees, SCALE.md round-4 lesson). Window state
+    is a single count per hash partition; per-doc aggregation state is
+    two longs."""
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import portable_hash60
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("tok")
+    )
+    hashed = toks.select("doc_id", portable_hash60(F.col("tok")).alias("hv"))
+    freq = hashed.withColumn("freq", F.count("*").over(Window.partitionBy("hv")))
+    return freq.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok"),
+        F.sum("freq").cast("bigint").alias("sum_freq"),
+        F.floor(F.lit(100.0) * F.sum("freq") / F.count("*"))
+        .cast("bigint")
+        .alias("avg_freq_x100"),
+    )
