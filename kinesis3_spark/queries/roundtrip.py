@@ -384,3 +384,66 @@ def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("in_box")
     )
+
+
+_COMPACT_CACHE: dict[str, str] = {}
+
+
+@query(
+    "sink_compact_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS value_micro_sum
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (sinks/compact.py — the
+    maintenance pass that keeps a streaming archive's long tail of
+    KB-scale files from dominating scan planning at 100 TB): events are
+    deliberately fragmented into 64 files, compacted in place via the
+    shuffle-free coalesce + atomic directory swap, then read back and
+    aggregated. Identity sums over event_id prove the rewrite dropped or
+    duplicated nothing; the compaction itself is asserted to have reduced
+    the file count (a no-op compactor would still pass the sums)."""
+    from ..sinks.compact import compact_parquet
+
+    path = _COMPACT_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="k3s_compact_") + "/events"
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        n_before = sum(
+            1
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+        n_after = sum(
+            1
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        assert n_after < n_before, (n_before, n_after)
+        _COMPACT_CACHE[sf_dir] = path
+    ev = spark.read.parquet(path)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("bigint")
+            .alias("value_micro_sum"),
+        )
+        .orderBy("event_type")
+    )

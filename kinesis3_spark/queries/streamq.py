@@ -520,3 +520,61 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .orderBy("win_start", "event_type")
     )
+
+
+_ROLLUP_CACHE: dict[str, str] = {}
+
+
+def _continuous_rollup_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the continuous rollup (streaming/rollup.py — update-mode
+    tumbling agg → foreachBatch last-writer-wins upsert, the PRODUCTION
+    incremental path app.py wires) over the events stream, once per
+    sf_dir. Returns the rollup table directory."""
+    import os
+    import tempfile
+
+    from ..streaming.rollup import continuous_rollup, rollup_events
+
+    target = _ROLLUP_CACHE.get(sf_dir)
+    if target is not None and os.path.isdir(target):
+        return target
+    base = tempfile.mkdtemp(prefix="k3s_rollup_")
+    target, ck = base + "/rollup", base + "/ck"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = continuous_rollup(
+            rollup_events(stream_events(spark, sf_dir)), target, ck
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    _ROLLUP_CACHE[sf_dir] = target
+    return target
+
+
+@query(
+    "stream_continuous_rollup",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '{_FMT}') AS win_start,
+           event_type,
+           count(*)::BIGINT AS n
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate MATERIALIZATION (TimescaleDB's continuous
+    aggregate, Spark-first): update-mode streaming rollup upserted per
+    micro-batch into a parquet table, which must equal re-aggregating
+    everything from scratch — the oracle IS that from-scratch aggregate.
+    Counts only: the convergence property under test (cumulative state +
+    last-writer-wins by batch id) is fully pinned by n per (window, type);
+    the float value path is already oracle-covered by
+    stream_tumbling_counts on the same windows."""
+    target = _continuous_rollup_table(spark, sf_dir)
+    return (
+        spark.read.parquet(target)
+        .select("win_start", "event_type", F.col("n").cast("bigint").alias("n"))
+        .orderBy("win_start", "event_type")
+    )
