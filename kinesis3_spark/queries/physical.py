@@ -278,3 +278,110 @@ def approx_topk_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "user_id")
     )
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # oracle corpora are KBs — drop the size gates so the rule fires at
+    # test SF exactly as it would on a TB-scale fact side in production
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "join_bloom_pruned_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def join_bloom_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Catalyst's
+    InjectRuntimeFilter — the engine analogue of the reference's
+    find-ids-then-fetch two-step, db.clj:70-78): the selective dim filter
+    becomes a bloom filter applied on the fact side BEFORE its shuffle,
+    so at 100 TB the join shuffles only rows that CAN match. Bloom false
+    positives are removed by the exact join, so results are identical to
+    the plain join the oracle runs — that identity is what this row
+    certifies (`tests/test_runtime_filter.py` additionally asserts
+    might_contain is injected). The bloom confs are scoped to plan
+    compilation: the optimized plan is forced (driver-side analysis, no
+    Spark job) inside the scope and cached on the returned frame."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        df = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                (F.sum(cents).cast("double") / 100).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # Force plan compilation under the scoped confs (cached lazy vals
+        # on QueryExecution; no job runs here).
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@query(
+    "join_pruned_star_partitioned",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_pruned_star_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit star-join partition pruning (operators/pruning.py — the
+    static-isin rewrite shipped because DPP measurably degrades to a
+    no-op on this build, SCALE.md known trade-offs): the dim side's
+    bounded key set pre-filters the o_orderpriority-partitioned fact
+    (written once by sink_parquet_partitioned_roundtrip's cache) so the
+    scan lists only the 2 matching partition directories of 5
+    (`tests/test_pruning.py` measures numPartitions 10→2 on the same
+    path). The oracle is the unpruned equivalent — pruning must be
+    invisible in results."""
+    from ..operators.pruning import pruned_star_join
+    from .roundtrip import sink_parquet_partitioned_roundtrip  # noqa: F401
+    from . import roundtrip as _rt
+
+    # Reuse the cached partitioned layout (materializes on first use).
+    path = _rt._PART_CACHE.get(sf_dir)
+    if path is None:
+        _rt.sink_parquet_partitioned_roundtrip(spark, sf_dir).count()
+        path = _rt._PART_CACHE[sf_dir]
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT",), ("2-HIGH",)], "o_orderpriority string"
+    )
+    return (
+        pruned_star_join(fact, dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
