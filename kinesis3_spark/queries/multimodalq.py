@@ -99,3 +99,73 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("stats_ok"),
     )
+
+
+def _synthesize_videos(docs: DataFrame) -> DataFrame:
+    """documents → RAWV 'videos': 1 + (n_chars % 7) frames of 4x4 constant
+    pixels, frame i filled with (doc_id + i) % 256. Constant frames make
+    every decoded feature a pure arithmetic function of (doc_id,
+    frame_idx), which is what lets a SQL oracle check the REAL
+    decode/sample path output-exactly (the geometry trick of
+    _synthesize_images, extended to the time axis)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 1 + int(nch) % 7
+                frames = np.stack(
+                    [np.full((4, 4), (int(did) + i) % 256, np.uint8) for i in range(n)]
+                )
+                ids.append(did)
+                payloads.append(M.encode_rawv(frames))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        gen, schema="media_id long, data binary"
+    )
+
+
+@query(
+    "multimodal_video_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+           CAST((doc_id + i) % 256 AS BIGINT) AS mean_px
+    FROM documents, UNNEST(generate_series(0, n_chars % 7, 2)) AS t(i)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, oracle-exact end to end: synthesize
+    RAWV containers, run the REAL sample_frames operator (mapInPandas
+    decode → every-2nd-frame slice → per-frame RAWI re-encode →
+    skew-guard repartition), decode each sampled frame and emit its mean
+    pixel. The oracle derives the identical (media_id, frame_idx,
+    mean_px) rows from pure arithmetic — a stride bug, off-by-one in the
+    frame count, or byte-level corruption in either container format
+    breaks the hash. Real codecs (MP4/ffmpeg) remain the declared env
+    boundary in operators/multimodal.py; everything Spark-side — batch
+    shapes, explode fan-out, Arrow boundaries — is the production
+    plumbing."""
+    vids = _synthesize_videos(_t(spark, sf_dir, "documents"))
+    sampled = M.sample_frames(vids, every_n=2)
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = [
+                int(M._decode_image(bytes(b)).mean()) for b in pdf["data"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "mean_px": means,
+                }
+            )
+
+    return (
+        sampled.mapInPandas(
+            feat, schema="media_id long, frame_idx int, mean_px long"
+        )
+        .orderBy("media_id", "frame_idx")
+    )
