@@ -80,6 +80,9 @@ HEADLINE = [
     "agg_approx_topk_band",
     "stream_file_sink_roundtrip",
     "statestore_reconciliation",
+    # round 6b: PQ encode pass + the multimodal frame-sample fan-out
+    "embed_pq_reconstruction_band",
+    "multimodal_video_frame_sample",
 ]
 
 
