@@ -230,3 +230,73 @@ def seq_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(wrow), 4))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "seq_topk_session_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(CASE WHEN pts IS NULL
+                          OR epoch_us(ts) - epoch_us(pts) > 43200000000
+                         THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM o
+    ),
+    r AS (
+      SELECT *, row_number()
+                OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 8 GROUP BY user_id, sid
+    )
+    SELECT path, count(*)::BIGINT AS n_sessions
+    FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def seq_topk_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common session journeys: sessionize per user (12 h
+    inactivity gap, exact microsecond comparison on both engines), keep
+    each session's first 8 events IN ORDER, and count identical
+    type-paths. The product-analytics rollup behind "typical user flows"
+    dashboards.
+
+    Scale shape: ONE user-keyed shuffle carries the whole pipeline — the
+    lag window, the running session-id sum, and the within-session
+    row_number chain over the same (user)-prefixed sort, and the
+    session-path aggregate reuses hashpartitioning(user_id) (a subset of
+    the (user, sid) grouping — clustering is preserved, no new
+    exchange). Aggregation state per session is CAPPED at 8 (rn <= 8
+    filters BEFORE the collect; a 200k-event bot user contributes at
+    most 8 rows per session). The final path count is a second tiny
+    shuffle of |distinct paths| rows ended by TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+    new_sess = F.when(gap.isNull() | (gap > 43_200_000_000), 1).otherwise(0)
+    s = ev.withColumn("ns", new_sess).withColumn(
+        "sid", F.sum("ns").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(ws)).where(F.col("rn") <= 8)
+    paths = r.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

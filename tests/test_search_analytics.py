@@ -335,3 +335,22 @@ def test_anomaly_zscore_constant_counts_sigma_zero(spark):
         stats_daily_anomaly_zscore(spark, d), con,
         ORACLE["stats_daily_anomaly_zscore"],
     )
+
+
+def test_session_paths_cap_and_gap(spark):
+    """Path cap and session-gap semantics: a 12-event burst yields ONE
+    session whose path keeps only the first 8 events in ts order; a
+    >12h-later event opens a new session."""
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(12):  # one burst, minutes apart
+        rows.append((i, base + pd.Timedelta(minutes=i), 1, f"t{i}", 1.0, "{}"))
+    rows.append((50, base + pd.Timedelta(hours=20), 1, "late", 1.0, "{}"))
+    d = tempfile.mkdtemp(prefix="k3s_paths_")
+    _write(d, "events", pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ))
+    from kinesis3_spark.queries.funnel import seq_topk_session_paths
+
+    got = {r.path: r.n_sessions for r in seq_topk_session_paths(spark, d).collect()}
+    assert got == {">".join(f"t{i}" for i in range(8)): 1, "late": 1}
