@@ -184,3 +184,16 @@ def test_scale_lint_sweep_set_is_registry():
 
     assert sweep_names([]) == sorted(QUERIES)
     assert sweep_names(["a"]) == ["a"]
+
+
+def test_session_paths_two_shuffles(spark, sf_dir):
+    """seq_topk_session_paths promises: one user-keyed shuffle carrying
+    the whole sessionize+rank+path pipeline (the (user, sid) window and
+    aggregate reuse hashpartitioning(user_id) via subset clustering),
+    plus one tiny path-count shuffle ended by TakeOrderedAndProject.
+    (Plan strings under AQE contain both initial and final plans, so
+    substring counts are doubled.)"""
+    df = QUERIES["seq_topk_session_paths"](spark, sf_dir)
+    plan = _executed(df)
+    assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
