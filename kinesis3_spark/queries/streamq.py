@@ -578,3 +578,81 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win_start", "event_type", F.col("n").cast("bigint").alias("n"))
         .orderBy("win_start", "event_type")
     )
+
+
+def _left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = stream_events(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "10 minutes")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "10 minutes")
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("p_user").cast("bigint").alias("user_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        F.coalesce(F.col("click_id"), F.lit(-1)).cast("bigint").alias("click_id"),
+    )
+
+
+@query(
+    "stream_stream_left_outer_attribution",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 10 MINUTE AS wm
+    ),
+    pairs AS (
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 10 MINUTE
+       AND c.ts < p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ),
+    unmatched AS (
+      SELECT p.user_id, p.event_id AS purchase_id, CAST(-1 AS BIGINT) AS click_id
+      FROM events p, wm
+      WHERE p.event_type = 'purchase'
+        AND p.ts <= wm.wm
+        AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        )
+    )
+    SELECT * FROM pairs UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the harder half of the
+    stream-join surface: matched (purchase, click) pairs emit immediately;
+    an UNMATCHED purchase emits its null row only once the join watermark
+    (min of the two sides' watermarks) guarantees no qualifying click can
+    still arrive, and purchases younger than the final watermark are
+    withheld forever (state still open at drain end). Exactly that
+    semantics is SQL-expressible for a bounded drain: the oracle emits
+    every inner pair plus the no-click purchases at or below
+    min(max click ts, max purchase ts) - 10 min. The null click is
+    surfaced as -1 on both engines (engine-neutral null encoding).
+    State story is unchanged from the inner form: both sides keyed on
+    user, retention bounded by lookback + watermark."""
+    return run_to_memory(
+        _left_outer_attribution(spark, sf_dir), output_mode="append"
+    )
