@@ -656,3 +656,23 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         _left_outer_attribution(spark, sf_dir), output_mode="append"
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT event_id, event_type, user_id FROM events",
+)
+def stream_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the state-BOUNDED production dedup
+    (Spark 3.5+/4 API, distinct from plain dropDuplicates): state for a
+    key is evicted once the watermark passes its event time + delay, so
+    an unbounded at-least-once stream holds O(keys per window) state
+    instead of O(keys ever), while still absorbing re-deliveries whose
+    timestamps drifted within the delay. Same doubled-stream replay
+    fixture as stream_dedup_replay; identical exactly-once output is the
+    oracle's plain projection."""
+    doubled = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
+    deduped = dedup_stream(doubled, keys=("event_id",), within_watermark=True)
+    return run_to_memory(
+        deduped.select("event_id", "event_type", "user_id"), output_mode="append"
+    )
