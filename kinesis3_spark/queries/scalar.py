@@ -276,3 +276,42 @@ def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct(k_int.alias("k"))).alias("rebuilt"),
         F.get_json_object("props", "$.missing").alias("missing"),
     )
+
+
+@query(
+    "scalar_try_error_safe",
+    oracle="""
+    SELECT count(*)::BIGINT AS n,
+           count(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE floor(o_orderkey * 100.0 / (o_orderkey % 7)) END
+                )::BIGINT AS n_div_ok,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                         ELSE floor(o_orderkey * 100.0 / (o_orderkey % 7)) END)
+                AS BIGINT) AS div_sum,
+           count(TRY_CAST(o_orderstatus AS INTEGER))::BIGINT AS n_cast_ok,
+           count(TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER))::BIGINT
+             AS n_cast_num
+    FROM orders
+    """,
+)
+def scalar_try_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe scalar tier (Spark try_divide / try_cast — ANSI-mode
+    pipelines keep running on bad rows instead of failing the job, the
+    behavior a 100 TB ingest needs when one record in a billion is
+    malformed): division by zero and non-numeric casts become NULLs and
+    are counted, never raised. The oracle spells the same semantics with
+    CASE/TRY_CAST. div outputs are floor-quantized integers (exact parity;
+    quotient's distance from integer boundaries >= 1/6)."""
+    o = _t(spark, sf_dir, "orders")
+    div = F.floor(
+        F.try_divide(F.col("o_orderkey") * 100.0, F.col("o_orderkey") % 7)
+    )
+    return o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(div).cast("bigint").alias("n_div_ok"),
+        F.sum(div).cast("bigint").alias("div_sum"),
+        F.count(F.col("o_orderstatus").try_cast("int")).cast("bigint").alias("n_cast_ok"),
+        F.count(F.col("o_orderkey").cast("string").try_cast("int"))
+        .cast("bigint")
+        .alias("n_cast_num"),
+    )

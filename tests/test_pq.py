@@ -62,3 +62,16 @@ def test_pq_band_query_flags_green(spark, sf_dir):
     row = QUERIES["embed_pq_reconstruction_band"](spark, sf_dir).collect()[0]
     assert row.codes_ok == 1 and row.codes_diverse == 1
     assert row.better_than_mean == 1
+
+
+def test_pq_training_is_deterministic(spark, sf_dir):
+    """Rerun-stable codebooks: the bounded sample is orderBy'd before
+    limit, and Lloyd with a fixed seed/iteration count is pure — training
+    twice must produce bit-identical codebooks (the property a resumable
+    index build depends on)."""
+    from kinesis3_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = S.train_pq_codebooks(emb, m=8, k=16, iters=4)
+    b2 = S.train_pq_codebooks(emb, m=8, k=16, iters=4)
+    assert np.array_equal(b1, b2)
