@@ -300,3 +300,119 @@ def seq_topk_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@query(
+    "pipeline_event_analytics_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT avg(n) AS mu, stddev_samp(n) AS sigma FROM daily
+    ),
+    anom AS (
+      SELECT count(*) AS n_anom FROM daily, stats
+      WHERE sigma <> 0 AND abs((n - mu) / sigma) > 2.0
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                      > 43200000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    )
+    SELECT metric, value FROM (
+      SELECT 'days_observed' AS metric, count(*)::BIGINT AS value FROM daily
+      UNION ALL SELECT 'total_events', CAST(sum(n) AS BIGINT) FROM daily
+      UNION ALL SELECT 'peak_dau', CAST(max(dau) AS BIGINT) FROM daily
+      UNION ALL SELECT 'anomalous_days', CAST(n_anom AS BIGINT) FROM anom
+      UNION ALL SELECT 'users_reached_click', count(*)::BIGINT FROM s2
+      UNION ALL SELECT 'total_sessions', CAST(sum(ns) AS BIGINT) FROM sess
+    ) ORDER BY metric
+    """,
+)
+def pipeline_event_analytics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed product-analytics daily build — the events-side analog
+    of pipeline_llm_corpus_prep: one registered query certifies the
+    COMPOSITION of the individually-green primitives (daily rollup,
+    z-score anomaly count, funnel stage-2 reach, 12h-gap sessionization)
+    into the metric table a dashboard would publish nightly.
+
+    Shuffle budget: daily rollup = one (day)-keyed map-side-combined
+    aggregate; anomaly = 1-row stats attach; funnel reach = the
+    running-min window cascade's first two stages (one user-keyed
+    shuffle); session count = the same user-keyed sort's lag, summed
+    WITHOUT materializing session ids. Every branch ends in a 1-row or
+    |days|-row aggregate melted via the dq-suite crossJoin+explode
+    pattern (each 1-row attach; no subtree re-scan per metric)."""
+    ev = _t(spark, sf_dir, "events")
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"), F.count_distinct("user_id").alias("dau")
+    )
+    dstats = daily.agg(
+        F.count("*").cast("bigint").alias("days_observed"),
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.max("dau").cast("bigint").alias("peak_dau"),
+    )
+    mom = daily.agg(F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma"))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    anom = (
+        daily.crossJoin(F.broadcast(mom))
+        .where((F.col("sigma") != 0) & (F.abs(z) > 2.0))
+        .agg(F.count("*").cast("bigint").alias("anomalous_days"))
+    )
+
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    is_view = F.when(F.col("event_type") == "view", F.col("ts"))
+    staged = ev.withColumn("rv", F.min(is_view).over(wu))
+    c2 = F.when(
+        (F.col("event_type") == "click") & (F.col("ts") > F.col("rv")), F.col("ts")
+    )
+    reach = (
+        staged.groupBy("user_id")
+        .agg(F.min(c2).alias("t2"))
+        .agg(F.count("t2").cast("bigint").alias("users_reached_click"))
+    )
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wo))
+    ns = F.when(gap.isNull() | (gap > 43_200_000_000), 1).otherwise(0)
+    sessions = ev.select(ns.alias("ns")).agg(
+        F.sum("ns").cast("bigint").alias("total_sessions")
+    )
+
+    melted = (
+        dstats.crossJoin(anom).crossJoin(reach).crossJoin(sessions).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(m).alias("metric"), F.col(m).alias("value"))
+                        for m in (
+                            "days_observed",
+                            "total_events",
+                            "peak_dau",
+                            "anomalous_days",
+                            "users_reached_click",
+                            "total_sessions",
+                        )
+                    ]
+                )
+            ).alias("kv")
+        )
+    )
+    return melted.select("kv.metric", "kv.value").orderBy("metric")
