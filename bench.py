@@ -83,6 +83,9 @@ HEADLINE = [
     # round 6b: PQ encode pass + the multimodal frame-sample fan-out
     "embed_pq_reconstruction_band",
     "multimodal_video_frame_sample",
+    # round 6c: journey mining + the composed analytics build
+    "seq_topk_session_paths",
+    "pipeline_event_analytics_daily",
 ]
 
 
