@@ -416,3 +416,79 @@ def pipeline_event_analytics_daily(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return melted.select("kv.metric", "kv.value").orderBy("metric")
+
+
+@query(
+    "seg_rfm_user_segments",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             datediff('day', CAST(max(ts) AS DATE),
+                      (SELECT CAST(max(ts) AS DATE) FROM events)) AS rec_days,
+             count(*) AS freq,
+             sum(CAST(floor(value * 1e6) AS BIGINT)) AS mon
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    b AS (
+      SELECT CASE WHEN rec_days <= 2 THEN 'hot' WHEN rec_days <= 7 THEN 'warm'
+                  WHEN rec_days <= 21 THEN 'cool' ELSE 'cold' END AS recency,
+             CASE WHEN freq >= 30 THEN 'high' WHEN freq >= 10 THEN 'mid'
+                  ELSE 'low' END AS frequency,
+             CASE WHEN mon >= 3000000000 THEN 'big' WHEN mon >= 1000000000
+                  THEN 'mid' ELSE 'small' END AS monetary,
+             mon
+      FROM p
+    )
+    SELECT recency, frequency, monetary,
+           count(*)::BIGINT AS n_users,
+           CAST(sum(mon) AS BIGINT) AS total_monetary_micro
+    FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def seg_rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation (recency / frequency / monetary) with FIXED
+    business-rule bands — deliberately not global ntile quantiles: an
+    ntile over the per-user relation needs a SinglePartition sort of
+    |users| rows (the exact shape scale-lint exists to kill); fixed bands
+    keep the whole query two map-side-combined aggregates — per-user
+    rollup, then the <=48-cell segment rollup — and at 100 TB the
+    quantile variant would derive its band boundaries from a
+    percentile_approx sketch and land on this same CASE-assignment plan.
+    Monetary is exact integer micros; recency is calendar days against
+    the corpus max date (DATE-cast on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_d"),
+            F.count("*").alias("freq"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("mon"),
+        )
+    )
+    mx = ev.agg(F.max(F.to_date("ts")).alias("mx_d"))
+    rec = F.datediff(F.col("mx_d"), F.col("last_d"))
+    b = p.crossJoin(F.broadcast(mx)).select(
+        F.when(rec <= 2, "hot")
+        .when(rec <= 7, "warm")
+        .when(rec <= 21, "cool")
+        .otherwise("cold")
+        .alias("recency"),
+        F.when(F.col("freq") >= 30, "high")
+        .when(F.col("freq") >= 10, "mid")
+        .otherwise("low")
+        .alias("frequency"),
+        F.when(F.col("mon") >= 3_000_000_000, "big")
+        .when(F.col("mon") >= 1_000_000_000, "mid")
+        .otherwise("small")
+        .alias("monetary"),
+        "mon",
+    )
+    return (
+        b.groupBy("recency", "frequency", "monetary")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("mon").cast("bigint").alias("total_monetary_micro"),
+        )
+        .orderBy("recency", "frequency", "monetary")
+    )
