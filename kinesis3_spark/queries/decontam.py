@@ -171,3 +171,69 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+@query(
+    "llm_decontam_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(t[i + 1 : i + 8], ' ') AS gram
+      FROM toks, UNNEST(generate_series(0, greatest(len(t) - 8, -1))) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    per AS (
+      SELECT doc_id, source, count(*) AS total, count(b.gram) AS matched
+      FROM g LEFT JOIN bench b USING (gram)
+      WHERE g.source <> 'src0'
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, source, CAST(matched AS BIGINT) AS matched,
+           CAST(total AS BIGINT) AS total
+    FROM per WHERE matched * 4 >= total ORDER BY doc_id
+    """,
+)
+def llm_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based decontamination (the Jaccard-containment
+    complement to the exact 13-gram pass, per the n-gram-overlap
+    methodology of Brown et al. 2020 appendix C / Gopher A1.2 — public):
+    a corpus doc is flagged when >= 25% of its DISTINCT 8-gram set
+    appears anywhere in the benchmark slice — catching partial/paraphrase
+    overlap a single long exact gram misses. Emits (matched, total) so
+    the threshold is auditable.
+
+    Scale shape: one explode of distinct gram HASHES per doc (64-bit
+    longs, never strings), left join against the deduped bench gram set
+    (AQE broadcasts it when small — same runtime-sizing contract as
+    decontaminate_grams), then a map-side-combined per-doc count pair.
+    The integer threshold (matched*4 >= total) avoids any float ratio."""
+    from ..functions.text import ngram_hashes
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.where(F.col("source") != "src0").select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(ngram_hashes(F.col("text"), 8))).alias("gh"),
+    )
+    bench = (
+        d.where(F.col("source") == "src0")
+        .select(F.explode(F.array_distinct(ngram_hashes(F.col("text"), 8))).alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per = (
+        grams.join(bench, "gh", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("total"),
+            F.count("hit").cast("bigint").alias("matched"),
+        )
+    )
+    return (
+        per.where(F.col("matched") * 4 >= F.col("total"))
+        .select("doc_id", "source", "matched", "total")
+        .orderBy("doc_id")
+    )
