@@ -169,3 +169,48 @@ def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+def _synthesize_audio(docs: DataFrame) -> DataFrame:
+    """documents → RAWA 'audio': constant int16 samples of amplitude
+    (doc_id % 100 - 50) at 8 kHz, 1.0-1.2 s (n_chars-derived). Constant
+    samples make duration and RMS exact integer arithmetic (mean of
+    identical A² is exactly A², sqrt of a perfect square is exact), so
+    the decode path is SQL-oracle-checkable — the audio leg of the
+    _synthesize_images / _synthesize_videos geometry trick."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 8000 + (int(nch) % 5) * 400
+                amp = int(did) % 100 - 50
+                samples = np.full(n, amp, np.int16)
+                ids.append(did)
+                payloads.append(M.encode_rawa(samples, 8000))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        gen, schema="media_id long, data binary"
+    )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           CAST(1000 + (n_chars % 5) * 50 AS BIGINT) AS duration_ms,
+           CAST(abs(doc_id % 100 - 50) AS DOUBLE) AS rms
+    FROM documents ORDER BY media_id
+    """,
+)
+def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + features, oracle-exact (completes the multimodal
+    triad: image r5, video r6, audio here): the REAL audio_features
+    operator (mapInPandas RAWA decode → sample count / rate / RMS) runs
+    over synthesized constant-amplitude containers whose every feature
+    the oracle derives arithmetically. Real codecs (WAV/MP3 via
+    soundfile/pyav) stay the declared env boundary."""
+    audio = _synthesize_audio(_t(spark, sf_dir, "documents"))
+    return M.audio_features(audio).orderBy("media_id")
