@@ -197,3 +197,13 @@ def test_session_paths_two_shuffles(spark, sf_dir):
     plan = _executed(df)
     assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_every_registered_query_has_an_oracle():
+    """The registry's contract: EVERY query ships a DuckDB oracle (the
+    former no_oracle rows were converted to banded oracles in r5; keep it
+    that way — a new rows-only registration must be a deliberate,
+    documented exception, not an omission)."""
+    from kinesis3_spark.queries import ORACLE
+
+    assert sorted(QUERIES) == sorted(ORACLE)
