@@ -385,3 +385,60 @@ def join_pruned_star_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_hll_intersection_band",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS exact_both, 1 AS hll_ok
+    FROM (
+      SELECT user_id FROM events
+      GROUP BY user_id
+      HAVING count(*) FILTER (WHERE event_type = 'click') > 0
+         AND count(*) FILTER (WHERE event_type = 'view') > 0
+    )
+    """,
+)
+def agg_hll_intersection_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA beyond union: |click ∩ view| users estimated by
+    inclusion-exclusion over three HLL estimates (est_c + est_v - est_u,
+    the union sketch merged losslessly from the two per-type sketches) —
+    the audience-overlap question every analytics deployment asks, and
+    the reason sketches are stored per segment: the overlap of ANY two
+    segments is answerable from stored state without rescanning raw
+    events. Inclusion-exclusion amplifies the per-sketch error, so the
+    band is 15% (vs the 5% single-estimate band); the exact_both column
+    is the oracle-verifiable truth, the flag certifies the sketch path.
+    Both sketch inputs come from ONE filtered aggregate pass (fixed-size
+    state, map-side combined); the exact side is one user-keyed
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id")), 14
+        ).alias("skc"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "view", F.col("user_id")), 14
+        ).alias("skv"),
+    ).select(
+        F.hll_sketch_estimate("skc").alias("est_c"),
+        F.hll_sketch_estimate("skv").alias("est_v"),
+        F.hll_sketch_estimate(F.hll_union("skc", "skv")).alias("est_u"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1)).alias("c"),
+            F.max(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        )
+        .where((F.col("c") == 1) & (F.col("v") == 1))
+        .agg(F.count("*").cast("bigint").alias("exact_both"))
+    )
+    est_i = F.col("est_c") + F.col("est_v") - F.col("est_u")
+    band = F.greatest(F.lit(10.0), 0.15 * F.col("exact_both"))
+    return exact.crossJoin(sk).select(
+        "exact_both",
+        F.when(F.abs(est_i - F.col("exact_both")) <= band, 1)
+        .otherwise(0)
+        .alias("hll_ok"),
+    )

@@ -529,8 +529,14 @@ def _continuous_rollup_table(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the continuous rollup (streaming/rollup.py — update-mode
     tumbling agg → foreachBatch last-writer-wins upsert, the PRODUCTION
     incremental path app.py wires) over the events stream, once per
-    sf_dir. Returns the rollup table directory."""
+    sf_dir. The events are landed as THREE files consumed with
+    maxFilesPerTrigger=1, so the upsert genuinely merges cumulative
+    re-emissions across three micro-batches — a single-batch drain would
+    make last-writer-wins convergence trivially true (round-6 hardening).
+    Returns the rollup table directory."""
+    import glob
     import os
+    import shutil
     import tempfile
 
     from ..streaming.rollup import continuous_rollup, rollup_events
@@ -539,13 +545,27 @@ def _continuous_rollup_table(spark: SparkSession, sf_dir: str) -> str:
     if target is not None and os.path.isdir(target):
         return target
     base = tempfile.mkdtemp(prefix="k3s_rollup_")
-    target, ck = base + "/rollup", base + "/ck"
+    src, target, ck = base + "/src", base + "/rollup", base + "/ck"
+    os.makedirs(src)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    for part in range(3):
+        tmp = f"{base}/tmp_{part}"
+        ev.where(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.move(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/part{part}.parquet"
+        )
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q = continuous_rollup(
-            rollup_events(stream_events(spark, sf_dir)), target, ck
-        )
+        q = continuous_rollup(rollup_events(sdf), target, ck)
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
