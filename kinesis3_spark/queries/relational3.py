@@ -317,3 +317,48 @@ def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, c_acctbal DESC, t.c_name
         """
     )
+
+
+@query(
+    "sql_recursive_calendar_counts",
+    oracle="""
+    WITH RECURSIVE cal(d) AS (
+      SELECT (SELECT min(CAST(ts AS DATE)) FROM events)
+      UNION ALL
+      SELECT d + 1 FROM cal
+      WHERE d < (SELECT max(CAST(ts AS DATE)) FROM events)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(count(e.ed) AS BIGINT) AS n
+    FROM cal LEFT JOIN (SELECT CAST(ts AS DATE) AS ed FROM events) e
+      ON e.ed = cal.d
+    GROUP BY d ORDER BY day
+    """,
+)
+def sql_recursive_calendar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4's WITH RECURSIVE — new SQL surface): build
+    the complete business calendar from min to max event date by
+    recursion, left-join daily event counts onto it so silent days
+    appear as zero — the reporting-calendar query every dashboard runs.
+    Both engines execute a genuine recursive CTE.
+
+    Scale note: Spark's cteRecursionLevelLimit defaults to 100 levels —
+    ample for this corpus' 30-day span, and the right guardrail for a
+    recursion whose depth is calendar days; a multi-year calendar at
+    100 TB should use the closed-form `sequence(min, max)` spine
+    (ts_gap_fill_interpolate's path) rather than recursion. This row
+    certifies the SQL surface, not the preferred spine construction."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+        WITH RECURSIVE cal(d) AS (
+          SELECT (SELECT min(CAST(ts AS DATE)) FROM events)
+          UNION ALL
+          SELECT date_add(d, 1) FROM cal
+          WHERE d < (SELECT max(CAST(ts AS DATE)) FROM events)
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS day,
+               CAST(count(e.ed) AS BIGINT) AS n
+        FROM cal LEFT JOIN (SELECT CAST(ts AS DATE) AS ed FROM events) e
+          ON e.ed = cal.d
+        GROUP BY d ORDER BY day
+    """)
