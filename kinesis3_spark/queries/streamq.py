@@ -696,3 +696,68 @@ def stream_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         deduped.select("event_id", "event_type", "user_id"), output_mode="append"
     )
+
+
+@query(
+    "stream_chained_join_window_agg",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 10 MINUTE AS wmf
+    ),
+    pairs AS (
+      SELECT p.ts AS p_ts FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 10 MINUTE
+       AND c.ts < p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    )
+    SELECT strftime(time_bucket(INTERVAL '60 minutes', p_ts),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*)::BIGINT AS n_attributed
+    FROM pairs, wm
+    WHERE time_bucket(INTERVAL '60 minutes', p_ts) + INTERVAL 60 MINUTE
+          <= wm.wmf
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_chained_join_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query (Spark 4's
+    multiple-stateful-operator support): stream-stream interval join →
+    tumbling window aggregation, both stateful, one pipeline — the shape
+    that previously required two queries with an intermediate sink.
+    Append mode emits an hourly attribution count once the window closes
+    under the propagated watermark (min of both sides - delay); the
+    oracle recomputes the batch join + rollup with the same window band.
+    Distinct aggregates are unsupported in streaming — the rollup is a
+    plain count, the streaming-legal form."""
+    clicks = stream_events(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    ).withWatermark("c_ts", "10 minutes")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "10 minutes")
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    agg = j.groupBy(F.window("p_ts", "60 minutes").alias("w")).agg(
+        F.count("*").alias("n_attributed")
+    )
+    return run_to_memory(
+        agg.select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.col("n_attributed").cast("bigint").alias("n_attributed"),
+        ),
+        output_mode="append",
+    )
