@@ -85,3 +85,46 @@ def zscore_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         normalize, schema="event_id long, event_type string, z double"
     )
+
+
+@query(
+    "udtf_archive_line_parse",
+    oracle="""
+    SELECT count(*)::BIGINT AS n,
+           CAST(sum(event_id) AS BIGINT) AS seq_sum,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum
+    FROM events
+    """,
+)
+def udtf_archive_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function, Arrow-optimized)
+    parsing the reference collector's own S3 archive line format —
+    "<sequence-number> <json-payload>" (core.clj:153) — back into typed
+    rows via a LATERAL join, completing the Python-surface inventory
+    (pandas UDF, applyInPandas, mapInPandas, applyInPandasWithState,
+    mapInPandas multimodal, and now UDTF). The identity sums prove every
+    line parsed: a dropped or mis-split line shifts seq_sum. useArrow
+    keeps the exchange Arrow-batched (the registry's Python contract);
+    at 100 TB this is the restore path for the gzip-line archive the
+    reference wrote."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq: bigint, k: bigint", useArrow=True)
+    class ParseArchiveLine:
+        def eval(self, line: str):
+            seq, payload = line.split(" ", 1)
+            yield (int(seq), int(_json.loads(payload)["k"]))
+
+    spark.udtf.register("k3s_parse_archive_line", ParseArchiveLine)
+    _t(spark, sf_dir, "events").select(
+        F.concat_ws(" ", F.col("event_id"), F.col("props")).alias("line")
+    ).createOrReplaceTempView("k3s_archive_lines")
+    return spark.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p.seq) AS BIGINT) AS seq_sum,
+               CAST(sum(p.k) AS BIGINT) AS k_sum
+        FROM k3s_archive_lines, LATERAL k3s_parse_archive_line(line) p
+    """)
