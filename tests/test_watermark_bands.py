@@ -1,0 +1,79 @@
+"""Planted boundary fixtures for the round-6 deterministic watermark
+oracles: events placed exactly at the wm1/wm2 band edges pin the <= / >
+boundary conventions the oracles encode (an engine or corpus change that
+shifts emission by one window must fail HERE, not just in the official
+row)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from kinesis3_spark.queries.streamq import (
+    _left_outer_attribution,
+    stream_watermark_late_drop,
+)
+from kinesis3_spark.streaming import run_to_memory
+
+
+def _events(rows):
+    d = tempfile.mkdtemp(prefix="k3s_wmband_")
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_watermark_two_phase_bands(spark):
+    """Even phase ends 10:00:00 -> wm1 = 09:30. Odd (late) rows:
+    - window [09:00, 09:05) ends 09:05 <= wm1: DROPPED (window already
+      emitted even-only);
+    - window [09:40, 09:45) ends 09:45 in (wm1, wm2]: counted;
+    - the odd max 11:00 puts wm2 at 10:30, so the even 09:57 row's window
+      [09:55,10:00) emits and the 11:00 row's own window is withheld."""
+    base = "2024-03-01 "
+    rows = [
+        # EVEN phase (event_id % 2 == 0)
+        (0, pd.Timestamp(base + "09:02:00"), 1, "view", 1.0, "{}"),
+        (2, pd.Timestamp(base + "09:41:00"), 1, "view", 1.0, "{}"),
+        (4, pd.Timestamp(base + "09:57:00"), 1, "view", 1.0, "{}"),
+        (6, pd.Timestamp(base + "10:00:00"), 1, "view", 1.0, "{}"),  # wm1=09:30
+        # ODD phase (late arrivals)
+        (1, pd.Timestamp(base + "09:03:00"), 1, "view", 1.0, "{}"),  # dropped
+        (3, pd.Timestamp(base + "09:42:00"), 1, "view", 1.0, "{}"),  # counted
+        (5, pd.Timestamp(base + "11:00:00"), 1, "view", 1.0, "{}"),  # wm2=10:30; own window withheld
+    ]
+    d = _events(rows)
+    got = {
+        (r.win_start, r.event_type): r.n
+        for r in stream_watermark_late_drop(spark, d).collect()
+    }
+    assert got == {
+        ("2024-03-01 09:00:00", "view"): 1,  # odd twin dropped
+        ("2024-03-01 09:40:00", "view"): 2,  # odd twin counted (band)
+        ("2024-03-01 09:55:00", "view"): 1,
+        ("2024-03-01 10:00:00", "view"): 1,
+        # 11:00 window withheld (> wm2)
+    }
+
+
+def test_left_outer_attribution_band(spark):
+    """Unmatched purchases null-emit only at or below the min-side
+    watermark: purchase 09:00 (no click) emits -1; purchase at 11:55
+    (5 min before the purchase-side max, above wm) stays withheld;
+    a matched pair emits regardless."""
+    base = "2024-03-01 "
+    rows = [
+        (0, pd.Timestamp(base + "09:00:00"), 1, "purchase", 1.0, "{}"),  # unmatched, old -> emits -1
+        (1, pd.Timestamp(base + "10:00:00"), 2, "click", 1.0, "{}"),
+        (2, pd.Timestamp(base + "10:05:00"), 2, "purchase", 1.0, "{}"),  # matched pair
+        (3, pd.Timestamp(base + "11:55:00"), 3, "purchase", 1.0, "{}"),  # unmatched, above wm -> withheld
+        (4, pd.Timestamp(base + "12:00:00"), 4, "click", 1.0, "{}"),     # click max 12:00
+        (5, pd.Timestamp(base + "12:00:00"), 5, "purchase", 1.0, "{}"),  # purchase max 12:00 -> wm 11:50
+    ]
+    d = _events(rows)
+    out = run_to_memory(_left_outer_attribution(spark, d), output_mode="append")
+    got = {(r.user_id, r.purchase_id): r.click_id for r in out.collect()}
+    assert got == {(1, 0): -1, (2, 2): 1}
