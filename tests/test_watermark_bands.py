@@ -77,3 +77,66 @@ def test_left_outer_attribution_band(spark):
     out = run_to_memory(_left_outer_attribution(spark, d), output_mode="append")
     got = {(r.user_id, r.purchase_id): r.click_id for r in out.collect()}
     assert got == {(1, 0): -1, (2, 2): 1}
+
+
+def test_statestore_reconciliation_planted(spark):
+    """Pins the positional (count, sum) value-field assumption in the
+    statestore reader query: planted per-type totals must come back
+    exactly — if a Spark upgrade reorders the aggregation buffer layout,
+    this fails in CI before the official row goes red."""
+    from kinesis3_spark.queries.roundtrip import statestore_reconciliation
+
+    base = "2024-03-01 "
+    rows = [
+        (0, pd.Timestamp(base + "09:00:00"), 1, "view", 1.5, "{}"),
+        (1, pd.Timestamp(base + "09:01:00"), 1, "view", 2.25, "{}"),
+        (2, pd.Timestamp(base + "09:02:00"), 2, "click", -0.5, "{}"),
+    ]
+    d = _events(rows)
+    got = {
+        r.event_type: (r.n, r.value_micro_sum)
+        for r in statestore_reconciliation(spark, d).collect()
+    }
+    assert got == {"view": (2, 3_750_000), "click": (1, -500_000)}
+
+
+def test_chained_join_window_band_planted(spark):
+    """The chained join->window pipeline emits only windows closing under
+    the min-side watermark: a planted pair in the final hour is withheld,
+    an older pair emits."""
+    from kinesis3_spark.queries.streamq import stream_chained_join_window_agg
+
+    base = "2024-03-01 "
+    rows = [
+        (0, pd.Timestamp(base + "09:00:00"), 1, "click", 1.0, "{}"),
+        (1, pd.Timestamp(base + "09:05:00"), 1, "purchase", 1.0, "{}"),  # old pair -> emits
+        (2, pd.Timestamp(base + "17:55:00"), 2, "click", 1.0, "{}"),
+        (3, pd.Timestamp(base + "17:58:00"), 2, "purchase", 1.0, "{}"),  # window [17:00,18:00) > wm -> withheld
+        (4, pd.Timestamp(base + "18:00:00"), 3, "click", 1.0, "{}"),     # maxes: wm = 17:48
+        (5, pd.Timestamp(base + "18:00:00"), 3, "purchase", 1.0, "{}"),
+    ]
+    d = _events(rows)
+    got = {
+        r.win_start: r.n_attributed
+        for r in stream_chained_join_window_agg(spark, d).collect()
+    }
+    assert got == {"2024-03-01 09:00:00": 1}
+
+
+def test_recursive_calendar_fills_silent_days(spark):
+    """The recursive spine must surface days with ZERO events."""
+    from kinesis3_spark.queries.relational3 import sql_recursive_calendar_counts
+
+    rows = [
+        (0, pd.Timestamp("2024-03-01 09:00:00"), 1, "view", 1.0, "{}"),
+        (1, pd.Timestamp("2024-03-04 09:00:00"), 1, "view", 1.0, "{}"),
+        (2, pd.Timestamp("2024-03-04 10:00:00"), 1, "view", 1.0, "{}"),
+    ]
+    d = _events(rows)
+    got = {r.day: r.n for r in sql_recursive_calendar_counts(spark, d).collect()}
+    assert got == {
+        "2024-03-01": 1,
+        "2024-03-02": 0,
+        "2024-03-03": 0,
+        "2024-03-04": 2,
+    }
