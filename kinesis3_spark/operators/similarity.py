@@ -337,6 +337,20 @@ def embedding_neardup_pairs(
 # codebook lookup tables without touching raw vectors.
 # ----------------------------------------------------------------------
 
+def fetch_pq_sample(
+    emb: DataFrame,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The bounded DETERMINISTIC training sample (orderBy before limit —
+    the same contract as train_ivf_centroids; at full scale, seeded
+    TABLESAMPLE). Fetch ONCE and share across codebook trainings — each
+    fetch is a full scan+sort+collect job."""
+    pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
 def train_pq_codebooks(
     emb: DataFrame,
     m: int = 8,
@@ -346,14 +360,15 @@ def train_pq_codebooks(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    X: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Per-subspace Lloyd k-means codebooks trained on a bounded
-    DETERMINISTIC driver-side sample (orderBy before limit — the same
-    contract as train_ivf_centroids; at full scale, seeded TABLESAMPLE).
+    """Per-subspace Lloyd k-means codebooks over the bounded sample
+    (pass a prefetched `X` from fetch_pq_sample to train several
+    codebooks — e.g. the K=1 baseline — without re-collecting).
     Returns (m, k, dim/m) float64. Empty clusters keep their previous
     centroid (standard Lloyd degeneracy handling, deterministic)."""
-    pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
-    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    if X is None:
+        X = fetch_pq_sample(emb, sample=sample, id_col=id_col, vec_col=vec_col)
     n, dim = X.shape
     assert dim % m == 0, (dim, m)
     sub = dim // m

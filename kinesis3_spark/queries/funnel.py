@@ -40,6 +40,40 @@ from . import query
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def _stage_candidates(ev: DataFrame):
+    """The funnel's running-min window cascade, shared by the standalone
+    funnel and the composed daily build so the two can never drift
+    (review fix r6): returns (staged, is_view, c2, c3) where c2/c3 are
+    the 'first click after first view' / 'first purchase after that'
+    candidate expressions over the staged frame. Consumers that use only
+    the earlier stages leave the later window columns unreferenced and
+    Catalyst prunes them."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    is_view = F.when(F.col("event_type") == "view", F.col("ts"))
+    staged = ev.withColumn("rv", F.min(is_view).over(w))
+    c2 = F.when(
+        (F.col("event_type") == "click") & (F.col("ts") > F.col("rv")), F.col("ts")
+    )
+    staged = staged.withColumn("rc", F.min(c2).over(w))
+    c3 = F.when(
+        (F.col("event_type") == "purchase") & (F.col("ts") > F.col("rc")), F.col("ts")
+    )
+    return staged, is_view, c2, c3
+
+
+# 12h inactivity gap shared by the session-path miner and the composed
+# daily build (one definition — review fix r6).
+SESSION_GAP_MICROS = 43_200_000_000
+
+
+def _session_break():
+    """(user-ordered window, new-session indicator expression)."""
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wo))
+    return wo, F.when(gap.isNull() | (gap > SESSION_GAP_MICROS), 1).otherwise(0)
+
+
+
 @query(
     "funnel_view_click_purchase",
     oracle="""
@@ -86,16 +120,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Default frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW) is
     # tie-deterministic: equal-ts rows are all in frame, and equal-ts
     # candidates can never satisfy the strict > anyway.
-    w = Window.partitionBy("user_id").orderBy("ts")
-    is_view = F.when(F.col("event_type") == "view", F.col("ts"))
-    staged = ev.withColumn("rv", F.min(is_view).over(w))
-    c2 = F.when(
-        (F.col("event_type") == "click") & (F.col("ts") > F.col("rv")), F.col("ts")
-    )
-    staged = staged.withColumn("rc", F.min(c2).over(w))
-    c3 = F.when(
-        (F.col("event_type") == "purchase") & (F.col("ts") > F.col("rc")), F.col("ts")
-    )
+    staged, is_view, c2, c3 = _stage_candidates(ev)
     # hashpartitioning(user_id) from the windows satisfies this groupBy:
     # no new exchange, and state per user is exactly three timestamps.
     per_user = staged.groupBy("user_id").agg(
@@ -277,9 +302,7 @@ def seq_topk_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     most 8 rows per session). The final path count is a second tiny
     shuffle of |distinct paths| rows ended by TakeOrderedAndProject."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
-    new_sess = F.when(gap.isNull() | (gap > 43_200_000_000), 1).otherwise(0)
+    wu, new_sess = _session_break()
     s = ev.withColumn("ns", new_sess).withColumn(
         "sid", F.sum("ns").over(wu.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -377,21 +400,14 @@ def pipeline_event_analytics_daily(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").cast("bigint").alias("anomalous_days"))
     )
 
-    wu = Window.partitionBy("user_id").orderBy("ts")
-    is_view = F.when(F.col("event_type") == "view", F.col("ts"))
-    staged = ev.withColumn("rv", F.min(is_view).over(wu))
-    c2 = F.when(
-        (F.col("event_type") == "click") & (F.col("ts") > F.col("rv")), F.col("ts")
-    )
+    staged, _is_view, c2, _c3 = _stage_candidates(ev)
     reach = (
         staged.groupBy("user_id")
         .agg(F.min(c2).alias("t2"))
         .agg(F.count("t2").cast("bigint").alias("users_reached_click"))
     )
 
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wo))
-    ns = F.when(gap.isNull() | (gap > 43_200_000_000), 1).otherwise(0)
+    _wo, ns = _session_break()
     sessions = ev.select(ns.alias("ns")).agg(
         F.sum("ns").cast("bigint").alias("total_sessions")
     )

@@ -364,13 +364,15 @@ def join_pruned_star_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path). The oracle is the unpruned equivalent — pruning must be
     invisible in results."""
     from ..operators.pruning import pruned_star_join
-    from .roundtrip import sink_parquet_partitioned_roundtrip  # noqa: F401
     from . import roundtrip as _rt
 
-    # Reuse the cached partitioned layout (materializes on first use).
+    # Reuse the cached partitioned layout. Constructing the round-trip
+    # query materializes the write as a side effect of its cache check —
+    # no need to EXECUTE its aggregate (a .count() here would burn a full
+    # orders scan per cold call).
     path = _rt._PART_CACHE.get(sf_dir)
     if path is None:
-        _rt.sink_parquet_partitioned_roundtrip(spark, sf_dir).count()
+        _rt.sink_parquet_partitioned_roundtrip(spark, sf_dir)
         path = _rt._PART_CACHE[sf_dir]
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import portable_hash60
 from ..sources import load_table
+from ..streaming.run import await_or_raise
 from ..streaming.sources import stream_events
 from . import query
 
@@ -47,11 +48,11 @@ def _sig(col: str):
 # write-once contract as physical._ORC_CACHE / bucketed_pair. The driver
 # constructs each query fresh, so within one run the rewrite job fires
 # exactly once; the registered query's plan reads the rewrite lazily.
-_REWRITE_CACHE: dict[tuple[str, str], str] = {}
+_REWRITE_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def _rewrite(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
-    key = (fmt, sf_dir)
+    key = (fmt, sf_dir, table)
     path = _REWRITE_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         path = tempfile.mkdtemp(prefix=f"k3s_{fmt}_") + f"/{table}"
@@ -216,7 +217,7 @@ def _stream_to_file_sink(spark: SparkSession, sf_dir: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     _FILESINK_CACHE[sf_dir] = out
     return out
 
@@ -287,7 +288,7 @@ def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     _SS_CACHE[sf_dir] = ck

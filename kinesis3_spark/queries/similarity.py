@@ -473,8 +473,10 @@ def embed_pq_reconstruction_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     (subspace, code) pairs after map-side distinct — all aggregates are
     1-row attaches."""
     emb = _t(spark, sf_dir, "embeddings")
-    books = S.train_pq_codebooks(emb, m=8, k=64)
-    base = S.train_pq_codebooks(emb, m=8, k=1, iters=2)
+    # one bounded sample job feeds BOTH trainings (review fix r6)
+    X = S.fetch_pq_sample(emb)
+    books = S.train_pq_codebooks(emb, m=8, k=64, X=X)
+    base = S.train_pq_codebooks(emb, m=8, k=1, iters=2, X=X)
     enc = S.pq_encode(emb, books)
     enc_base = S.pq_encode(emb, base)
 

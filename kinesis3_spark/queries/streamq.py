@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming import (
+    await_or_raise,
     dedup_stream,
     run_to_memory,
     running_user_totals,
@@ -469,7 +470,7 @@ def _watermark_two_phase_sink(spark: SparkSession, sf_dir: str) -> str:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -566,7 +567,7 @@ def _continuous_rollup_table(spark: SparkSession, sf_dir: str) -> str:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = continuous_rollup(rollup_events(sdf), target, ck)
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     _ROLLUP_CACHE[sf_dir] = target
@@ -600,7 +601,11 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _attribution_streams(spark: SparkSession, sf_dir: str):
+    """Watermarked click/purchase stream pair with the 10-minute interval
+    condition — ONE definition shared by the left-outer and the chained
+    join→window queries so the lookback/watermark can never drift between
+    them (review fix r6). Returns (purchases, clicks, condition)."""
     clicks = stream_events(spark, sf_dir).where(F.col("event_type") == "click")
     purchases = stream_events(spark, sf_dir).where(
         F.col("event_type") == "purchase"
@@ -615,13 +620,17 @@ def _left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
     ).withWatermark("p_ts", "10 minutes")
-    joined = p.join(
-        c,
+    cond = (
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 minutes"))
-        & (F.col("c_ts") < F.col("p_ts")),
-        "leftOuter",
+        & (F.col("c_ts") < F.col("p_ts"))
     )
+    return p, c, cond
+
+
+def _left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, c, cond = _attribution_streams(spark, sf_dir)
+    joined = p.join(c, cond, "leftOuter")
     return joined.select(
         F.col("p_user").cast("bigint").alias("user_id"),
         F.col("purchase_id").cast("bigint").alias("purchase_id"),
@@ -733,24 +742,8 @@ def stream_chained_join_window_agg(spark: SparkSession, sf_dir: str) -> DataFram
     oracle recomputes the batch join + rollup with the same window band.
     Distinct aggregates are unsupported in streaming — the rollup is a
     plain count, the streaming-legal form."""
-    clicks = stream_events(spark, sf_dir).where(F.col("event_type") == "click")
-    purchases = stream_events(spark, sf_dir).where(
-        F.col("event_type") == "purchase"
-    )
-    c = clicks.select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
-    ).withWatermark("c_ts", "10 minutes")
-    p = purchases.select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-    ).withWatermark("p_ts", "10 minutes")
-    j = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 minutes"))
-        & (F.col("c_ts") < F.col("p_ts")),
-    )
+    p, c, cond = _attribution_streams(spark, sf_dir)
+    j = p.join(c, cond)
     agg = j.groupBy(F.window("p_ts", "60 minutes").alias("w")).agg(
         F.count("*").alias("n_attributed")
     )

@@ -10,6 +10,6 @@ from .windows import (  # noqa: F401
     tumbling_counts,
 )
 from .dedup import dedup_stream  # noqa: F401
-from .run import run_to_memory, archive_stream, upsert_stream  # noqa: F401
+from .run import await_or_raise, run_to_memory, archive_stream, upsert_stream  # noqa: F401
 from .stateful import running_user_totals  # noqa: F401
 from .rollup import continuous_rollup, rollup_events  # noqa: F401

@@ -17,6 +17,18 @@ from ..sinks import upsert_parquet
 _MEM_IDS = itertools.count()
 
 
+def await_or_raise(q, timeout_s: int = 300) -> None:
+    """awaitTermination with a HARD failure on timeout: a drain that did
+    not finish must never be read — or cached — as if it had (a partial
+    sink silently corrupts every later read in the process). Stops the
+    query before raising so the checkpoint is left consistent."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_s}s"
+        )
+
+
 def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "append",
@@ -57,7 +69,7 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        await_or_raise(q, timeout_s)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
