@@ -315,3 +315,35 @@ def scalar_try_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_cast_num"),
     )
+
+
+@query(
+    "scalar_timezone_daily_counts",
+    oracle="""
+    SELECT strftime(timezone('America/New_York', ts::TIMESTAMPTZ),
+                    '%Y-%m-%d') AS ny_day,
+           event_type, count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def scalar_timezone_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware daily rollup: events counted by their
+    America/New_York LOCAL date (the "business day in the customer's
+    timezone" semantics every UTC-stored warehouse must re-derive —
+    UTC evenings land on the previous NY day, which this corpus
+    exercises at every -05:00 day boundary). Spark's from_utc_timestamp
+    against DuckDB's ICU timezone(): both resolve the same IANA zone,
+    and the corpus' January window sits entirely in EST so the offset is
+    constant — no DST-transition edge is sampled (a DST-boundary corpus
+    would additionally pin the tzdb agreement)."""
+    from .relational import _t as _tt
+
+    ev = _tt(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    return (
+        ev.groupBy(
+            F.date_format(ny, "yyyy-MM-dd").alias("ny_day"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("ny_day", "event_type")
+    )
