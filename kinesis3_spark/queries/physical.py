@@ -370,8 +370,10 @@ def join_pruned_star_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query materializes the write as a side effect of its cache check —
     # no need to EXECUTE its aggregate (a .count() here would burn a full
     # orders scan per cold call).
+    import os
+
     path = _rt._PART_CACHE.get(sf_dir)
-    if path is None:
+    if path is None or not os.path.isdir(path):
         _rt.sink_parquet_partitioned_roundtrip(spark, sf_dir)
         path = _rt._PART_CACHE[sf_dir]
     fact = spark.read.parquet(path)

@@ -320,7 +320,10 @@ def scalar_try_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_timezone_daily_counts",
     oracle="""
-    SELECT strftime(timezone('America/New_York', ts::TIMESTAMPTZ),
+    -- interpret the naive wall-clock as UTC EXPLICITLY (never via the
+    -- session TimeZone, which the harness does not pin on the DuckDB
+    -- side), then convert to New_York local
+    SELECT strftime(timezone('America/New_York', timezone('UTC', ts)),
                     '%Y-%m-%d') AS ny_day,
            event_type, count(*)::BIGINT AS n
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
@@ -336,9 +339,7 @@ def scalar_timezone_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the corpus' January window sits entirely in EST so the offset is
     constant — no DST-transition edge is sampled (a DST-boundary corpus
     would additionally pin the tzdb agreement)."""
-    from .relational import _t as _tt
-
-    ev = _tt(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     ny = F.from_utc_timestamp(F.col("ts"), "America/New_York")
     return (
         ev.groupBy(

@@ -20,10 +20,13 @@ _MEM_IDS = itertools.count()
 def await_or_raise(q, timeout_s: int = 300) -> None:
     """awaitTermination with a HARD failure on timeout: a drain that did
     not finish must never be read — or cached — as if it had (a partial
-    sink silently corrupts every later read in the process). Stops the
-    query before raising so the checkpoint is left consistent."""
+    sink silently corrupts every later read in the process). Raises
+    WITHOUT calling q.stop(): with the default
+    spark.sql.streaming.stopTimeout=0, stop() waits indefinitely on the
+    very execution thread that is wedged, which would turn the hard
+    failure into a hang (review r6); the orphaned query dies with the
+    session, and the checkpoint stays at its last committed batch."""
     if not q.awaitTermination(timeout_s):
-        q.stop()
         raise TimeoutError(
             f"streaming drain did not finish within {timeout_s}s"
         )
