@@ -140,3 +140,42 @@ def test_recursive_calendar_fills_silent_days(spark):
         "2024-03-03": 0,
         "2024-03-04": 2,
     }
+
+
+def test_timezone_rollup_dst_transition(spark):
+    """The corpus' January window never crosses a DST edge, so pin the
+    tzdb agreement where it bites: 2024-11-03 America/New_York falls back
+    at 06:00 UTC (02:00 EDT -> 01:00 EST). Events straddling the
+    transition must land on the same NY-local day on both engines."""
+    import duckdb
+
+    from kinesis3_spark.queries import ORACLE
+    from kinesis3_spark.queries.scalar import scalar_timezone_daily_counts
+
+    rows = [
+        # UTC 03:59 Nov 3 = 23:59 Nov 2 EDT (-4) -> NY day Nov 2
+        (0, pd.Timestamp("2024-11-03 03:59:00"), 1, "view", 1.0, "{}"),
+        # UTC 04:01 Nov 3 = 00:01 Nov 3 EDT (-4) -> NY day Nov 3
+        (1, pd.Timestamp("2024-11-03 04:01:00"), 1, "view", 1.0, "{}"),
+        # UTC 05:30 Nov 3 = 01:30 EDT (first pass through 1am) -> Nov 3
+        (2, pd.Timestamp("2024-11-03 05:30:00"), 1, "view", 1.0, "{}"),
+        # UTC 06:30 Nov 3 = 01:30 EST (second pass, post-fallback) -> Nov 3
+        (3, pd.Timestamp("2024-11-03 06:30:00"), 1, "view", 1.0, "{}"),
+        # UTC 04:30 Nov 4 = 23:30 Nov 3 EST (-5 now) -> NY day Nov 3
+        (4, pd.Timestamp("2024-11-04 04:30:00"), 1, "view", 1.0, "{}"),
+        # UTC 05:30 Nov 4 = 00:30 Nov 4 EST -> NY day Nov 4
+        (5, pd.Timestamp("2024-11-04 05:30:00"), 1, "view", 1.0, "{}"),
+    ]
+    d = _events(rows)
+    got = {r.ny_day: r.n for r in scalar_timezone_daily_counts(spark, d).collect()}
+    assert got == {"2024-11-02": 1, "2024-11-03": 4, "2024-11-04": 1}
+
+    con = duckdb.connect()
+    con.sql("SET TimeZone='Asia/Tokyo'")  # oracle must not care
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = {
+        r[0]: r[2] for r in con.sql(ORACLE["scalar_timezone_daily_counts"]).fetchall()
+    }
+    assert want == got
