@@ -446,3 +446,59 @@ def agg_hll_intersection_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("hll_ok"),
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS dc
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(dc) AS BIGINT) AS sum_daily_distinct,
+           (SELECT count(DISTINCT user_id) FROM events)::BIGINT
+             AS merged_distinct
+    FROM daily
+    """,
+)
+def agg_bitmap_exact_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 bitmap aggregates: EXACT re-aggregatable distinct counts —
+    the exact counterpart of the HLL tier for dense integer keys. One
+    bitmap per day (bitmap_construct_agg over bitmap_bit_position of the
+    user id), OR-merged across days, counted — the merged count must
+    equal count(DISTINCT user_id) over raw events EXACTLY, which the
+    oracle verifies with no band. At 100 TB this is how a daily rollup
+    table answers "distinct users this quarter" exactly: bitmaps union
+    losslessly like HLL sketches but without approximation, at ~1 bit
+    per key of dense-domain state (user ids; arbitrary keys go through
+    the HLL tier). Both aggregation levels are map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    # Bitmap positions are 1-INDEXED and bucketed at 32768 bits: value v
+    # lives in bucket bitmap_bucket_number(v), bit bitmap_bit_position(v),
+    # and v=0 underflows — shift ids by +1 and key every bitmap by its
+    # bucket (the production shape regardless: an unbounded id domain
+    # needs one bitmap per 32k-bucket, merged bucket-wise).
+    pos = ev.select(
+        F.to_date("ts").alias("d"),
+        F.expr("bitmap_bucket_number(user_id + 1)").alias("bk"),
+        F.expr("bitmap_bit_position(user_id + 1)").alias("bp"),
+    )
+    day_bucket = pos.groupBy("d", "bk").agg(
+        F.expr("bitmap_construct_agg(bp)").alias("bm")
+    )
+    merged = (
+        day_bucket.groupBy("bk")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .agg(F.sum("c").cast("bigint").alias("merged_distinct"))
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_distinct("user_id").alias("dc")
+    )
+    summary = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dc").cast("bigint").alias("sum_daily_distinct"),
+    )
+    return summary.crossJoin(merged).select(
+        "n_days", "sum_daily_distinct", "merged_distinct"
+    )
