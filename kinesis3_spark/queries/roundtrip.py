@@ -198,17 +198,38 @@ def _stream_to_file_sink(spark: SparkSession, sf_dir: str) -> str:
     append-mode streaming Parquet file sink with an availableNow trigger
     and a durable checkpoint (the testable form of the reference's
     batch-size/interval flush loop, core.clj:113-120) — once per sf_dir.
-    Returns the sink directory; the registered query reads it back."""
+    The events land as THREE source files consumed with
+    maxFilesPerTrigger=1, so the sink's exactly-once contract is tested
+    across three commits, not one (round-6 hardening, matching the
+    continuous rollup). Returns the sink directory."""
+    import glob
+    import shutil
+
     out = _FILESINK_CACHE.get(sf_dir)
     if out is not None and os.path.isdir(out):
         return out
     base = tempfile.mkdtemp(prefix="k3s_fsink_")
-    out, ck = base + "/data", base + "/ck"
-    sdf = stream_events(spark, sf_dir).select(
+    src, out, ck = base + "/src", base + "/data", base + "/ck"
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "event_type",
         F.floor(F.col("value") * 1e6).cast("long").alias("value_micro"),
+    )
+    for part in range(3):
+        tmp = f"{base}/tmp_{part}"
+        ev.where(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.move(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/part{part}.parquet"
+        )
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
     )
     q = (
         sdf.writeStream.format("parquet")
