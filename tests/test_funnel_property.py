@@ -62,3 +62,55 @@ def test_funnel_matches_bruteforce(spark, rows):
     ).to_parquet(os.path.join(d, "events.parquet"))
     r = funnel_view_click_purchase(spark, d).collect()[0]
     assert (r.users_view, r.users_click, r.users_purchase) == _brute(rows)
+
+
+path_event = st.tuples(
+    st.integers(min_value=1, max_value=2),           # user_id
+    st.integers(min_value=0, max_value=30),          # ts hours (12h gap domain)
+    st.sampled_from(["view", "click", "purchase"]),
+)
+
+
+def _brute_paths(rows):
+    by_user = {}
+    for i, (uid, hr, typ) in enumerate(rows):
+        by_user.setdefault(uid, []).append((hr * 3600, i, typ))
+    from collections import Counter
+
+    paths = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        sessions, cur, prev = [], [], None
+        for ts, _i, typ in evs:
+            if prev is not None and ts - prev > 43200:
+                sessions.append(cur)
+                cur = []
+            cur.append(typ)
+            prev = ts
+        sessions.append(cur)
+        for sess in sessions:
+            paths[">".join(sess[:8])] += 1
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return dict(top)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(path_event, min_size=1, max_size=12))
+def test_session_paths_match_bruteforce(spark, rows):
+    from kinesis3_spark.queries.funnel import seq_topk_session_paths
+
+    base = pd.Timestamp("2024-01-01")
+    d = tempfile.mkdtemp(prefix="k3s_pprop_")
+    pd.DataFrame(
+        [
+            (i, base + pd.Timedelta(hours=hr), uid, typ, 1.0, "{}")
+            for i, (uid, hr, typ) in enumerate(rows)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(os.path.join(d, "events.parquet"))
+    got = {r.path: r.n_sessions for r in seq_topk_session_paths(spark, d).collect()}
+    assert got == _brute_paths(rows)
