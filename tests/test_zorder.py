@@ -63,3 +63,32 @@ def test_zorder_prunes_2d_boxes(spark, sf_dir, tmp_path):
     assert n_rand == n_z == N_FILES
     assert t_rand == N_FILES  # random layout: every file spans both ranges
     assert t_z <= N_FILES // 2, f"z-order touched {t_z}/{n_z} files"
+
+
+def test_z_value_matches_python_morton(spark):
+    """The Morton interleave built from shift/and/or Column expressions
+    must equal a plain-Python bit interleave on random bucket pairs —
+    pins the bit logic the file-pruning layout rests on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.operators.zorder import z_value
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(z_value(F.col("x"), F.col("y"), bits=16).alias("z"))
+        .collect()
+    ]
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(x, y) for x, y in pairs]
