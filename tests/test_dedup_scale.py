@@ -135,3 +135,23 @@ def test_daily_ingest_loop_prep_store_incremental(spark, sf_dir):
     d1 = pdf[(pdf.doc_id % 2 == 1) & (~pdf.fp.isin(hist))]
     want = sorted(d1.groupby("fp").doc_id.min())
     assert got == want and len(got) > 0
+
+
+def test_portable_hash60_matches_python_md5(spark):
+    """portable_hash60 — the determinism backbone of sampling, splits,
+    signatures, and shard assignment — must equal the plain-Python md5
+    reading on arbitrary strings (ASCII, unicode, empty, whitespace)."""
+    import hashlib as _hl
+
+    from pyspark.sql import functions as F
+
+    vals = [
+        "", " ", "hello", "naïve café", "日本語テキスト", "a" * 300,
+        "tab\tsep", "emoji 🙂🙂", "0", "-1", "null", "None",
+    ] + [f"doc-{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [
+        r.h for r in df.select(D.portable_hash60(F.col("s")).alias("h")).collect()
+    ]
+    want = [int(_hl.md5(v.encode("utf-8")).hexdigest()[:15], 16) for v in vals]
+    assert got == want
