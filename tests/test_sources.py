@@ -82,3 +82,22 @@ def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("t"))
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_rewrite_cache_isolates_table_and_sfdir(spark, sf_dir):
+    """The round-trip rewrite cache must key on (fmt, sf_dir, TABLE): the
+    round-6 review found a (fmt, sf_dir) key that would hand a second
+    table the first table's rewrite path. Pin distinct paths per table
+    and per sf_dir, and that each path round-trips its own row count."""
+    from kinesis3_spark.queries import roundtrip as rt
+    from kinesis3_spark.sources import load_table
+
+    p_orders = rt._rewrite(spark, sf_dir, "orders", "jsonl")
+    p_cust = rt._rewrite(spark, sf_dir, "customer", "jsonl")
+    assert p_orders != p_cust
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert spark.read.json(p_orders).count() == n_orders
+    assert spark.read.json(p_cust).count() == n_cust
+    # cache hit: same path back
+    assert rt._rewrite(spark, sf_dir, "orders", "jsonl") == p_orders
