@@ -29,7 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering IS coverage policy. _ordered() rotates automatically from the
 # recorded CORRECTNESS_r*.json history: queries whose latest official row
 # wasn't fully green FIRST (fix re-confirmation — a standing red row
-# outranks exploration), then never-officially-checked queries, then green
+# outranks exploration), then greens whose source/oracle hash changed
+# since their last official check (QUERY_HASHES.json — a rewrite voids
+# the old green), then never-officially-checked queries, then green
 # queries oldest-check-first. The registry far exceeds one window (159 vs
 # 50); every query stays covered every round by
 # tests/test_oracle_parity.py regardless of window position.
@@ -158,6 +160,47 @@ _PRIORITY += [
 ]
 
 
+def _source_hash(fn, oracle: str | None) -> str:
+    """md5 of the query function's source + its oracle SQL — the rotation's
+    definition of "this query's checked behavior". A rewrite of either side
+    changes the hash; a helper-only rewrite does not (documented limit:
+    helpers are shared, so helper changes surface through the parity tests
+    and through ANY caller that also changed)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    return hashlib.md5((src + "\n" + (oracle or "")).encode()).hexdigest()
+
+
+def _current_hashes() -> dict[str, str]:
+    from kinesis3_spark.queries import ORACLE, QUERIES
+
+    return {n: _source_hash(f, ORACLE.get(n)) for n, f in QUERIES.items()}
+
+
+def _recorded_hashes() -> dict[str, dict[str, str]]:
+    """QUERY_HASHES.json: {"<round>": {query_name: source_hash_at_that_
+    round's_official_check}}. Written by tools/record_query_hashes.py as
+    the session's final commit step; absent/garbled file degrades to
+    'nothing known modified' (the pre-r7 behavior)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "QUERY_HASHES.json"
+    )
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
 def _coverage_history() -> dict[str, tuple[int, bool]]:
     """name -> (latest round officially checked, was it fully green)."""
     import glob
@@ -194,21 +237,41 @@ def _coverage_history() -> dict[str, tuple[int, bool]]:
 
 def _ordered(names: dict) -> list[str]:
     hist = _coverage_history()
+    rec = _recorded_hashes()
+    cur = _current_hashes() if rec else {}
     prio = {n: i for i, n in enumerate(_PRIORITY)}
 
     def key(item):
         i, n = item
         checked = n in hist
         rnd, green = hist.get(n, (0, False))
-        # checked-NOT-green < never-checked < green: a standing official
-        # FAIL/err row is worse than an unchecked one (unchecked rows have
-        # local pytest-parity evidence; red rows say "broken" to every
-        # reader), so fix re-confirmation outranks exploration — round 5
-        # made this matter: 59 never-checked would otherwise crowd the 5
-        # red rows out of the 50-window entirely. Within a class: oldest
-        # official check first, then the explicit priority order, then
-        # registration order (stable).
-        cls = 0 if (checked and not green) else (1 if not checked else 2)
+        # A green whose source/oracle hash changed since the round it was
+        # checked carries a STALE official green (VERDICT r6 "What's wrong"
+        # #1: four r6-rewritten queries rode pre-rewrite greens) — front it
+        # for re-certification. Unknown hash at the check round (pre-r7
+        # history) degrades to "unmodified".
+        at_check = rec.get(str(rnd), {}).get(n)
+        modified = (
+            checked
+            and green
+            and at_check is not None
+            and at_check != cur.get(n, at_check)
+        )
+        # checked-NOT-green < modified-since-check < never-checked < green:
+        # a standing official FAIL/err row is worse than an unchecked one
+        # (unchecked rows have local pytest-parity evidence; red rows say
+        # "broken" to every reader), so fix re-confirmation outranks
+        # exploration — round 5 made this matter: 59 never-checked would
+        # otherwise crowd the 5 red rows out of the 50-window entirely.
+        # A rewritten green outranks never-checked for the same reason a
+        # red does: its official row actively misstates the CURRENT code.
+        # Within a class: oldest official check first, then the explicit
+        # priority order, then registration order (stable).
+        cls = (
+            0
+            if (checked and not green)
+            else (1 if modified else (2 if not checked else 3))
+        )
         return (cls, rnd, prio.get(n, len(prio)), i)
 
     return [n for _, n in sorted(enumerate(names), key=key)]

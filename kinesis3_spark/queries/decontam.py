@@ -209,7 +209,15 @@ def llm_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs, never strings), left join against the deduped bench gram set
     (AQE broadcasts it when small — same runtime-sizing contract as
     decontaminate_grams), then a map-side-combined per-doc count pair.
-    The integer threshold (matched*4 >= total) avoids any float ratio."""
+    The integer threshold (matched*4 >= total) avoids any float ratio.
+
+    Declared asymmetry (ADVICE r6): Spark matches xxhash64 gram hashes
+    while the oracle matches literal gram strings, so a 64-bit collision
+    would shift `matched` on one engine only. At this corpus' gram
+    cardinality (~1e5 distinct) the birthday bound puts P(any collision)
+    ~ 3e-10 — accepted, same assumption every xxhash64-keyed dedup
+    operator in this repo makes; flagged docs additionally re-verify
+    EXACTLY because the output exposes (matched, total) for audit."""
     from ..functions.text import ngram_hashes
 
     d = _t(spark, sf_dir, "documents")

@@ -361,7 +361,7 @@ def bucketed_fp_index(spark: SparkSession, sf_dir: str) -> str:
     daily anti join needs NO Exchange on the history side, ever. Returns
     the catalog table name."""
     import hashlib
-    import tempfile
+    from .. import tmpdirs
 
     from ..sinks.bucketed import write_bucketed
 
@@ -372,7 +372,7 @@ def bucketed_fp_index(spark: SparkSession, sf_dir: str) -> str:
         fps = d.where(F.col("source") == "src0").select(
             D.fingerprint("text").alias("fp")
         )
-        base = tempfile.mkdtemp(prefix=f"k3s_fp_index_{tag}_")
+        base = tmpdirs.mkdtemp(prefix=f"k3s_fp_index_{tag}_")
         write_bucketed(fps, name, ["fp"], 8, f"{base}/fps")
     return name
 

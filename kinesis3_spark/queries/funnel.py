@@ -338,7 +338,7 @@ def seq_topk_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     anom AS (
       SELECT count(*) AS n_anom FROM daily, stats
-      WHERE sigma <> 0 AND abs((n - mu) / sigma) > 2.0
+      WHERE sigma <> 0 AND floor(abs((n - mu) / sigma) * 1e4) > 20000
     ),
     s1 AS (
       SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
@@ -394,9 +394,14 @@ def pipeline_event_analytics_daily(spark: SparkSession, sf_dir: str) -> DataFram
     )
     mom = daily.agg(F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma"))
     z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    # z crosses engines through avg/stddev (different summation orders), so
+    # the 2-sigma cut is compared on the FLOOR-QUANTIZED |z| (1e-4 grid) on
+    # both sides: a day flips the count only if the engines' z disagree by
+    # > 1e-4, far above float-summation noise (ADVICE r6 — the repo-wide
+    # quantize-before-cross-engine-compare discipline).
     anom = (
         daily.crossJoin(F.broadcast(mom))
-        .where((F.col("sigma") != 0) & (F.abs(z) > 2.0))
+        .where((F.col("sigma") != 0) & (F.floor(F.abs(z) * 1e4) > 20000))
         .agg(F.count("*").cast("bigint").alias("anomalous_days"))
     )
 

@@ -263,11 +263,11 @@ def export_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import portable_hash60
 
     import os
-    import tempfile
+    from .. import tmpdirs
 
     path = _SHARD_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="k3s_shards_") + "/corpus"
+        path = tmpdirs.mkdtemp(prefix="k3s_shards_") + "/corpus"
         docs = _t(spark, sf_dir, "documents").withColumn(
             "shard",
             (portable_hash60(F.col("doc_id").cast("string")) % _N_SHARDS).cast("int"),

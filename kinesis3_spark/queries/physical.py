@@ -18,7 +18,7 @@ deployment leans on:
 from __future__ import annotations
 
 import hashlib
-import tempfile
+from .. import tmpdirs
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,7 +40,7 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if not (
         spark.catalog.tableExists(cust_name) and spark.catalog.tableExists(ord_name)
     ):
-        base = tempfile.mkdtemp(prefix=f"k3s_bucketed_{tag}_")
+        base = tmpdirs.mkdtemp(prefix=f"k3s_bucketed_{tag}_")
         write_bucketed(
             load_table(spark, sf_dir, "customer"),
             cust_name,
@@ -182,7 +182,7 @@ def _orc_lineitem(spark: SparkSession, sf_dir: str) -> str:
 
     path = _ORC_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="k3s_orc_") + "/lineitem"
+        path = tmpdirs.mkdtemp(prefix="k3s_orc_") + "/lineitem"
         load_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(path)
         _ORC_CACHE[sf_dir] = path
     return path

@@ -348,17 +348,20 @@ def sql_recursive_calendar_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB should use the closed-form `sequence(min, max)` spine
     (ts_gap_fill_interpolate's path) rather than recursion. This row
     certifies the SQL surface, not the preferred spine construction."""
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # Prefixed view name: a session-global view named plain 'events' would
+    # silently shadow any user table of that name (ADVICE r6); every other
+    # registration in this file tags its views the same way.
+    _t(spark, sf_dir, "events").createOrReplaceTempView("k3s_events_cal")
     return spark.sql("""
         WITH RECURSIVE cal(d) AS (
-          SELECT (SELECT min(CAST(ts AS DATE)) FROM events)
+          SELECT (SELECT min(CAST(ts AS DATE)) FROM k3s_events_cal)
           UNION ALL
           SELECT date_add(d, 1) FROM cal
-          WHERE d < (SELECT max(CAST(ts AS DATE)) FROM events)
+          WHERE d < (SELECT max(CAST(ts AS DATE)) FROM k3s_events_cal)
         )
         SELECT date_format(d, 'yyyy-MM-dd') AS day,
                CAST(count(e.ed) AS BIGINT) AS n
-        FROM cal LEFT JOIN (SELECT CAST(ts AS DATE) AS ed FROM events) e
+        FROM cal LEFT JOIN (SELECT CAST(ts AS DATE) AS ed FROM k3s_events_cal) e
           ON e.ed = cal.d
         GROUP BY d ORDER BY day
     """)

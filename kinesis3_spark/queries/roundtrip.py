@@ -23,7 +23,7 @@ paths.
 from __future__ import annotations
 
 import os
-import tempfile
+from .. import tmpdirs
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,7 +55,7 @@ def _rewrite(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
     key = (fmt, sf_dir, table)
     path = _REWRITE_CACHE.get(key)
     if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix=f"k3s_{fmt}_") + f"/{table}"
+        path = tmpdirs.mkdtemp(prefix=f"k3s_{fmt}_") + f"/{table}"
         df = load_table(spark, sf_dir, table)
         w = df.write.mode("overwrite")
         if fmt == "jsonl":
@@ -171,7 +171,7 @@ def sink_parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> Data
     inference hazard (parity memory: dt-like strings infer as DATE)."""
     path = _PART_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="k3s_psink_") + "/orders"
+        path = tmpdirs.mkdtemp(prefix="k3s_psink_") + "/orders"
         load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
             "o_orderpriority"
         ).parquet(path)
@@ -208,7 +208,7 @@ def _stream_to_file_sink(spark: SparkSession, sf_dir: str) -> str:
     out = _FILESINK_CACHE.get(sf_dir)
     if out is not None and os.path.isdir(out):
         return out
-    base = tempfile.mkdtemp(prefix="k3s_fsink_")
+    base = tmpdirs.mkdtemp(prefix="k3s_fsink_")
     src, out, ck = base + "/src", base + "/data", base + "/ck"
     os.makedirs(src)
     ev = load_table(spark, sf_dir, "events").select(
@@ -288,7 +288,7 @@ def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     ck = _SS_CACHE.get(sf_dir)
     if ck is not None and os.path.isdir(ck):
         return ck
-    ck = tempfile.mkdtemp(prefix="k3s_ssck_")
+    ck = tmpdirs.mkdtemp(prefix="k3s_ssck_")
     agg = (
         stream_events(spark, sf_dir)
         .groupBy("event_type")
@@ -378,7 +378,7 @@ def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _Z_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="k3s_zorder_") + "/events"
+        path = tmpdirs.mkdtemp(prefix="k3s_zorder_") + "/events"
         write_zordered(
             load_table(spark, sf_dir, "events").select(
                 "event_id", "user_id", "value"
@@ -436,7 +436,7 @@ def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _COMPACT_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="k3s_compact_") + "/events"
+        path = tmpdirs.mkdtemp(prefix="k3s_compact_") + "/events"
         (
             load_table(spark, sf_dir, "events")
             .select("event_id", "event_type", "value")

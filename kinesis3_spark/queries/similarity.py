@@ -9,6 +9,8 @@ magnitude above double-summation noise, and ties break on neighbor_id.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -468,10 +470,12 @@ def embed_pq_reconstruction_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered data is pytest-pinned (tests/test_pq.py).
 
     Scale: codebooks train on the bounded deterministic sample
-    driver-side (~32 KB shipped in the closure); corpus encoding is one
-    vectorized mapInPandas pass; the diversity check shuffles only
-    (subspace, code) pairs after map-side distinct — all aggregates are
-    1-row attaches."""
+    driver-side (~32 KB shipped in the closure); corpus encoding is ONE
+    vectorized mapInPandas pass feeding a single aggregate (count,
+    range flag, error sum, and per-subspace code min/max all at once —
+    min < max certifies >= 2 distinct codewords without re-encoding);
+    the k=1 baseline is the only second pass. All aggregates are 1-row
+    attaches."""
     emb = _t(spark, sf_dir, "embeddings")
     # one bounded sample job feeds BOTH trainings (review fix r6)
     X = S.fetch_pq_sample(emb)
@@ -481,23 +485,31 @@ def embed_pq_reconstruction_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc_base = S.pq_encode(emb, base)
 
     in_range = (F.array_min("codes") >= 0) & (F.array_max("codes") < 64)
+    # ONE aggregate over ONE encode pass (ADVICE r6: the old separate
+    # diversity branch re-executed the mapInPandas encode subtree — the
+    # duplicated-subtree re-plan SCALE.md warns about). Per-subspace
+    # min(code) < max(code) is exactly ">= 2 distinct codewords", with no
+    # posexplode and no count_distinct expand.
+    pos_aggs = []
+    for m in range(8):
+        c = F.element_at("codes", m + 1)
+        pos_aggs += [F.min(c).alias(f"cmin{m}"), F.max(c).alias(f"cmax{m}")]
     main = enc.agg(
         F.count("*").cast("bigint").alias("n_vectors"),
         F.min(F.when(in_range, 1).otherwise(0)).alias("codes_ok"),
         F.sum("err_micro").alias("pq_err"),
+        *pos_aggs,
     )
     baseline = enc_base.agg(F.sum("err_micro").alias("base_err"))
-    diversity = (
-        enc.select(F.posexplode("codes").alias("pos", "code"))
-        .groupBy("pos")
-        .agg(F.count_distinct("code").alias("n_codes"))
-        .agg(F.min(F.when(F.col("n_codes") >= 2, 1).otherwise(0)).alias("codes_diverse"))
+    diverse = reduce(
+        lambda a, b: a & b,
+        [F.col(f"cmin{m}") < F.col(f"cmax{m}") for m in range(8)],
     )
-    return main.crossJoin(baseline).crossJoin(diversity).select(
+    return main.crossJoin(baseline).select(
         "n_vectors",
         F.lit(8).alias("n_subspaces"),
         F.lit(64).alias("codebook_k"),
         F.col("codes_ok").cast("int").alias("codes_ok"),
-        F.col("codes_diverse").cast("int").alias("codes_diverse"),
+        F.when(diverse, 1).otherwise(0).alias("codes_diverse"),
         F.when(F.col("pq_err") < F.col("base_err"), 1).otherwise(0).alias("better_than_mean"),
     )

@@ -428,12 +428,12 @@ def _watermark_two_phase_sink(spark: SparkSession, sf_dir: str) -> str:
     import glob
     import os
     import shutil
-    import tempfile
+    from .. import tmpdirs
 
     out = _WM_SINK_CACHE.get(sf_dir)
     if out is not None and os.path.isdir(out):
         return out
-    base = tempfile.mkdtemp(prefix="k3s_wmrt_")
+    base = tmpdirs.mkdtemp(prefix="k3s_wmrt_")
     src, out, ck = base + "/src", base + "/out", base + "/ck"
     os.makedirs(src)
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -538,14 +538,14 @@ def _continuous_rollup_table(spark: SparkSession, sf_dir: str) -> str:
     import glob
     import os
     import shutil
-    import tempfile
+    from .. import tmpdirs
 
     from ..streaming.rollup import continuous_rollup, rollup_events
 
     target = _ROLLUP_CACHE.get(sf_dir)
     if target is not None and os.path.isdir(target):
         return target
-    base = tempfile.mkdtemp(prefix="k3s_rollup_")
+    base = tmpdirs.mkdtemp(prefix="k3s_rollup_")
     src, target, ck = base + "/src", base + "/rollup", base + "/ck"
     os.makedirs(src)
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")

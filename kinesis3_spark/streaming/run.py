@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
+from .. import tmpdirs
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -68,7 +68,7 @@ def run_to_memory(
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_", dir=ck_parent))
+            .option("checkpointLocation", tmpdirs.mkdtemp(prefix="ck_", dir=ck_parent))
             .trigger(availableNow=True)
             .start()
         )

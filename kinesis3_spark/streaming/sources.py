@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-import tempfile
+from .. import tmpdirs
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -24,7 +24,7 @@ def _as_stream_dir(file_path: str) -> str:
     single parquet files. Expose the file through a symlink in a temp dir
     (read-only view — the corpus itself is never touched)."""
     if file_path not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="stream_src_")
+        d = tmpdirs.mkdtemp(prefix="stream_src_")
         os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
         _STREAM_DIRS[file_path] = d
     return _STREAM_DIRS[file_path]

@@ -43,6 +43,55 @@ def test_priority_breaks_ties_within_class(monkeypatch):
     assert entry._ordered(names) == ["zz", "aa"]
 
 
+def test_modified_since_check_fronts_before_never_checked(monkeypatch):
+    """A green whose source hash changed since its official check outranks
+    never-checked queries (its official row misstates the CURRENT code) but
+    not standing reds; unknown recorded hash degrades to unmodified."""
+    names = {"red": None, "old_green": None, "fresh": None, "rewritten": None}
+    hist = {"red": (4, False), "old_green": (3, True), "rewritten": (5, True)}
+    monkeypatch.setattr(entry, "_coverage_history", lambda: hist)
+    monkeypatch.setattr(
+        entry,
+        "_recorded_hashes",
+        lambda: {"5": {"rewritten": "hash-at-check"}, "3": {}},
+    )
+    monkeypatch.setattr(
+        entry, "_current_hashes", lambda: {"rewritten": "hash-now"}
+    )
+    assert entry._ordered(names) == ["red", "rewritten", "fresh", "old_green"]
+
+
+def test_unchanged_recorded_hash_stays_green_class(monkeypatch):
+    names = {"stable": None, "fresh": None}
+    monkeypatch.setattr(
+        entry, "_coverage_history", lambda: {"stable": (5, True)}
+    )
+    monkeypatch.setattr(
+        entry, "_recorded_hashes", lambda: {"5": {"stable": "same"}}
+    )
+    monkeypatch.setattr(entry, "_current_hashes", lambda: {"stable": "same"})
+    assert entry._ordered(names) == ["fresh", "stable"]
+
+
+def test_r6_rewritten_queries_land_in_r7_window():
+    """The four r6-rewritten + four r7-ADVICE-touched queries carry seeded
+    sentinel hashes in QUERY_HASHES.json; all eight must sit inside the
+    driver's next 50-query window (VERDICT r6 'Next round' #1 done-bar)."""
+    ordered = entry._ordered(dict.fromkeys(entry.queries()))
+    window = set(ordered[:50])
+    for n in (
+        "funnel_view_click_purchase",
+        "dq_constraint_suite",
+        "stats_daily_anomaly_zscore",
+        "agg_approx_topk_band",
+        "pipeline_event_analytics_daily",
+        "sql_recursive_calendar_counts",
+        "embed_pq_reconstruction_band",
+        "llm_decontam_containment",
+    ):
+        assert n in window, n
+
+
 def test_real_history_parses_and_orders_everything():
     ordered = entry._ordered(dict.fromkeys(entry.queries()))
     assert len(ordered) == len(set(ordered))

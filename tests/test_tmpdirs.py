@@ -1,0 +1,41 @@
+"""Process-scoped temp dirs must be reaped at interpreter exit (VERDICT r6
+"What's wrong" #3: bare mkdtemp caches accumulated one tree per process per
+cache key across sessions). Reuse-within-process is pinned separately by
+tests/test_sources.py::test_rewrite_cache_isolates_table_and_sfdir."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from kinesis3_spark import tmpdirs
+
+
+def test_cleanup_removes_created_dirs():
+    d = tmpdirs.mkdtemp(prefix="k3s_test_reap_")
+    with open(os.path.join(d, "x"), "w") as f:
+        f.write("payload")
+    assert os.path.isdir(d)
+    tmpdirs._cleanup()
+    assert not os.path.exists(d)
+    assert tmpdirs._CREATED == []  # idempotent — atexit re-run is a no-op
+
+
+def test_dirs_reaped_at_interpreter_exit():
+    """End-to-end: a child process that mkdtemps via tmpdirs leaves nothing
+    behind once it exits (the atexit hook actually fires)."""
+    code = (
+        "from kinesis3_spark import tmpdirs;"
+        "print(tmpdirs.mkdtemp(prefix='k3s_test_exit_'))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    d = out.stdout.strip().splitlines()[-1]
+    assert d.startswith("/") and "k3s_test_exit_" in d
+    assert not os.path.exists(d)

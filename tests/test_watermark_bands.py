@@ -63,7 +63,10 @@ def test_left_outer_attribution_band(spark):
     """Unmatched purchases null-emit only at or below the min-side
     watermark: purchase 09:00 (no click) emits -1; purchase at 11:55
     (5 min before the purchase-side max, above wm) stays withheld;
-    a matched pair emits regardless."""
+    a matched pair emits regardless. Purchase EXACTLY AT the watermark
+    (11:50 == min(max click, max purchase) - 10min) pins the oracle's
+    INCLUSIVE `p.ts <= wm` convention (ADVICE r6): if a Spark upgrade
+    turns outer-state eviction strict, this planted row fails first."""
     base = "2024-03-01 "
     rows = [
         (0, pd.Timestamp(base + "09:00:00"), 1, "purchase", 1.0, "{}"),  # unmatched, old -> emits -1
@@ -72,11 +75,12 @@ def test_left_outer_attribution_band(spark):
         (3, pd.Timestamp(base + "11:55:00"), 3, "purchase", 1.0, "{}"),  # unmatched, above wm -> withheld
         (4, pd.Timestamp(base + "12:00:00"), 4, "click", 1.0, "{}"),     # click max 12:00
         (5, pd.Timestamp(base + "12:00:00"), 5, "purchase", 1.0, "{}"),  # purchase max 12:00 -> wm 11:50
+        (6, pd.Timestamp(base + "11:50:00"), 6, "purchase", 1.0, "{}"),  # unmatched, p.ts == wm exactly -> emits -1
     ]
     d = _events(rows)
     out = run_to_memory(_left_outer_attribution(spark, d), output_mode="append")
     got = {(r.user_id, r.purchase_id): r.click_id for r in out.collect()}
-    assert got == {(1, 0): -1, (2, 2): 1}
+    assert got == {(1, 0): -1, (2, 2): 1, (6, 6): -1}
 
 
 def test_statestore_reconciliation_planted(spark):
