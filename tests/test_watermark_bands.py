@@ -83,6 +83,44 @@ def test_left_outer_attribution_band(spark):
     assert got == {(1, 0): -1, (2, 2): 1, (6, 6): -1}
 
 
+def test_full_outer_attribution_bands(spark):
+    """Full-outer emission bands, both sides, with exact-boundary rows:
+    wm = min(12:00, 12:00) - 10min = 11:50.
+    - purchase side (inclusive p.ts <= wm, same convention as left outer):
+      09:00 unmatched emits; 11:50 == wm emits; 11:55 withheld.
+    - click side: unmatched click emits once its match window END
+      (c.ts + 10min) is STRICTLY below wm (measured Spark 4.1.2
+      convention — asymmetric with the purchase side's inclusive <=):
+      09:30 (end 09:40) emits; 11:40 (end 11:50 == wm exactly) pins the
+      strict boundary by staying WITHHELD; 11:45 (end 11:55 > wm)
+      withheld.
+    - a matched pair emits with both ids regardless of bands."""
+    base = "2024-03-01 "
+    rows = [
+        (0, pd.Timestamp(base + "09:00:00"), 1, "purchase", 1.0, "{}"),  # unmatched p, old -> (-1 click)
+        (1, pd.Timestamp(base + "10:00:00"), 2, "click", 1.0, "{}"),
+        (2, pd.Timestamp(base + "10:05:00"), 2, "purchase", 1.0, "{}"),  # matched pair
+        (3, pd.Timestamp(base + "09:30:00"), 3, "click", 1.0, "{}"),     # unmatched c, window end 09:40 -> emits
+        (4, pd.Timestamp(base + "11:40:00"), 4, "click", 1.0, "{}"),     # window end == wm exactly -> WITHHELD (strict)
+        (5, pd.Timestamp(base + "11:45:00"), 5, "click", 1.0, "{}"),     # window end 11:55 > wm -> withheld
+        (6, pd.Timestamp(base + "11:50:00"), 6, "purchase", 1.0, "{}"),  # p.ts == wm exactly -> emits
+        (7, pd.Timestamp(base + "11:55:00"), 7, "purchase", 1.0, "{}"),  # above wm -> withheld
+        (8, pd.Timestamp(base + "12:00:00"), 8, "click", 1.0, "{}"),     # click max 12:00
+        (9, pd.Timestamp(base + "12:00:00"), 9, "purchase", 1.0, "{}"),  # purchase max 12:00 -> wm 11:50
+    ]
+    d = _events(rows)
+    from kinesis3_spark.queries.streamq import _full_outer_attribution
+
+    out = run_to_memory(_full_outer_attribution(spark, d), output_mode="append")
+    got = {(r.user_id, r.purchase_id, r.click_id) for r in out.collect()}
+    assert got == {
+        (1, 0, -1),   # old unmatched purchase
+        (2, 2, 1),    # matched pair
+        (3, -1, 3),   # old unmatched click
+        (6, 6, -1),   # purchase at wm
+    }
+
+
 def test_statestore_reconciliation_planted(spark):
     """Pins the positional (count, sum) value-field assumption in the
     statestore reader query: planted per-type totals must come back
