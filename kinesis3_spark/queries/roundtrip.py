@@ -144,6 +144,176 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted malformed JSONL lines, one per failure class the reference's
+# nil-tolerant parser absorbs (utils.clj:65-71 `extract-json` returns nil
+# on any parse failure; the consumer substitutes {}): truncated object,
+# non-JSON text, JSON-but-not-an-object, and a type-mismatched field
+# (which Spark parses PARTIALLY — the good fields survive — while still
+# flagging the record). The lone "{}" line is the reference's explicit
+# `(or ... {})` case: a VALID row of all NULLs, not a corrupt one.
+_CORRUPT_LINES = (
+    '{"o_orderkey": 999999991, "o_orderstatus": "O"',
+    "this line is not json at all",
+    "[1, 2, 3]",
+    '{"o_orderkey": "not-a-number", "o_orderstatus": "O"}',
+)
+_EMPTY_OBJECT_LINES = ("{}",)
+_CORRUPT_CACHE: dict[str, str] = {}
+
+
+def _corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """orders rewritten as JSONL with a planted corrupt shard appended —
+    its OWN directory (never the clean _rewrite cache: that dir is shared
+    with source_jsonl_roundtrip, which must keep reading pristine data)."""
+    path = _CORRUPT_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tmpdirs.mkdtemp(prefix="k3s_jsonl_corrupt_") + "/orders"
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").json(path)
+        with open(os.path.join(path, "part-planted-corrupt.json"), "w") as f:
+            f.write("\n".join(_CORRUPT_LINES + _EMPTY_OBJECT_LINES) + "\n")
+        _CORRUPT_CACHE[sf_dir] = path
+    return path
+
+
+@query(
+    "source_jsonl_corrupt_tolerance",
+    oracle=f"""
+    SELECT 'corrupt' AS bucket, CAST({len(_CORRUPT_LINES)} AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS key_sig
+    UNION ALL
+    SELECT 'dropmalformed', count(*)::BIGINT + {len(_EMPTY_OBJECT_LINES)},
+           CAST(sum({_SIG_SQL.format(col="CAST(o_orderkey AS VARCHAR)")})
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'good', count(*)::BIGINT + {len(_EMPTY_OBJECT_LINES)},
+           CAST(sum({_SIG_SQL.format(col="CAST(o_orderkey AS VARCHAR)")})
+                AS BIGINT)
+    FROM orders
+    ORDER BY bucket
+    """,
+)
+def source_jsonl_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record scan tolerance (VERDICT r6 'Next round' #4) — the
+    reference collector's DEFINING ingest property, nil-tolerant parsing
+    (utils.clj:65-71), expressed as Spark scan semantics: a JSONL archive
+    with four planted malformed lines and one empty object is read under
+    PERMISSIVE (`_corrupt_record` captures each bad line; good fields of a
+    partially-parseable record survive) and under DROPMALFORMED (bad lines
+    vanish). The oracle pins the exact planted split: corrupt count ==
+    len(_CORRUPT_LINES) with a zero key signature (no planted line may
+    leak a valid o_orderkey), and both the PERMISSIVE good bucket and the
+    DROPMALFORMED scan must reproduce the orders table's count+1 (the
+    empty object survives as all-NULLs) with its key signature UNCHANGED.
+
+    Scale: both scans are distributed line-parallel reads (JSON parsing
+    is per-line, embarrassingly parallel); each feeds a map-side-combined
+    2-key aggregate. PERMISSIVE is the 100 TB default — one poison line
+    in a petabyte archive must quarantine, not kill the job."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = _corrupt_jsonl(spark, sf_dir)
+    base = load_table(spark, sf_dir, "orders").schema
+    with_corrupt = StructType(
+        [*base.fields, StructField("_corrupt_record", StringType())]
+    )
+    key_sig = portable_hash60(F.col("o_orderkey").cast("string")) % 1_000_000_000
+
+    perm = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .groupBy(
+            F.when(F.col("_corrupt_record").isNull(), "good")
+            .otherwise("corrupt")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(F.sum(key_sig), F.lit(0)).cast("bigint").alias("key_sig"),
+        )
+    )
+    dropm = (
+        spark.read.schema(base)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(F.sum(key_sig), F.lit(0)).cast("bigint").alias("key_sig"),
+        )
+        .select(F.lit("dropmalformed").alias("bucket"), "n", "key_sig")
+    )
+    return perm.unionByName(dropm).orderBy("bucket")
+
+
+_EVOL_CACHE: dict[str, str] = {}
+
+
+def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The events archive written in TWO epochs with different schemas —
+    epoch 1 (even event_ids) predates the `user_id` column, epoch 2 (odd
+    event_ids) carries it — the way a real 100 TB archive actually looks
+    after a mid-life schema change. Epochs are partition directories, so
+    a single mergeSchema read must union them with NULL backfill."""
+    path = _EVOL_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tmpdirs.mkdtemp(prefix="k3s_evolve_") + "/events"
+        ev = load_table(spark, sf_dir, "events")
+        ev.where(F.col("event_id") % 2 == 0).select(
+            "event_id", "ts", "event_type", "value"
+        ).write.mode("overwrite").parquet(path + "/epoch=1")
+        ev.where(F.col("event_id") % 2 == 1).select(
+            "event_id", "ts", "event_type", "value", "user_id"
+        ).write.mode("overwrite").parquet(path + "/epoch=2")
+        _EVOL_CACHE[sf_dir] = path
+    return path
+
+
+@query(
+    "source_parquet_schema_evolution",
+    oracle=f"""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           (count(*) FILTER (WHERE event_id % 2 = 1))::BIGINT AS n_with_user,
+           CAST(coalesce(sum(CASE WHEN event_id % 2 = 1 THEN
+                {_SIG_SQL.format(col="CAST(user_id AS VARCHAR)")} END), 0)
+                AS BIGINT) AS user_sig
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip (VERDICT r6 'Next round' #6): the
+    two-epoch archive (user_id added in epoch 2) read back through ONE
+    `mergeSchema` scan. The merged frame must backfill epoch-1 rows with
+    NULL user_id — so per event_type, total count covers BOTH epochs
+    while count(user_id) and the user-id signature reproduce exactly the
+    odd-event_id half the oracle computes from the original table. A
+    reader that dropped epoch-1 files, failed the merge, or zero-filled
+    instead of NULL-filling breaks a column.
+
+    Scale: mergeSchema reconciles FOOTERS (one small read per file at
+    planning), not data; the scan itself stays a plain parallel parquet
+    read with pushdown intact, and the aggregate is map-side combined.
+    This is the no-rewrite evolution story an immutable archive needs —
+    adding a column to 100 TB must cost zero data movement."""
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(_schema_evolution_dir(spark, sf_dir))
+    )
+    user_sig = portable_hash60(F.col("user_id").cast("string")) % 1_000_000_000
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("user_id").cast("bigint").alias("n_with_user"),
+            F.coalesce(F.sum(user_sig), F.lit(0)).cast("bigint").alias("user_sig"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _PART_CACHE: dict[str, str] = {}
 
 

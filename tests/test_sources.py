@@ -101,3 +101,77 @@ def test_rewrite_cache_isolates_table_and_sfdir(spark, sf_dir):
     assert spark.read.json(p_cust).count() == n_cust
     # cache hit: same path back
     assert rt._rewrite(spark, sf_dir, "orders", "jsonl") == p_orders
+
+
+def test_corrupt_tolerance_planted_classes(spark):
+    """Pins PERMISSIVE/DROPMALFORMED semantics per planted failure class
+    on a 3-row orders table: corrupt bucket counts EXACTLY the four
+    malformed lines with a zero key signature (the type-mismatch line's
+    partially-parsed fields must not leak a key), the empty object "{}"
+    survives as a good all-NULL row, and DROPMALFORMED keeps it too."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from kinesis3_spark.queries.roundtrip import (
+        _CORRUPT_LINES,
+        source_jsonl_corrupt_tolerance,
+    )
+
+    d = tempfile.mkdtemp(prefix="k3s_corrupt_planted_")
+    pd.DataFrame(
+        [
+            (1, 10, "O", 100.0, pd.Timestamp("2024-01-01"), "1-URGENT"),
+            (2, 20, "F", 200.0, pd.Timestamp("2024-01-02"), "2-HIGH"),
+            (3, 30, "O", 300.0, pd.Timestamp("2024-01-03"), "3-MEDIUM"),
+        ],
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    ).to_parquet(os.path.join(d, "orders.parquet"))
+
+    rows = {
+        r.bucket: (r.n, r.key_sig)
+        for r in source_jsonl_corrupt_tolerance(spark, d).collect()
+    }
+    from kinesis3_spark.operators.dedup import portable_hash60
+    from pyspark.sql import functions as F
+
+    sig = (
+        spark.range(1, 4)
+        .select(
+            F.sum(portable_hash60(F.col("id").cast("string")) % 1_000_000_000)
+        )
+        .collect()[0][0]
+    )
+    assert rows == {
+        "corrupt": (len(_CORRUPT_LINES), 0),
+        "dropmalformed": (4, sig),  # 3 real rows + the {} all-NULL row
+        "good": (4, sig),
+    }
+
+
+def test_schema_evolution_null_backfill(spark, sf_dir):
+    """mergeSchema must NULL-backfill the pre-evolution epoch: every
+    epoch-1 (even event_id) row reads user_id IS NULL, every epoch-2 row
+    reads it non-NULL, and the merged schema contains the union of
+    columns plus the epoch partition column."""
+    from kinesis3_spark.queries.roundtrip import _schema_evolution_dir
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _schema_evolution_dir(spark, sf_dir)
+    )
+    assert {"event_id", "ts", "event_type", "value", "user_id", "epoch"} <= set(
+        merged.columns
+    )
+    bad = merged.where(
+        ((F.col("event_id") % 2 == 0) & F.col("user_id").isNotNull())
+        | ((F.col("event_id") % 2 == 1) & F.col("user_id").isNull())
+    ).count()
+    assert bad == 0
