@@ -174,6 +174,57 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_BAND_ORACLE = f"""
+    SELECT vec_id AS query_id,
+           (SELECT count(*) FROM embeddings)::BIGINT AS corpus_encoded,
+           1 AS codes_ok, 1 AS n_le_k, 1 AS ranks_ok, 1 AS neighbors_ok
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
+@query("sim_cosine_topk_ivfpq", oracle=_IVFPQ_BAND_ORACLE)
+def topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k (VERDICT r6 'Next round' #5) — the two green
+    building blocks composed into the production index shape (FAISS's
+    `IVFx,PQy` default): coarse cells route the probe, residual-PQ codes
+    rank candidates via lookup tables, raw vectors never touched on the
+    probe path. Banded-oracle form: per-query integrity flags plus two
+    index invariants the oracle pins — corpus_encoded (every vector gets
+    exactly one (cell, codes) row; the oracle counts the corpus
+    independently) and codes_ok (every cell in [0, 16), every code in
+    [0, 64) — a collapsed or out-of-range codebook fails). Recall on
+    planted clustered fixtures is pytest-pinned (tests/test_ivfpq.py).
+
+    Scale: index trains on ONE bounded sample; the encode is a zero-
+    shuffle mapInPandas the production path persists once (clustered by
+    cell — re-derived here because the bench corpus is small); the probe
+    shuffles only probed-cell candidates. The enc subtree feeds both the
+    invariant aggregate and the probe join — at 100 TB that is one
+    persisted table read twice, not two encode passes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = _query_set(spark, sf_dir)
+    C, books = S.train_ivfpq(emb)
+    enc = S.ivfpq_encode(emb, C, books)
+    topk = S.cosine_topk_ivfpq(emb, qset, k=_K, index=(C, books), enc=enc)
+    flags = _topk_integrity(
+        topk, emb, qset.select(F.col("vec_id").alias("query_id")), _K
+    )
+    in_range = (
+        (F.col("cell") >= 0)
+        & (F.col("cell") < 16)
+        & (F.array_min("codes") >= 0)
+        & (F.array_max("codes") < 64)
+    )
+    enc_stats = enc.agg(
+        F.count("*").cast("bigint").alias("corpus_encoded"),
+        F.min(F.when(in_range, 1).otherwise(0)).cast("int").alias("codes_ok"),
+    )
+    return flags.crossJoin(enc_stats).select(
+        "query_id", "corpus_encoded", "codes_ok", "n_le_k", "ranks_ok",
+        "neighbors_ok",
+    )
+
+
 @query(
     "sim_embedding_neardup",
     oracle=f"""

@@ -1,0 +1,117 @@
+"""IVF-PQ composition semantics on planted clustered data: cell routing
+must send cluster-mates to the same cell, ADC ranking must recover the
+true nearest neighbors when clusters are well separated, and the index
+must be rerun-deterministic (resumable builds)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kinesis3_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    """4 well-separated 64-dim clusters (orthogonal-ish block means, small
+    in-cluster noise): every vector's true nearest neighbors are its
+    cluster-mates by a wide cosine margin, so an IVF-PQ probe that routes
+    or ranks wrongly is unambiguously caught."""
+    rng = np.random.RandomState(11)
+    centers = np.zeros((4, 64))
+    for c in range(4):
+        centers[c, c * 16 : (c + 1) * 16] = 1.0
+    n_per = 50
+    vecs, labels = [], []
+    for c in range(4):
+        pts = centers[c] + rng.standard_normal((n_per, 64)) * 0.05
+        vecs.append(pts)
+        labels += [c] * n_per
+    V = np.concatenate(vecs).astype(np.float32)
+    d = tmp_path_factory.mktemp("ivfpq")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(V)), pa.int64()),
+            "embedding": pa.array([list(v) for v in V], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d), np.array(labels)
+
+
+def test_ivfpq_routes_clusters_to_shared_cells(spark, clustered_dir):
+    d, labels = clustered_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    C, books = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    enc = S.ivfpq_encode(emb, C, books).collect()
+    assert len(enc) == len(labels)
+    # k-means may legitimately SPLIT a planted cluster across cells (8
+    # centroids, 4 clusters), but with 0.05 noise vs orthogonal means a
+    # cell must never MIX clusters — that's the invariant cell routing
+    # rides on. Codes stay in range.
+    by_cell: dict[int, set] = {}
+    for r in enc:
+        by_cell.setdefault(r["cell"], set()).add(int(labels[r["id"]]))
+        assert 0 <= r["cell"] < 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    for cell_labels in by_cell.values():
+        assert len(cell_labels) == 1
+
+
+def test_ivfpq_topk_matches_numpy_adc_reference_exactly(spark, clustered_dir):
+    """The distributed probe path (cell routing -> broadcast probe join ->
+    LUT gather -> rank) must reproduce a plain-numpy ADC reference
+    EXACTLY, ranks and tie-breaks included — the compressed
+    representation is the ground truth ADC answers to, so no geometry
+    slack is allowed. Cluster-level recall rides on top: with orthogonal
+    planted clusters, every returned neighbor is a cluster-mate.
+    (In-cluster brute-force agreement is deliberately NOT asserted:
+    cluster-mates are near-ties at cosine ~0.995+, below PQ resolution
+    by design — Jégou et al. trade that precision for 32x compression.)"""
+    from pyspark.sql import functions as F
+
+    d, labels = clustered_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    qids = [0, 50, 100, 150]
+    qset = emb.where(F.col("vec_id").isin(qids))
+    C, books = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    enc_rows = {r["id"]: r for r in S.ivfpq_encode(emb, C, books).collect()}
+    got = S.cosine_topk_ivfpq(
+        emb, qset, k=5, nprobe=2, index=(C, books)
+    ).collect()
+
+    m, kcode, sub = books.shape
+    qpdf = qset.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    QC = Qn @ C.T
+    LUT = np.einsum("qsd,skd->qsk", Qn.reshape(len(Qn), m, sub), books)
+    want = {}
+    for i, qid in enumerate(qpdf["vec_id"]):
+        probed = set(np.argsort(-QC[i])[:2])
+        scored = []
+        for nid, r in enc_rows.items():
+            if nid == qid or r["cell"] not in probed:
+                continue
+            s = QC[i, r["cell"]] + sum(
+                LUT[i, sx, r["codes"][sx]] for sx in range(m)
+            )
+            scored.append((-s, nid))
+        for rank, (_, nid) in enumerate(sorted(scored)[:5], start=1):
+            want[(qid, rank)] = nid
+
+    got_map = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got}
+    assert got_map == want
+    assert all(labels[n] == labels[q] for (q, _), n in got_map.items())
+
+
+def test_ivfpq_training_is_deterministic(spark, sf_dir):
+    from kinesis3_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C1, b1 = S.train_ivfpq(emb, n_centroids=8, m=8, k=16, iters=4)
+    C2, b2 = S.train_ivfpq(emb, n_centroids=8, m=8, k=16, iters=4)
+    assert np.array_equal(C1, C2) and np.array_equal(b1, b2)
