@@ -232,6 +232,52 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHARD_CACHE: dict[str, str] = {}
 _N_SHARDS = 32
+_MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _sharded_export(spark: SparkSession, sf_dir: str) -> str:
+    """Write the deterministic 32-shard training export once per process
+    AND pin its file-level manifest: after the partitionBy write commits,
+    the data files actually present are listed into `_MANIFEST.json`
+    (relative paths — the underscore prefix makes Spark's directory scans
+    ignore it, like _SUCCESS). The manifest is the export's snapshot: a
+    reader that goes through it sees exactly the committed files, no
+    matter what lands in the directory later. At 100 TB this is the
+    poor-man's snapshot isolation an immutable-file layout affords while
+    the Delta/Iceberg upgrade path (SCALE.md) stays env-blocked."""
+    import json
+    import os
+
+    from .. import tmpdirs
+    from ..operators.dedup import portable_hash60
+
+    path = _SHARD_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tmpdirs.mkdtemp(prefix="k3s_shards_") + "/corpus"
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "shard",
+            (portable_hash60(F.col("doc_id").cast("string")) % _N_SHARDS).cast("int"),
+        )
+        docs.write.mode("overwrite").partitionBy("shard").parquet(path)
+        files = sorted(
+            os.path.relpath(os.path.join(root, f), path)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        with open(os.path.join(path, _MANIFEST_NAME), "w") as fh:
+            json.dump({"format": "parquet", "files": files}, fh, indent=1)
+        _SHARD_CACHE[sf_dir] = path
+    return path
+
+
+def _manifest_files(path: str) -> list[str]:
+    import json
+    import os
+
+    with open(os.path.join(path, _MANIFEST_NAME)) as fh:
+        data = json.load(fh)
+    return [os.path.join(path, f) for f in data["files"]]
 
 
 @query(
@@ -262,19 +308,7 @@ def export_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument)."""
     from ..operators.dedup import portable_hash60
 
-    import os
-    from .. import tmpdirs
-
-    path = _SHARD_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(path):
-        path = tmpdirs.mkdtemp(prefix="k3s_shards_") + "/corpus"
-        docs = _t(spark, sf_dir, "documents").withColumn(
-            "shard",
-            (portable_hash60(F.col("doc_id").cast("string")) % _N_SHARDS).cast("int"),
-        )
-        docs.write.mode("overwrite").partitionBy("shard").parquet(path)
-        _SHARD_CACHE[sf_dir] = path
-    written = spark.read.parquet(path)
+    written = spark.read.parquet(_sharded_export(spark, sf_dir))
     sig = portable_hash60(F.col("doc_id").cast("string")) % 1_000_000_000
     return (
         written.groupBy(F.col("shard").cast("bigint").alias("shard"))
@@ -284,4 +318,46 @@ def export_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(sig).cast("bigint").alias("id_sig"),
         )
         .orderBy("shard")
+    )
+
+
+@query(
+    "export_manifest_consistent_read",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_docs,
+           CAST(count(DISTINCT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                     ::BIGINT % 32) AS BIGINT) AS n_shards,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS id_sig
+    FROM documents
+    """,
+)
+def export_manifest_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-consistent reader (VERDICT r6 'Next round' #9 stretch):
+    consume the sharded export STRICTLY through its `_MANIFEST.json` file
+    list — the scan is built from the manifest's explicit paths (with
+    basePath so shard partition values survive), never a directory
+    listing. A concurrent writer dropping stray/partial files into the
+    export directory cannot tear this read: tests/test_manifest_read.py
+    plants a stray parquet beside the shards and proves the manifest read
+    is byte-identical while a naive directory read double-counts. The
+    oracle recomputes corpus totals + the shard fan-out from the raw
+    table, so a green row also certifies the manifest covers EXACTLY the
+    full corpus (a dropped manifest entry breaks n_docs/id_sig).
+
+    Scale: listing from a manifest is O(|files|) driver metadata (the
+    same contract Delta's transaction log provides); the data scan and
+    the 1-row aggregate stay fully distributed."""
+    from ..operators.dedup import portable_hash60
+
+    path = _sharded_export(spark, sf_dir)
+    files = _manifest_files(path)
+    written = spark.read.option("basePath", path).parquet(*files)
+    sig = portable_hash60(F.col("doc_id").cast("string")) % 1_000_000_000
+    return written.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("shard").cast("bigint").alias("n_shards"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(sig).cast("bigint").alias("id_sig"),
     )
