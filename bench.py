@@ -86,6 +86,14 @@ HEADLINE = [
     # round 6c: journey mining + the composed analytics build
     "seq_topk_session_paths",
     "pipeline_event_analytics_daily",
+    # round 7: production state backend, completed stream-join matrix,
+    # tolerant/evolving scans, and the compressed ANN probe path
+    "stream_rocksdb_state_parity",
+    "stream_stream_full_outer_attribution",
+    "source_jsonl_corrupt_tolerance",
+    "source_parquet_schema_evolution",
+    "sim_cosine_topk_ivfpq",
+    "export_manifest_consistent_read",
 ]
 
 
