@@ -172,7 +172,9 @@ def _source_hash(fn, oracle: str | None) -> str:
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
-        src = repr(fn)
+        # stable fallback — repr(fn) would embed the ASLR-randomized memory
+        # address and mark the query modified on every run (review fix r7)
+        src = f"{fn.__module__}.{fn.__qualname__}"
     return hashlib.md5((src + "\n" + (oracle or "")).encode()).hexdigest()
 
 
@@ -198,7 +200,11 @@ def _recorded_hashes() -> dict[str, dict[str, str]]:
             data = json.load(f)
     except (OSError, ValueError):
         return {}
-    return data if isinstance(data, dict) else {}
+    if not isinstance(data, dict):
+        return {}
+    # inner values must be dicts too, or the per-round .get(name) lookup
+    # would raise instead of degrading (review fix r7)
+    return {k: v for k, v in data.items() if isinstance(v, dict)}
 
 
 def _coverage_history() -> dict[str, tuple[int, bool]]:

@@ -449,16 +449,29 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SS_CACHE: dict[str, str] = {}
 
 
-def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
-    """Run the canonical per-type streaming aggregation over events to
-    completion (availableNow, complete mode, throwaway noop sink), KEEPING
-    the checkpoint — the statestore reader query then audits the live
-    aggregation state offline, the way a 100 TB operator debugs a
-    misbehaving stream without replaying it."""
-    ck = _SS_CACHE.get(sf_dir)
+def _drain_checkpoint(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict[str, str],
+    prefix: str,
+    provider: str | None = None,
+) -> str:
+    """Run THE canonical per-type streaming aggregation (count + exact
+    micro-sum per event_type) over events to completion (availableNow,
+    complete mode, throwaway noop sink), KEEPING the checkpoint — the
+    statestore reader queries then audit the live aggregation state
+    offline, the way a 100 TB operator debugs a misbehaving stream
+    without replaying it. ONE definition serves every provider (review
+    fix r7): the default-provider and RocksDB queries differ ONLY in the
+    `provider` conf set around the drain, which is what makes their
+    'same aggregation, different state backend' parity claim enforceable
+    rather than aspirational. Checkpoints cache per (provider, sf_dir) —
+    provider format is a physical property of a checkpoint, never
+    mixable within one."""
+    ck = cache.get(sf_dir)
     if ck is not None and os.path.isdir(ck):
         return ck
-    ck = tmpdirs.mkdtemp(prefix="k3s_ssck_")
+    ck = tmpdirs.mkdtemp(prefix=prefix)
     agg = (
         stream_events(spark, sf_dir)
         .groupBy("event_type")
@@ -467,10 +480,14 @@ def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("value_micro_sum"),
         )
     )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_prov = spark.conf.get(prov_key, None)
     # Fewer state-store instances for the bounded drain (run_to_memory's
     # measured fixed-cost lesson); the checkpoint keeps this partitioning.
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    if provider is not None:
+        spark.conf.set(prov_key, provider)
     try:
         q = (
             agg.writeStream.format("noop")
@@ -482,8 +499,35 @@ def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         await_or_raise(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    _SS_CACHE[sf_dir] = ck
+        if provider is not None:
+            if old_prov is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, old_prov)
+    cache[sf_dir] = ck
     return ck
+
+
+def _typed_totals_from_state(spark: SparkSession, ck: str) -> DataFrame:
+    """Read a _drain_checkpoint's retained state back via the `statestore`
+    source as (event_type, n, value_micro_sum). The aggregation buffer's
+    value columns are positional (count, sum) per the agg expression
+    order — shared by every provider's query so the projection can't
+    drift between them."""
+    st = spark.read.format("statestore").load(ck)
+    vcols = st.select("value.*").columns
+    return (
+        st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col(f"value.{vcols[0]}").cast("bigint").alias("n"),
+            F.col(f"value.{vcols[1]}").cast("bigint").alias("value_micro_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _statestore_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    return _drain_checkpoint(spark, sf_dir, _SS_CACHE, "k3s_ssck_")
 
 
 @query(
@@ -503,18 +547,10 @@ def statestore_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     value_micro_sum) — the oracle computes the same aggregate from the
     raw table, so a green row proves the stream's RETAINED STATE equals
     the batch truth exactly (state-loss, double-count, or micro-batch
-    replay all break it). The aggregation buffer's value columns are
-    positional (count, sum) per the agg expression order."""
-    st = spark.read.format("statestore").load(_statestore_checkpoint(spark, sf_dir))
-    vcols = st.select("value.*").columns
-    return (
-        st.select(
-            F.col("key.event_type").alias("event_type"),
-            F.col(f"value.{vcols[0]}").cast("bigint").alias("n"),
-            F.col(f"value.{vcols[1]}").cast("bigint").alias("value_micro_sum"),
-        )
-        .orderBy("event_type")
-    )
+    replay all break it). Drain + state read are the shared helpers
+    (`_drain_checkpoint` / `_typed_totals_from_state`) the RocksDB parity
+    query also uses — same aggregation by construction."""
+    return _typed_totals_from_state(spark, _statestore_checkpoint(spark, sf_dir))
 
 
 ROCKSDB_PROVIDER = (
@@ -524,50 +560,14 @@ _ROCKS_CACHE: dict[str, str] = {}
 
 
 def _rocksdb_checkpoint(spark: SparkSession, sf_dir: str) -> str:
-    """The _statestore_checkpoint drain re-run under the RocksDB state
-    store provider — the production state backend for 100 TB streams
-    (state lives off-heap in RocksDB with SST-snapshot checkpointing, so
-    executor heap stays bounded no matter how many keys the stream
-    accumulates; the default HDFS-backed provider keeps every key on the
-    JVM heap). Separate checkpoint cache: provider format is a physical
-    property of the checkpoint, never mixable within one."""
-    ck = _ROCKS_CACHE.get(sf_dir)
-    if ck is not None and os.path.isdir(ck):
-        return ck
-    ck = tmpdirs.mkdtemp(prefix="k3s_rocksck_")
-    agg = (
-        stream_events(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("value_micro_sum"),
-        )
+    """The canonical drain under the RocksDB state store provider — the
+    production state backend for 100 TB streams (state lives off-heap in
+    RocksDB with SST-snapshot checkpointing, so executor heap stays
+    bounded no matter how many keys the stream accumulates; the default
+    HDFS-backed provider keeps every key on the JVM heap)."""
+    return _drain_checkpoint(
+        spark, sf_dir, _ROCKS_CACHE, "k3s_rocksck_", provider=ROCKSDB_PROVIDER
     )
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    old_prov = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    try:
-        q = (
-            agg.writeStream.format("noop")
-            .outputMode("complete")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_or_raise(q, 300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        if old_prov is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", old_prov
-            )
-    _ROCKS_CACHE[sf_dir] = ck
-    return ck
 
 
 @query(
@@ -594,17 +594,7 @@ def stream_rocksdb_state_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is RocksDB-format (SST/zip layout, not HDFS-provider deltas).
     Upgrades the reference's checkpoint-disabled worker
     (src/kinesis3/core.clj:165-173) to the bounded-heap state story."""
-    ck = _rocksdb_checkpoint(spark, sf_dir)
-    st = spark.read.format("statestore").load(ck)
-    vcols = st.select("value.*").columns
-    return (
-        st.select(
-            F.col("key.event_type").alias("event_type"),
-            F.col(f"value.{vcols[0]}").cast("bigint").alias("n"),
-            F.col(f"value.{vcols[1]}").cast("bigint").alias("value_micro_sum"),
-        )
-        .orderBy("event_type")
-    )
+    return _typed_totals_from_state(spark, _rocksdb_checkpoint(spark, sf_dir))
 
 
 _Z_CACHE: dict[str, str] = {}

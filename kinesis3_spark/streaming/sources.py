@@ -23,11 +23,14 @@ def _as_stream_dir(file_path: str) -> str:
     """File streaming sources monitor a DIRECTORY; the corpus tables are
     single parquet files. Expose the file through a symlink in a temp dir
     (read-only view — the corpus itself is never touched)."""
-    if file_path not in _STREAM_DIRS:
+    d = _STREAM_DIRS.get(file_path)
+    # isdir revalidation like every other materialization cache: a reaped
+    # scratch dir must rebuild, not poison later reads (review fix r7)
+    if d is None or not os.path.isdir(d):
         d = tmpdirs.mkdtemp(prefix="stream_src_")
         os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
         _STREAM_DIRS[file_path] = d
-    return _STREAM_DIRS[file_path]
+    return d
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

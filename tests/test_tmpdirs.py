@@ -13,13 +13,20 @@ from kinesis3_spark import tmpdirs
 
 
 def test_cleanup_removes_created_dirs():
-    d = tmpdirs.mkdtemp(prefix="k3s_test_reap_")
-    with open(os.path.join(d, "x"), "w") as f:
-        f.write("payload")
-    assert os.path.isdir(d)
-    tmpdirs._cleanup()
-    assert not os.path.exists(d)
-    assert tmpdirs._CREATED == []  # idempotent — atexit re-run is a no-op
+    # snapshot the shared registry: other tests' live cached scratch dirs
+    # must NOT be reaped mid-session by this test's _cleanup() call
+    saved = tmpdirs._CREATED[:]
+    tmpdirs._CREATED.clear()
+    try:
+        d = tmpdirs.mkdtemp(prefix="k3s_test_reap_")
+        with open(os.path.join(d, "x"), "w") as f:
+            f.write("payload")
+        assert os.path.isdir(d)
+        tmpdirs._cleanup()
+        assert not os.path.exists(d)
+        assert tmpdirs._CREATED == []  # idempotent — atexit re-run is a no-op
+    finally:
+        tmpdirs._CREATED.extend(saved)
 
 
 def test_dirs_reaped_at_interpreter_exit():
