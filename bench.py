@@ -94,6 +94,8 @@ HEADLINE = [
     "source_parquet_schema_evolution",
     "sim_cosine_topk_ivfpq",
     "export_manifest_consistent_read",
+    "sink_partition_overwrite_backfill",
+    "udf_arrow_grouped_agg",
 ]
 
 

@@ -273,6 +273,85 @@ def source_jsonl_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFram
     return perm.unionByName(dropm).orderBy("bucket")
 
 
+_BACKFILL_CACHE: dict[str, str] = {}
+
+
+def _backfill_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned events archive with ONE day surgically backfilled:
+    the full archive is written partitioned by dt, then the earliest
+    day's rows are re-written CORRECTED (value doubled — exact in binary,
+    so float parity holds) through `partitionOverwriteMode=dynamic`,
+    which replaces exactly the partitions present in the incoming frame
+    and leaves every other day's files untouched (pinned by
+    tests/test_sinks.py::test_backfill_touches_only_target_partition).
+    This is the reprocess-one-day maintenance op a 100 TB archive runs
+    weekly: idempotent, partition-scoped, no full rewrite."""
+    path = _BACKFILL_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tmpdirs.mkdtemp(prefix="k3s_backfill_") + "/events"
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "dt", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.write.mode("overwrite").partitionBy("dt").parquet(path)
+        target = ev.agg(F.min("dt")).collect()[0][0]
+        corrected = ev.where(F.col("dt") == target).withColumn(
+            "value", F.col("value") * 2
+        )
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old = spark.conf.get(mode_key)
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            corrected.write.mode("overwrite").partitionBy("dt").parquet(path)
+        finally:
+            spark.conf.set(mode_key, old)
+        _BACKFILL_CACHE[sf_dir] = path
+    return path
+
+
+@query(
+    "sink_partition_overwrite_backfill",
+    oracle="""
+    WITH target AS (
+      SELECT strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS t FROM events
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(floor(value * (CASE WHEN
+                strftime(CAST(ts AS DATE), '%Y-%m-%d') = (SELECT t FROM target)
+                THEN 2 ELSE 1 END) * 1e6) AS BIGINT)) AS BIGINT)
+             AS value_micro_sum
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped backfill round-trip: after the dynamic-mode
+    overwrite of the earliest day, the re-read archive must show exactly
+    the corrected values on that day and the ORIGINAL values everywhere
+    else — the oracle recomputes both from the raw table (doubling is
+    exact in IEEE binary, so the micro-sums hash identically). A backfill
+    that leaked into other partitions (classic static-mode accident:
+    overwrite mode + partitionBy wipes the WHOLE table), dropped the
+    target day, or double-applied the correction all break it.
+
+    Scale: the rewrite job touches one partition's files; the read-back
+    aggregate is a map-side-combined per-day rollup with partition
+    pruning available on dt."""
+    read = spark.read.parquet(_backfill_dir(spark, sf_dir))
+    # partition values read back type-INFERRED (dt strings -> DATE, the
+    # parity-memory hazard): format back to the ISO string on the way out
+    return (
+        read.groupBy(F.date_format("dt", "yyyy-MM-dd").alias("dt"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("bigint")
+            .alias("value_micro_sum"),
+        )
+        .orderBy("dt")
+    )
+
+
 _EVOL_CACHE: dict[str, str] = {}
 
 

@@ -88,6 +88,65 @@ def zscore_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_arrow_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def arrow_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow (Spark 4): the pyarrow-NATIVE grouped-map tier
+    — the same shape as applyInPandas but the batch stays a pa.Table end
+    to end, skipping the Arrow→pandas→Arrow conversion entirely (the
+    conversion is the dominant per-batch overhead for wide/simple UDFs,
+    and pandas coerces types — e.g. int columns with NULLs to float —
+    which pyarrow does not). Per-priority exact aggregates: prices ride
+    on integer cents (2-decimal doubles scale to within 1 ulp of
+    integers, so any rounding mode agrees), so both engines hash
+    identically. Completes the Python-surface inventory next to
+    pandas_udf / applyInPandas / mapInPandas / UDTF.
+
+    Scale: same contract as applyInPandas — one shuffle on the group key,
+    each group one Arrow batch in executor memory (|priorities| = 5 tiny
+    groups; a high-cardinality key would use plain aggregates)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_group(table: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(table.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderpriority": [table.column("o_orderpriority")[0].as_py()],
+                "n": [table.num_rows],
+                "cents": [pc.sum(cents).as_py()],
+                "min_key": [pc.min(table.column("o_orderkey")).as_py()],
+                "max_key": [pc.max(table.column("o_orderkey")).as_py()],
+            }
+        )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .applyInArrow(
+            per_group,
+            schema="o_orderpriority string, n bigint, cents bigint, "
+            "min_key bigint, max_key bigint",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "udtf_archive_line_parse",
     oracle="""
     SELECT count(*)::BIGINT AS n,

@@ -95,3 +95,71 @@ def test_write_partitioned_append(spark, tmp_path):
     write_partitioned(_events(spark, B1), path)
     write_partitioned(_events(spark, B2), path)
     assert spark.read.parquet(path).count() == 6
+
+
+def test_backfill_touches_only_target_partition(spark, tmp_path):
+    """partitionOverwriteMode=dynamic must replace exactly the partitions
+    present in the incoming frame: re-running the target-day rewrite
+    leaves every other day's files bit-identical (same names, mtimes,
+    sizes) while the target day's files are replaced. Static mode would
+    wipe the whole table — the classic backfill accident this pins."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.queries.roundtrip import _backfill_dir
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    rows = []
+    for d, day in enumerate(["2024-03-01", "2024-03-02", "2024-03-03"]):
+        for i in range(4):
+            rows.append((d * 10 + i, pd.Timestamp(f"{day} 09:0{i}:00"), 1, "view", 1.25, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(str(src / "events.parquet"))
+
+    path = _backfill_dir(spark, str(src))
+
+    def snap(day):
+        d = os.path.join(path, f"dt={day}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_other, before_target = snap("2024-03-02"), snap("2024-03-01")
+
+    # re-run the target-day dynamic overwrite against the existing archive
+    from kinesis3_spark.sources import load_table
+
+    ev = load_table(spark, str(src), "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    corrected = ev.where(F.col("dt") == "2024-03-01").withColumn(
+        "value", F.col("value") * 2
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("dt").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    assert snap("2024-03-02") == before_other  # untouched, bit-for-bit
+    assert set(snap("2024-03-01")) != set(before_target) or snap("2024-03-01") != before_target
+
+    # semantics: target doubled, others original
+    got = {
+        (r.dt, r.value): None
+        for r in spark.read.parquet(path)
+        .select(F.date_format("dt", "yyyy-MM-dd").alias("dt"), "value")
+        .distinct()
+        .collect()
+    }
+    assert ("2024-03-01", 2.5) in got and ("2024-03-01", 1.25) not in got
+    assert ("2024-03-02", 1.25) in got and ("2024-03-03", 1.25) in got
