@@ -96,6 +96,7 @@ HEADLINE = [
     "export_manifest_consistent_read",
     "sink_partition_overwrite_backfill",
     "udf_arrow_grouped_agg",
+    "ts_ohlc_downsample",
 ]
 
 

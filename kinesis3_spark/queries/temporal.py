@@ -493,3 +493,86 @@ def join_pointintime_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC downsampling: the TimescaleDB/financial candlestick rollup — per
+# (event_type, 15-min bucket): open/close = first/last value in event-time
+# order, high/low = min/max. The continuous-aggregate staple for metric
+# dashboards.
+# --------------------------------------------------------------------------
+@query(
+    "ts_ohlc_downsample",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+             value, ts, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(max(CASE WHEN rn_a = 1 THEN value END) * 1e6) AS BIGINT)
+             AS open_micro,
+           CAST(floor(max(value) * 1e6) AS BIGINT) AS high_micro,
+           CAST(floor(min(value) * 1e6) AS BIGINT) AS low_micro,
+           CAST(floor(max(CASE WHEN rn_d = 1 THEN value END) * 1e6) AS BIGINT)
+             AS close_micro
+    FROM r
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) downsampling per (event_type, 15-min
+    bucket): open/close via `min_by`/`max_by` keyed on the (ts, event_id)
+    struct — tie-safe by construction (equal timestamps break on the
+    unique event id; DuckDB's arg_min/arg_max over a ROW key applies the
+    identical order), high/low are plain min/max. Values quantize to
+    integer micros per the float-parity discipline (floor of identical
+    IEEE doubles is bit-exact; min/max/first/last never ADD floats, so
+    no cross-row summation risk at all).
+
+    Scale: ONE map-side-combined aggregate — OHLC state per group is four
+    scalars plus the two (ts,id) argmin/argmax keys, all algebraic and
+    mergeable, so the exchange carries |types × buckets| rows. This is
+    the continuous-aggregate rollup shape `stream_continuous_rollup`
+    materializes incrementally; here it is the batch/backfill form."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    micro = lambda c: F.floor(c * 1e6).cast("bigint")  # noqa: E731
+    return (
+        ev.select(
+            "event_type",
+            F.window("ts", "15 minutes").start.alias("bucket_ts"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            micro(F.min_by("value", F.col("k"))).alias("open_micro"),
+            micro(F.max("value")).alias("high_micro"),
+            micro(F.min("value")).alias("low_micro"),
+            micro(F.max_by("value", F.col("k"))).alias("close_micro"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n",
+            "open_micro",
+            "high_micro",
+            "low_micro",
+            "close_micro",
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -50,3 +50,35 @@ def test_load_table_events_normalized(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.limit(1).count() >= 0
+
+
+def test_ohlc_tie_breaks_on_event_id(spark):
+    """Planted equal-timestamp rows: open/close must pick by (ts,
+    event_id) struct order — the value of the LOWEST event id at the
+    earliest ts opens the bar, the HIGHEST event id at the latest ts
+    closes it. A min_by on ts alone is non-deterministic here."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from kinesis3_spark.queries.temporal import ts_ohlc_downsample
+
+    base = "2024-03-01 "
+    rows = [
+        # one 15-min bucket, ties at both ends
+        (2, pd.Timestamp(base + "09:00:00"), 1, "view", 5.0, "{}"),
+        (1, pd.Timestamp(base + "09:00:00"), 1, "view", 3.0, "{}"),  # opens (id 1)
+        (3, pd.Timestamp(base + "09:07:00"), 1, "view", 9.0, "{}"),  # high
+        (4, pd.Timestamp(base + "09:14:00"), 1, "view", 1.0, "{}"),  # low
+        (5, pd.Timestamp(base + "09:14:00"), 1, "view", 7.0, "{}"),  # closes (id 5)
+    ]
+    d = tempfile.mkdtemp(prefix="k3s_ohlc_")
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(os.path.join(d, "events.parquet"))
+    got = {r.bucket: r for r in ts_ohlc_downsample(spark, d).collect()}
+    bar = got["2024-03-01 09:00:00"]
+    assert (bar.n, bar.open_micro, bar.high_micro, bar.low_micro, bar.close_micro) == (
+        5, 3_000_000, 9_000_000, 1_000_000, 7_000_000
+    )
