@@ -48,6 +48,14 @@ def compact_parquet(
     spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staging)
     backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        # the gap between the two renames is the swap's exposed window
+        # (review note r6): if the second rename fails, ROLL BACK so
+        # readers find the original directory, not a missing path.
+        os.rename(backup, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)  # best-effort; orphan is inert
     return n_files
