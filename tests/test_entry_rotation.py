@@ -105,3 +105,29 @@ def test_real_history_parses_and_orders_everything():
     assert ordered[: len(red)] == red or not red
     if len(red) + len(never) >= 50:
         assert all((n in never or n in red) for n in ordered[:50])
+
+
+def test_record_tool_keys_next_official_round(tmp_path, monkeypatch):
+    """record_query_hashes must file the current hashes under round =
+    max(existing CORRECTNESS round) + 1 — the round whose official check
+    runs against exactly this code. Mis-keying would make _ordered()
+    compare a checked query against the wrong round's hash and silently
+    disable rewrite detection."""
+    import json
+
+    from tools import record_query_hashes as r
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r05.json").write_text("{}")
+    monkeypatch.setattr(r, "HERE", str(tmp_path))
+    monkeypatch.setattr(
+        entry, "_current_hashes", lambda: {"q": "h"}, raising=True
+    )
+    # record_query_hashes imports _current_hashes from __spark_entry__ at
+    # call time via sys.path; patch the entry module it will resolve
+    import sys
+
+    monkeypatch.setitem(sys.modules, "__spark_entry__", entry)
+    assert r.main() == 0
+    data = json.loads((tmp_path / "QUERY_HASHES.json").read_text())
+    assert list(data) == ["6"] and data["6"] == {"q": "h"}
