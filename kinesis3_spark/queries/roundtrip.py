@@ -294,18 +294,32 @@ def _backfill_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         ev.write.mode("overwrite").partitionBy("dt").parquet(path)
         target = ev.agg(F.min("dt")).collect()[0][0]
-        corrected = ev.where(F.col("dt") == target).withColumn(
-            "value", F.col("value") * 2
-        )
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        old = spark.conf.get(mode_key)
-        spark.conf.set(mode_key, "dynamic")
-        try:
-            corrected.write.mode("overwrite").partitionBy("dt").parquet(path)
-        finally:
-            spark.conf.set(mode_key, old)
+        backfill_day(spark, sf_dir, path, target)
         _BACKFILL_CACHE[sf_dir] = path
     return path
+
+
+def backfill_day(
+    spark: SparkSession, sf_dir: str, path: str, target: str
+) -> None:
+    """THE backfill step: rewrite exactly one day of the dt-partitioned
+    archive with corrected (doubled) values under dynamic partition
+    overwrite. Idempotent — re-running it replaces only the target day's
+    files again (the isolation test re-invokes this very function, so it
+    pins the production path, not a copy)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    corrected = ev.where(F.col("dt") == target).withColumn(
+        "value", F.col("value") * 2
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("dt").parquet(path)
+    finally:
+        spark.conf.set(mode_key, old)
 
 
 @query(

@@ -134,21 +134,10 @@ def test_backfill_touches_only_target_partition(spark, tmp_path):
 
     before_other, before_target = snap("2024-03-02"), snap("2024-03-01")
 
-    # re-run the target-day dynamic overwrite against the existing archive
-    from kinesis3_spark.sources import load_table
+    # re-run the PRODUCTION backfill step against the existing archive
+    from kinesis3_spark.queries.roundtrip import backfill_day
 
-    ev = load_table(spark, str(src), "events").withColumn(
-        "dt", F.date_format("ts", "yyyy-MM-dd")
-    )
-    corrected = ev.where(F.col("dt") == "2024-03-01").withColumn(
-        "value", F.col("value") * 2
-    )
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        corrected.write.mode("overwrite").partitionBy("dt").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    backfill_day(spark, str(src), path, "2024-03-01")
 
     assert snap("2024-03-02") == before_other  # untouched, bit-for-bit
     assert set(snap("2024-03-01")) != set(before_target) or snap("2024-03-01") != before_target
