@@ -160,17 +160,36 @@ def main() -> None:
             timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "calibration_sec": round(cal, 3),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # The driver keeps only a bounded TAIL of stdout; by round 7 the
+    # per-query map outgrew it and BENCH_r07.json recorded parsed=null.
+    # So: full detail goes FIRST on stdout and to a sidecar file, and the
+    # FINAL line is a compact summary guaranteed to fit the tail buffer.
+    print(json.dumps(detail))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    summary = {
+        "metric": "headline_queries_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "calibration_sec": detail["calibration_sec"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries_detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(summary))
     sys.stdout.flush()
 
 

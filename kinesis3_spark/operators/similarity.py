@@ -517,8 +517,16 @@ def cosine_topk_ivfpq(
     ]
     spark = emb.sparkSession
     probe_df = spark.createDataFrame(probes, "query_id long, cell int")
+    # Static cell pruning BEFORE the probe join: the union of probed cells
+    # is known driver-side (bounded: |Q| * nprobe ints), and an explicit
+    # isin filter reaches the scan as a PartitionFilter when `enc` is the
+    # cell-partitioned persisted index — a broadcast join alone would not
+    # prune files here (DPP degrades to a no-op in this Spark build; see
+    # operators/pruning.py). On an in-session enc it is a cheap row filter.
+    needed_cells = sorted({c for _, c in probes})
     cand = (
-        enc.join(F.broadcast(probe_df), "cell")
+        enc.where(F.col("cell").isin(needed_cells))
+        .join(F.broadcast(probe_df), "cell")
         .where(F.col("id") != F.col("query_id"))
         .select("query_id", F.col("id").alias("neighbor_id"), "cell", "codes")
     )
@@ -546,6 +554,28 @@ def cosine_topk_ivfpq(
         adc_batches, schema="query_id long, neighbor_id long, cos double"
     )
     return _topk_from_scores(scored, k)
+
+
+def persist_ivfpq_index(enc: DataFrame, path: str) -> None:
+    """Write the encoded IVF-PQ corpus CLUSTERED BY CELL: one parquet
+    partition directory per cell (`cell=<n>/part-*.parquet`), the on-disk
+    layout the probe path's partition pruning rides on. This is the step
+    from "IVF-PQ built in one session" to "100 TB ANN index on disk":
+    encode once, persist once, and every subsequent probe reads only its
+    nprobe cells' files — index I/O per probe is nprobe/n_centroids of
+    the index, not all of it. At real scale the same write lands on the
+    object store and the cell directories are the retrieval unit."""
+    enc.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def read_ivfpq_index(spark, path: str) -> DataFrame:
+    """Read a persisted cell-partitioned index back in the (id, cell,
+    codes) shape `cosine_topk_ivfpq` consumes. `cell` comes back as a
+    partition column (directory-inferred int); selecting it by name keeps
+    consumers layout-agnostic. Filters on `cell` prune at the partition
+    level — asserted in tests/test_ivfpq.py."""
+    df = spark.read.parquet(path)
+    return df.select("id", F.col("cell").cast("int").alias("cell"), "codes")
 
 
 def pq_encode(

@@ -62,10 +62,86 @@ def _rewrite(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
             w.json(path)
         elif fmt == "csv":
             w.option("header", "true").csv(path)
+        elif fmt == "avro":
+            w.format("avro").save(path)
         else:
             raise ValueError(fmt)
         _REWRITE_CACHE[key] = path
     return path
+
+
+def _avro_available() -> bool:
+    """spark-avro has been an EXTERNAL module since Spark 2.4 — the core
+    avro-*.jar in the distribution is not the data source. Present only
+    when a spark-avro jar is on the distribution classpath; checked
+    statically (jar glob) so registration can be conditional at import
+    time, before any SparkSession exists (the tws/protobuf pattern,
+    streamq.py:356 — the driver never sees an err row in a sandbox
+    without the module, and the row turns official automatically the day
+    the env ships it)."""
+    import glob
+
+    import pyspark
+
+    dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    if os.environ.get("SPARK_HOME"):
+        dirs.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    return any(glob.glob(os.path.join(d, "spark-avro_*.jar")) for d in dirs)
+
+
+_AVRO_ORACLE = f"""
+    SELECT p_brand,
+           count(*)::BIGINT AS n_parts,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_price,
+           CAST(min(p_partkey) AS BIGINT) AS min_key,
+           CAST(max(p_partkey) AS BIGINT) AS max_key,
+           CAST(sum({_SIG_SQL.format(col="p_name")}) AS BIGINT) AS name_sig
+    FROM part
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → Avro → schema-pinned read-back → aggregate vs the parquet
+    original (the CSV/JSONL/ORC round-trip contract applied to the one
+    mainstream row format without a row, VERDICT r7 'Next round' #3).
+    Avro is the schema'd row format of the Kafka/Kinesis ecosystem the
+    reference collector lived in (core.clj:96-148's archive generalized) —
+    the natural wire format for its records. Env-gated like the Kinesis
+    adapter (streaming/sources.py:88): raises NotImplementedError with the
+    deployment recipe when spark-avro is absent; the official oracle row
+    registers itself only when present."""
+    if not _avro_available():
+        raise NotImplementedError(
+            "spark-avro is not on the classpath (external module since "
+            "Spark 2.4). Launch with --packages org.apache.spark:"
+            "spark-avro_2.13:<spark-version> and re-run; "
+            "source_avro_roundtrip registers its oracle row automatically "
+            "when the module is present."
+        )
+    schema = load_table(spark, sf_dir, "part").schema
+    part = (
+        spark.read.schema(schema)
+        .format("avro")
+        .load(_rewrite(spark, sf_dir, "part", "avro"))
+    )
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            (F.sum(cents).cast("double") / 100).alias("sum_price"),
+            F.min("p_partkey").cast("bigint").alias("min_key"),
+            F.max("p_partkey").cast("bigint").alias("max_key"),
+            F.sum(_sig("p_name")).cast("bigint").alias("name_sig"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+if _avro_available():
+    query("source_avro_roundtrip", oracle=_AVRO_ORACLE)(source_avro_roundtrip)
 
 
 @query(

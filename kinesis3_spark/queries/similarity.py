@@ -209,11 +209,72 @@ def topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = _topk_integrity(
         topk, emb, qset.select(F.col("vec_id").alias("query_id")), _K
     )
+    # Bounds derive from the TRAINED index (ADVICE r7): n_centroids cells,
+    # k codewords per book — hard-coded constants would drift silently if
+    # the training defaults change.
     in_range = (
         (F.col("cell") >= 0)
-        & (F.col("cell") < 16)
+        & (F.col("cell") < int(C.shape[0]))
         & (F.array_min("codes") >= 0)
-        & (F.array_max("codes") < 64)
+        & (F.array_max("codes") < int(books.shape[1]))
+    )
+    enc_stats = enc.agg(
+        F.count("*").cast("bigint").alias("corpus_encoded"),
+        F.min(F.when(in_range, 1).otherwise(0)).cast("int").alias("codes_ok"),
+    )
+    return flags.crossJoin(enc_stats).select(
+        "query_id", "corpus_encoded", "codes_ok", "n_le_k", "ranks_ok",
+        "neighbors_ok",
+    )
+
+
+_IVFPQ_PERSISTED: dict[str, tuple] = {}  # sf_dir -> (C, books, index_path)
+
+
+def _ivfpq_persisted_index(spark: SparkSession, sf_dir: str):
+    """Train + encode + persist the cell-partitioned IVF-PQ index ONCE per
+    (process, sf_dir) — the production lifecycle in miniature: the index is
+    built by one job and probed by many. Lives in a tmpdirs-reaped scratch
+    dir; at real scale this is the object-store index table."""
+    got = _IVFPQ_PERSISTED.get(sf_dir)
+    if got is None:
+        from .. import tmpdirs
+
+        emb = _t(spark, sf_dir, "embeddings")
+        C, books = S.train_ivfpq(emb)
+        path = tmpdirs.mkdtemp(prefix="k3s_ivfpq_") + "/index"
+        S.persist_ivfpq_index(S.ivfpq_encode(emb, C, books), path)
+        got = (C, books, path)
+        _IVFPQ_PERSISTED[sf_dir] = got
+    return got
+
+
+@query("sim_cosine_topk_ivfpq_persisted", oracle=_IVFPQ_BAND_ORACLE)
+def topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe THROUGH the persisted cell-partitioned index (VERDICT
+    r7 'Next round' #4): identical ADC semantics to sim_cosine_topk_ivfpq,
+    but the candidate scan reads the on-disk index written by
+    persist_ivfpq_index — cell=<n>/ parquet directories — and the probe's
+    static cell-isin filter lands in the scan's PartitionFilters, so only
+    the nprobe probed cells' files are read (file-level pruning asserted in
+    tests/test_ivfpq.py). corpus_encoded counts the PERSISTED index rows:
+    a lost or duplicated row in the write/read round-trip breaks it
+    against the oracle's independent corpus count; codes_ok re-validates
+    ranges on the rows as READ BACK (a partition-column type regression or
+    codes corruption on disk flips it)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = _query_set(spark, sf_dir)
+    C, books, path = _ivfpq_persisted_index(spark, sf_dir)
+    enc = S.read_ivfpq_index(spark, path)
+    topk = S.cosine_topk_ivfpq(emb, qset, k=_K, index=(C, books), enc=enc)
+    flags = _topk_integrity(
+        topk, emb, qset.select(F.col("vec_id").alias("query_id")), _K
+    )
+    in_range = (
+        (F.col("cell") >= 0)
+        & (F.col("cell") < int(C.shape[0]))
+        & (F.array_min("codes") >= 0)
+        & (F.array_max("codes") < int(books.shape[1]))
     )
     enc_stats = enc.agg(
         F.count("*").cast("bigint").alias("corpus_encoded"),

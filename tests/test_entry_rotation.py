@@ -73,26 +73,35 @@ def test_unchanged_recorded_hash_stays_green_class(monkeypatch):
     assert entry._ordered(names) == ["fresh", "stable"]
 
 
-def test_r6_rewritten_queries_land_in_r7_window():
-    """The four r6-rewritten + four r7-ADVICE-touched queries carry seeded
-    sentinel hashes in QUERY_HASHES.json; all eight must sit inside the
-    driver's next 50-query window (VERDICT r6 'Next round' #1 done-bar)."""
-    ordered = entry._ordered(dict.fromkeys(entry.queries()))
-    window = set(ordered[:50])
-    for n in (
-        "funnel_view_click_purchase",
-        "dq_constraint_suite",
-        "stats_daily_anomaly_zscore",
-        "agg_approx_topk_band",
-        "pipeline_event_analytics_daily",
-        "sql_recursive_calendar_counts",
-        "embed_pq_reconstruction_band",
-        "llm_decontam_containment",
-    ):
-        assert n in window, n
+def test_rewritten_greens_land_in_next_window(monkeypatch):
+    """Rewrite-flagged greens (source hash changed since their official
+    check) must land inside the driver's next 50-query window, behind reds
+    but ahead of every unmodified green — asserted against a SYNTHETIC
+    history only. Rule (see TESTING.md): rotation tests never read the live
+    CORRECTNESS_r*.json / QUERY_HASHES.json — round artifacts mutate each
+    round, so any assertion about the current round's transition state is
+    a time bomb (the r7 suite went red exactly this way)."""
+    names = {f"g{i:03d}": None for i in range(60)}  # 60 stale greens
+    names.update({f"rw{i}": None for i in range(8)})  # 8 rewritten greens
+    hist = {n: (5, True) for n in names}
+    monkeypatch.setattr(entry, "_coverage_history", lambda: hist)
+    monkeypatch.setattr(
+        entry,
+        "_recorded_hashes",
+        lambda: {"5": {n: f"old-{n}" for n in names}},
+    )
+    cur = {n: f"old-{n}" for n in names}
+    cur.update({f"rw{i}": "rewritten" for i in range(8)})
+    monkeypatch.setattr(entry, "_current_hashes", lambda: cur)
+    window = set(entry._ordered(names)[:50])
+    for i in range(8):
+        assert f"rw{i}" in window, f"rw{i}"
 
 
 def test_real_history_parses_and_orders_everything():
+    # Reads the live repo artifacts, but asserts only ROUND-INVARIANT
+    # structural properties (uniqueness, class ordering) — never the
+    # membership of a specific query in a specific round's window.
     ordered = entry._ordered(dict.fromkeys(entry.queries()))
     assert len(ordered) == len(set(ordered))
     hist = entry._coverage_history()

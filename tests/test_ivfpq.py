@@ -108,6 +108,64 @@ def test_ivfpq_topk_matches_numpy_adc_reference_exactly(spark, clustered_dir):
     assert all(labels[n] == labels[q] for (q, _), n in got_map.items())
 
 
+def test_persisted_probe_matches_in_session_and_prunes_cell_files(
+    spark, clustered_dir
+):
+    """The persisted cell-partitioned index is the same index: probing
+    THROUGH the parquet round-trip must reproduce the in-session probe
+    exactly. And it must be cheaper: the probe's static cell filter lands
+    in the scan's PartitionFilters, so only the probed cells' partition
+    directories are read — asserted via input_file_name on the pruned scan
+    (every file read lives under a probed cell=<n>/ dir) and via the probe
+    plan itself."""
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark import tmpdirs
+
+    d, labels = clustered_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    C, books = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    path = tmpdirs.mkdtemp(prefix="t_ivfpq_persist_") + "/index"
+    S.persist_ivfpq_index(S.ivfpq_encode(emb, C, books), path)
+    enc = S.read_ivfpq_index(spark, path)
+
+    qset = emb.where(F.col("vec_id").isin([0, 50]))
+    topk_p = S.cosine_topk_ivfpq(
+        emb, qset, k=5, nprobe=2, index=(C, books), enc=enc
+    )
+    got_p = sorted(map(tuple, topk_p.collect()))
+    got_m = sorted(
+        map(
+            tuple,
+            S.cosine_topk_ivfpq(
+                emb, qset, k=5, nprobe=2, index=(C, books)
+            ).collect(),
+        )
+    )
+    assert got_p == got_m and len(got_p) == 10
+
+    # The probed-cell set, recomputed independently (top-2 cells per query).
+    qpdf = qset.select("vec_id", "embedding").toPandas()
+    Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probed = {int(c) for row in np.argsort(-(Qn @ C.T), axis=1)[:, :2] for c in row}
+    all_cells = {r["cell"] for r in enc.select("cell").distinct().collect()}
+    assert probed < all_cells  # pruning is meaningful: strictly fewer cells
+
+    files = [
+        r[0]
+        for r in enc.where(F.col("cell").isin(sorted(probed)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert files
+    for f in files:
+        assert any(f"cell={c}/" in f for c in probed), f
+    plan = topk_p._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell#" in plan
+
+
 def test_ivfpq_training_is_deterministic(spark, sf_dir):
     from kinesis3_spark.sources import load_table
 
