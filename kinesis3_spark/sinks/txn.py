@@ -1,0 +1,228 @@
+"""Manifest-transactional Parquet table: MVCC by atomic manifest swap.
+
+Composes the r7 manifest-consistent reader (queries/llmprep.py:336) with
+the keyed upsert sink (sinks/upsert.py:49) so the reference's Q4/Q5 merge
+path (src/kinesis3/db.clj:113-134 flush-events!) gets torn-read immunity
+without Delta/Iceberg (neither importable in this environment; this is
+the poor-man's transaction log an immutable-file layout affords):
+
+  * Data files are IMMUTABLE: every commit writes into a fresh
+    ``snap-<epoch>/`` directory and never touches a file a reader might
+    hold open. There is no read-then-overwrite window, so the merge needs
+    no localCheckpoint lineage cut (contrast upsert_parquet, which
+    rewrites in place).
+  * The table's visible state is exactly the file list in
+    ``_MANIFEST.json``. Commit = write files → fsync → ``os.replace`` the
+    manifest (atomic on POSIX). A reader that goes through the manifest
+    sees the pre-commit snapshot or the post-commit snapshot, never a
+    torn mix; a crash mid-commit leaves unreferenced garbage files and a
+    fully intact previous snapshot.
+  * Write amplification is bounded by HASH-BUCKET pruning, the same idea
+    as upsert_parquet's partition pruning but keyed: the table is laid
+    out in ``n_buckets`` portable-hash buckets of the merge key, a batch
+    touches only the buckets its keys hash into, and a commit rewrites
+    those buckets while CARRYING FORWARD the untouched buckets' file
+    references unchanged in the new manifest. At 100 TB a micro-batch
+    merge costs O(touched buckets), not O(table) — the Delta MERGE
+    file-rewrite shape, expressed with a JSON manifest.
+
+Single-writer contract: commits are serialized by the caller (foreachBatch
+runs micro-batches sequentially; that is the writer lock). Multi-writer
+optimistic concurrency is exactly what the Delta/Iceberg upgrade adds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import portable_hash60
+from .upsert import _dedup_last
+
+MANIFEST = "_MANIFEST.json"
+_BUCKET_COL = "__bucket"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST)
+
+
+def read_manifest(path: str) -> dict | None:
+    """The committed snapshot descriptor, or None for a not-yet-created
+    table. ``{"epoch": int, "n_buckets": int, "files":
+    [{"path": rel, "bucket": int}, ...]}``."""
+    try:
+        with open(_manifest_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    return (portable_hash60(F.col(key).cast("string")) % n_buckets).cast("int")
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, buckets: set[int] | None = None
+) -> DataFrame | None:
+    """Scan the committed snapshot STRICTLY through the manifest's file
+    list (never a directory listing — stray/partial files from a torn or
+    concurrent commit are invisible). ``buckets`` prunes the scan to the
+    named hash buckets' files: O(|touched files|) I/O, the read half of
+    the bounded-write-amplification contract. Returns None when the table
+    (or the selected bucket set) has no committed files."""
+    man = read_manifest(path)
+    if man is None:
+        return None
+    entries = man["files"]
+    if buckets is not None:
+        entries = [e for e in entries if e["bucket"] in buckets]
+    if not entries:
+        return None
+    return spark.read.parquet(*(os.path.join(path, e["path"]) for e in entries))
+
+
+def commit_snapshot(
+    merged: DataFrame,
+    path: str,
+    key: str,
+    n_buckets: int,
+    carry: list[dict] | None = None,
+) -> int:
+    """Publish `merged` as the rewritten-buckets portion of the next
+    snapshot: files land in ``snap-<epoch>/__bucket=<b>/``, then the new
+    manifest (carried untouched-file refs + the new files) replaces the
+    old atomically. The bucket of each new file is parsed from the layout
+    this function itself wrote, so manifest metadata can't drift from the
+    physical files. fsync on the temp manifest + directory makes the
+    rename durable, not merely atomic."""
+    man = read_manifest(path)
+    epoch = (man["epoch"] if man else 0) + 1
+    snap = f"snap-{epoch:06d}"
+    snap_dir = os.path.join(path, snap)
+    (
+        merged.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET_COL)
+        .parquet(snap_dir)
+    )
+    new_entries = []
+    for root, _dirs, fs in os.walk(snap_dir):
+        for f in sorted(fs):
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), path)
+            part_dir = os.path.basename(os.path.dirname(rel))
+            assert part_dir.startswith(f"{_BUCKET_COL}="), rel
+            new_entries.append(
+                {"path": rel, "bucket": int(part_dir.split("=", 1)[1])}
+            )
+    files = sorted(
+        list(carry or []) + new_entries, key=lambda e: (e["bucket"], e["path"])
+    )
+    tmp = os.path.join(path, f".{MANIFEST}.{epoch}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"epoch": epoch, "n_buckets": n_buckets, "files": files}, fh, indent=1
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _manifest_path(path))
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    return epoch
+
+
+def upsert_manifest_txn(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str = "id",
+    order_col: str | None = None,
+    mode: str = "replace",
+    n_buckets: int = 8,
+) -> int:
+    """One transactional merge of `batch` into the manifest table —
+    upsert_parquet's exact merge semantics (first- or last-writer-wins by
+    `order_col`, shared `_dedup_last` helper) on the MVCC layout:
+
+      1. touched buckets = distinct key-hash buckets in the batch
+         (bounded driver metadata: at most n_buckets ints);
+      2. read ONLY those buckets' committed files, union the batch,
+         resolve winners per key;
+      3. commit: new files for touched buckets + carried references for
+         every untouched file, one atomic manifest swap.
+
+    Readers through read_snapshot never observe the intermediate state.
+    Returns the committed epoch. The reader/writer pair is exercised
+    mid-commit in tests/test_sinks.py (partial files + stale tmp
+    manifests planted; a failed swap leaves the old snapshot intact)."""
+    assert mode in ("ignore", "replace")
+    os.makedirs(path, exist_ok=True)
+    order = order_col or key
+    man = read_manifest(path)
+    if man is not None:
+        n_buckets = man["n_buckets"]  # layout is fixed at table creation
+    touched = {
+        int(r[0])
+        for r in batch.select(_bucket_expr(key, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    }
+    new = batch.withColumn("__is_new", F.lit(1))
+    current = read_snapshot(spark, path, buckets=touched)
+    if current is None:
+        merged = _dedup_last(
+            new, key, order, prefer="new" if mode == "replace" else "old"
+        )
+    else:
+        merged = _dedup_last(
+            current.withColumn("__is_new", F.lit(0)).unionByName(new),
+            key,
+            order,
+            prefer="new" if mode == "replace" else "old",
+        )
+    carry = [
+        e for e in (man["files"] if man else []) if e["bucket"] not in touched
+    ]
+    return commit_snapshot(merged, path, key, n_buckets, carry=carry)
+
+
+def upsert_manifest_stream(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str = "id",
+    order_col: str | None = None,
+    mode: str = "replace",
+    n_buckets: int = 8,
+    trigger: dict | None = None,
+):
+    """The foreachBatch wiring (run.upsert_stream's transactional twin):
+    every micro-batch is one atomic manifest commit, so a reader polling
+    the table between batches always sees a consistent merge prefix."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_manifest_txn(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            key=key,
+            order_col=order_col,
+            mode=mode,
+            n_buckets=n_buckets,
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -152,3 +152,106 @@ def test_backfill_touches_only_target_partition(spark, tmp_path):
     }
     assert ("2024-03-01", 2.5) in got and ("2024-03-01", 1.25) not in got
     assert ("2024-03-02", 1.25) in got and ("2024-03-03", 1.25) in got
+
+
+# ---------------------------------------------------------------------------
+# Manifest-transactional upsert (sinks/txn.py)
+# ---------------------------------------------------------------------------
+
+
+def _txn_rows(spark, path):
+    from kinesis3_spark.sinks.txn import read_snapshot
+
+    snap = read_snapshot(spark, path)
+    return {r["id"]: r["val"] for r in snap.collect()} if snap is not None else {}
+
+
+def test_txn_upsert_multi_commit_matches_replay_semantics(spark, tmp_path):
+    """Three sequential transactional merges == the in-place upsert's
+    event-time LWW truth, and each merge bumps the manifest epoch."""
+    from kinesis3_spark.sinks.txn import read_manifest, upsert_manifest_txn
+
+    path = str(tmp_path / "t")
+    for i, batch in enumerate((B1, B2, B2), start=1):
+        upsert_manifest_txn(
+            spark, _events(spark, batch), path, key="id", order_col="ts"
+        )
+        assert read_manifest(path)["epoch"] == i
+    assert _txn_rows(spark, path) == _duck_expected("replace")
+
+
+def test_txn_commit_carries_untouched_bucket_files_by_reference(spark, tmp_path):
+    """A batch touching a strict subset of buckets must NOT rewrite the
+    others: their file entries appear in the new manifest with the SAME
+    snap-<old-epoch> paths (carried by reference), and only the touched
+    buckets get snap-<new-epoch> files — the bounded-write-amplification
+    contract."""
+    from kinesis3_spark.sinks.txn import read_manifest, upsert_manifest_txn
+
+    path = str(tmp_path / "t")
+    upsert_manifest_txn(spark, _events(spark, B1), path, key="id", order_col="ts")
+    m1 = read_manifest(path)
+    # single-key batch -> exactly one touched bucket
+    upsert_manifest_txn(
+        spark, _events(spark, [B2[0]]), path, key="id", order_col="ts"
+    )
+    m2 = read_manifest(path)
+    from kinesis3_spark.operators.dedup import portable_hash60_py
+
+    touched = portable_hash60_py("b") % m1["n_buckets"]
+    carried = [e for e in m2["files"] if e["bucket"] != touched]
+    assert carried and all(e in m1["files"] for e in carried)
+    assert all(
+        e["path"].startswith("snap-000002/")
+        for e in m2["files"]
+        if e["bucket"] == touched
+    )
+    assert _txn_rows(spark, path)["b"] == 2.0  # older replay lost LWW
+
+
+def test_txn_reader_immune_to_stray_and_torn_commit(spark, tmp_path, monkeypatch):
+    """Mid-commit state must be invisible: (a) stray parquet + stale tmp
+    manifests in the table dir don't change a manifest read; (b) a crash
+    AFTER writing data files but BEFORE the manifest swap leaves the
+    previous snapshot fully readable and unchanged."""
+    import os as _os
+
+    from kinesis3_spark.sinks import txn
+
+    path = str(tmp_path / "t")
+    txn.upsert_manifest_txn(spark, _events(spark, B1), path, key="id", order_col="ts")
+    before = _txn_rows(spark, path)
+
+    # (a) stray files a concurrent/naive writer might drop
+    stray_dir = _os.path.join(path, "snap-000001")
+    _events(spark, B2).write.mode("overwrite").parquet(
+        _os.path.join(str(tmp_path), "stray")
+    )
+    strayf = next(
+        f
+        for f in _os.listdir(_os.path.join(str(tmp_path), "stray"))
+        if f.endswith(".parquet")
+    )
+    _os.link(
+        _os.path.join(str(tmp_path), "stray", strayf),
+        _os.path.join(stray_dir, "part-stray.parquet"),
+    )
+    (tmp_path / "t" / f".{txn.MANIFEST}.99.tmp").write_text("{not json")
+    assert _txn_rows(spark, path) == before
+
+    # (b) torn commit: data files land, manifest swap dies
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        if dst.endswith(txn.MANIFEST):
+            raise OSError("simulated crash before manifest swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(txn.os, "replace", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        txn.upsert_manifest_txn(
+            spark, _events(spark, B2), path, key="id", order_col="ts"
+        )
+    monkeypatch.undo()
+    assert txn.read_manifest(path)["epoch"] == 1
+    assert _txn_rows(spark, path) == before
