@@ -763,6 +763,66 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _right_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, c, cond = _attribution_streams(spark, sf_dir)
+    joined = p.join(c, cond, "rightOuter")
+    return joined.select(
+        F.col("c_user").cast("bigint").alias("user_id"),
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).cast("bigint").alias("purchase_id"),
+        F.col("click_id").cast("bigint").alias("click_id"),
+    )
+
+
+@query(
+    "stream_stream_right_outer_attribution",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 10 MINUTE AS wm
+    ),
+    pairs AS (
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 10 MINUTE
+       AND c.ts < p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ),
+    unmatched_c AS (
+      SELECT c.user_id, CAST(-1 AS BIGINT) AS purchase_id, c.event_id AS click_id
+      FROM events c, wm
+      WHERE c.event_type = 'click'
+        AND c.ts + INTERVAL 10 MINUTE < wm.wm
+        AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        )
+    )
+    SELECT * FROM pairs UNION ALL SELECT * FROM unmatched_c
+    """,
+)
+def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER stream-stream interval join — makes the four-way matrix
+    exhaustive (inner r4, left r6, full r7; VERDICT r7 'Next round' #9) on
+    the SAME _attribution_streams helper, so lookback/watermark cannot
+    drift across the matrix. Semantically it is the full-outer form minus
+    the unmatched-purchase band: matched pairs emit immediately, an
+    unmatched CLICK null-emits once the join watermark STRICTLY passes the
+    end of its match window (c.ts + 10min < wm — the derived-side strict
+    eviction measured on 4.1.2 and pinned at the boundary in
+    tests/test_watermark_bands.py), and the purchase side never null-emits.
+    That subset equivalence (right == full where click_id != -1) is pinned
+    against the brute-forced full-outer property in
+    tests/test_fullouter_property.py. Nulls surface as -1; state story
+    identical to the other three forms."""
+    return run_to_memory(
+        _right_outer_attribution(spark, sf_dir), output_mode="append"
+    )
+
+
 @query(
     "stream_dedup_within_watermark",
     oracle="SELECT event_id, event_type, user_id FROM events",

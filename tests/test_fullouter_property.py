@@ -82,3 +82,32 @@ def test_full_outer_matches_bruteforce(spark, rows):
     out = run_to_memory(_full_outer_attribution(spark, d), output_mode="append")
     got = {(r.user_id, r.purchase_id, r.click_id) for r in out.collect()}
     assert got == _brute(rows)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(event, min_size=1, max_size=10))
+def test_right_outer_is_full_outer_minus_unmatched_purchases(spark, rows):
+    """The RIGHT OUTER form must equal the brute-forced full-outer
+    semantics with the unmatched-purchase band removed: pairs + strictly-
+    evicted unmatched clicks, nothing else — the subset equivalence that
+    makes the four-way matrix mutually consistent."""
+    from kinesis3_spark.queries.streamq import _right_outer_attribution
+
+    base = pd.Timestamp("2024-01-01 09:00:00")
+    d = tempfile.mkdtemp(prefix="k3s_roprop_")
+    pd.DataFrame(
+        [
+            (i, base + pd.Timedelta(minutes=t), uid, typ, 1.0, "{}")
+            for i, (uid, t, typ) in enumerate(rows)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(os.path.join(d, "events.parquet"))
+
+    out = run_to_memory(_right_outer_attribution(spark, d), output_mode="append")
+    got = {(r.user_id, r.purchase_id, r.click_id) for r in out.collect()}
+    want = {t for t in _brute(rows) if t[2] != -1}
+    assert got == want
