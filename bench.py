@@ -97,6 +97,10 @@ HEADLINE = [
     "sink_partition_overwrite_backfill",
     "udf_arrow_grouped_agg",
     "ts_ohlc_downsample",
+    # round 8: transactional sink, persisted ANN index, completed matrix
+    "upsert_manifest_txn",
+    "sim_cosine_topk_ivfpq_persisted",
+    "stream_stream_right_outer_attribution",
 ]
 
 
