@@ -64,6 +64,8 @@ def _rewrite(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
             w.option("header", "true").csv(path)
         elif fmt == "avro":
             w.format("avro").save(path)
+        elif fmt == "xml":
+            w.format("xml").option("rootTag", "rows").option("rowTag", "row").save(path)
         else:
             raise ValueError(fmt)
         _REWRITE_CACHE[key] = path
@@ -142,6 +144,51 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _avro_available():
     query("source_avro_roundtrip", oracle=_AVRO_ORACLE)(source_avro_roundtrip)
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle=f"""
+    SELECT s_nationkey,
+           count(*)::BIGINT AS n_supp,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_acctbal_cents,
+           CAST(min(s_suppkey) AS BIGINT) AS min_key,
+           CAST(max(s_suppkey) AS BIGINT) AS max_key,
+           CAST(sum({_SIG_SQL.format(col="s_name")}) AS BIGINT) AS name_sig
+    FROM supplier
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → XML → schema-pinned read-back → aggregate vs the parquet
+    original. Spark 4 ships the XML data source BUILT-IN (the former
+    spark-xml package), so unlike Avro this row runs live here — XML is
+    the remaining mainstream interchange format after CSV/JSONL/ORC/
+    Parquet, the feed/export shape enterprise upstreams still emit.
+    s_name exercises XML entity escaping ('&', '<' in text nodes) via the
+    commutative md5 signature; balances ride on exact integer cents.
+    Scale: the XML reader splits by rowTag like the JSON line reader —
+    a distributed scan, schema pinned so no inference pass."""
+    schema = load_table(spark, sf_dir, "supplier").schema
+    supp = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "row")
+        .load(_rewrite(spark, sf_dir, "supplier", "xml"))
+    )
+    cents = F.round(F.col("s_acctbal") * 100).cast("bigint")
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_supp"),
+            F.sum(cents).cast("bigint").alias("sum_acctbal_cents"),
+            F.min("s_suppkey").cast("bigint").alias("min_key"),
+            F.max("s_suppkey").cast("bigint").alias("max_key"),
+            F.sum(_sig("s_name")).cast("bigint").alias("name_sig"),
+        )
+        .orderBy("s_nationkey")
+    )
 
 
 @query(

@@ -46,18 +46,28 @@ MANIFEST = "_MANIFEST.json"
 _BUCKET_COL = "__bucket"
 
 
-def _manifest_path(path: str) -> str:
-    return os.path.join(path, MANIFEST)
+def _manifest_path(path: str, epoch: int | None = None) -> str:
+    if epoch is None:
+        return os.path.join(path, MANIFEST)
+    return os.path.join(path, f"_MANIFEST.v{epoch:06d}.json")
 
 
-def read_manifest(path: str) -> dict | None:
+def read_manifest(path: str, epoch: int | None = None) -> dict | None:
     """The committed snapshot descriptor, or None for a not-yet-created
     table. ``{"epoch": int, "n_buckets": int, "files":
-    [{"path": rel, "bucket": int}, ...]}``."""
+    [{"path": rel, "bucket": int}, ...]}``. ``epoch`` reads a RETAINED
+    historical version (time travel — Delta's ``versionAsOf``): every
+    commit also files an immutable ``_MANIFEST.v<epoch>.json`` copy;
+    raises ValueError for an epoch whose manifest vacuum has reaped."""
     try:
-        with open(_manifest_path(path)) as fh:
+        with open(_manifest_path(path, epoch)) as fh:
             return json.load(fh)
     except FileNotFoundError:
+        if epoch is not None and os.path.exists(_manifest_path(path)):
+            raise ValueError(
+                f"epoch {epoch} is not retained (vacuumed or never "
+                f"committed) for table {path}"
+            ) from None
         return None
 
 
@@ -66,15 +76,21 @@ def _bucket_expr(key: str, n_buckets: int):
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, buckets: set[int] | None = None
+    spark: SparkSession,
+    path: str,
+    buckets: set[int] | None = None,
+    epoch: int | None = None,
 ) -> DataFrame | None:
     """Scan the committed snapshot STRICTLY through the manifest's file
     list (never a directory listing — stray/partial files from a torn or
     concurrent commit are invisible). ``buckets`` prunes the scan to the
     named hash buckets' files: O(|touched files|) I/O, the read half of
-    the bounded-write-amplification contract. Returns None when the table
-    (or the selected bucket set) has no committed files."""
-    man = read_manifest(path)
+    the bounded-write-amplification contract. ``epoch`` time-travels to a
+    retained historical version (immutable files + retained manifests
+    make every old snapshot fully reconstructible until vacuumed).
+    Returns None when the table (or the selected bucket set) has no
+    committed files."""
+    man = read_manifest(path, epoch)
     if man is None:
         return None
     entries = man["files"]
@@ -130,6 +146,13 @@ def commit_snapshot(
         )
         fh.flush()
         os.fsync(fh.fileno())
+    # Versioned copy FIRST (time-travel history), then the atomic swap of
+    # the current pointer — if the crash lands between the two, the
+    # version file is unreferenced garbage and the table state is the
+    # previous epoch, exactly like unreferenced data files.
+    import shutil
+
+    shutil.copyfile(tmp, _manifest_path(path, epoch))
     os.replace(tmp, _manifest_path(path))
     dfd = os.open(path, os.O_RDONLY)
     try:
@@ -192,6 +215,77 @@ def upsert_manifest_txn(
         e for e in (man["files"] if man else []) if e["bucket"] not in touched
     ]
     return commit_snapshot(merged, path, key, n_buckets, carry=carry)
+
+
+def compact_table(
+    spark: SparkSession, path: str, key: str
+) -> int:
+    """Small-file compaction as an ordinary commit: read the current
+    snapshot, rewrite every bucket with one shuffle task per bucket (≈one
+    file per bucket directory), publish as the next epoch. Data is
+    UNCHANGED — only the file layout; the old epoch's files stay on disk
+    for time travel until vacuumed, so a reader mid-compaction is as safe
+    as during any other commit. This is the maintenance op a long-running
+    upsert table needs: N micro-batch commits leave O(N) files per
+    touched bucket; compaction folds them back to O(1). (The in-place
+    twin for plain directories is sinks/compact.py; this one inherits
+    MVCC atomicity for free.)"""
+    man = read_manifest(path)
+    assert man is not None, f"no committed table at {path}"
+    n_buckets = man["n_buckets"]
+    cur = read_snapshot(spark, path)
+    merged = cur.repartition(n_buckets, _bucket_expr(key, n_buckets))
+    return commit_snapshot(merged, path, key, n_buckets, carry=[])
+
+
+def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
+    """Reap files unreachable from the RETAINED manifests: keep the
+    current manifest plus the ``keep_epochs - 1`` versions before it,
+    delete every older versioned manifest and every data file no retained
+    manifest references. Time travel remains exact within the retention
+    window and fails loudly (read_manifest ValueError) outside it —
+    Delta's VACUUM contract. Driver-side listing is O(|files|) metadata,
+    the same walk the commit itself does; at real scale the deletes fan
+    out to the object store's batch-delete API. Returns the deleted
+    paths (tests pin the exact set)."""
+    man = read_manifest(path)
+    if man is None:
+        return []
+    keep_from = man["epoch"] - max(keep_epochs, 1) + 1
+    referenced: set[str] = set()
+    for e in range(keep_from, man["epoch"] + 1):
+        try:
+            m = read_manifest(path, e)
+        except ValueError:
+            continue
+        if m:
+            referenced.update(x["path"] for x in m["files"])
+    deleted = []
+    for root, _dirs, fs in os.walk(path, topdown=False):
+        for f in fs:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, path)
+            if f == MANIFEST or f.endswith(".tmp"):
+                continue
+            if f.startswith("_MANIFEST.v"):
+                v = int(f[len("_MANIFEST.v"):].split(".")[0])
+                if v < keep_from:
+                    os.remove(full)
+                    deleted.append(rel)
+                continue
+            top = rel.split(os.sep, 1)[0]
+            if not top.startswith("snap-"):
+                continue
+            if rel in referenced:
+                continue
+            # unreferenced parquet anywhere; writer bookkeeping (_SUCCESS,
+            # .crc) only once its whole epoch left the retention window
+            if f.endswith(".parquet") or int(top[5:]) < keep_from:
+                os.remove(full)
+                deleted.append(rel)
+        if not os.listdir(root) and root != path:
+            os.rmdir(root)
+    return sorted(deleted)
 
 
 def upsert_manifest_stream(

@@ -255,3 +255,84 @@ def test_txn_reader_immune_to_stray_and_torn_commit(spark, tmp_path, monkeypatch
     monkeypatch.undo()
     assert txn.read_manifest(path)["epoch"] == 1
     assert _txn_rows(spark, path) == before
+
+
+def test_txn_time_travel_reads_exact_historical_snapshots(spark, tmp_path):
+    """Every commit retains an immutable versioned manifest: reading
+    epoch=1 after two more commits must reproduce exactly the post-batch-1
+    state, epoch=2 the post-batch-2 state, and the current read equals the
+    latest epoch."""
+    from kinesis3_spark.sinks.txn import read_snapshot, upsert_manifest_txn
+
+    path = str(tmp_path / "t")
+    upsert_manifest_txn(spark, _events(spark, B1), path, key="id", order_col="ts")
+    upsert_manifest_txn(spark, _events(spark, B2), path, key="id", order_col="ts")
+    upsert_manifest_txn(
+        spark,
+        _events(spark, [("a", "2024-01-05 00:00:00", 99.0, "2024-01-05")]),
+        path,
+        key="id",
+        order_col="ts",
+    )
+    def rows(epoch=None):
+        snap = read_snapshot(spark, path, epoch=epoch)
+        return {r["id"]: r["val"] for r in snap.collect()}
+
+    assert rows(epoch=1) == {"a": 1.0, "b": 2.0, "c": 3.0}
+    assert rows(epoch=2) == _duck_expected("replace")
+    assert rows(epoch=3) == rows() == {**_duck_expected("replace"), "a": 99.0}
+
+
+def test_txn_compact_preserves_data_and_folds_files(spark, tmp_path):
+    """Compaction is a data-identical commit that reduces live file count
+    (one shuffle task per bucket) and bumps the epoch; the pre-compaction
+    snapshot stays time-travel readable."""
+    from kinesis3_spark.sinks.txn import (
+        compact_table,
+        read_manifest,
+        read_snapshot,
+        upsert_manifest_txn,
+    )
+
+    path = str(tmp_path / "t")
+    for batch in (B1, B2, [("e", "2024-01-06 00:00:00", 6.0, "2024-01-06")]):
+        upsert_manifest_txn(spark, _events(spark, batch), path, key="id", order_col="ts")
+    before = _txn_rows(spark, path)
+    n_files_before = len(read_manifest(path)["files"])
+    epoch = compact_table(spark, path, key="id")
+    assert epoch == 4
+    assert _txn_rows(spark, path) == before
+    assert len(read_manifest(path)["files"]) <= n_files_before
+    assert {r["id"] for r in read_snapshot(spark, path, epoch=3).collect()} == set(
+        before
+    )
+
+
+def test_txn_vacuum_reaps_outside_retention_only(spark, tmp_path):
+    """vacuum(keep_epochs=1): files referenced only by pre-current epochs
+    are deleted, the current snapshot is bit-identical, and time travel
+    outside the retention window fails loudly instead of returning a
+    torn read."""
+    import os as _os
+
+    from kinesis3_spark.sinks.txn import (
+        read_manifest,
+        read_snapshot,
+        upsert_manifest_txn,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_manifest_txn(spark, _events(spark, B1), path, key="id", order_col="ts")
+    upsert_manifest_txn(spark, _events(spark, B2), path, key="id", order_col="ts")
+    before = _txn_rows(spark, path)
+    current_files = {e["path"] for e in read_manifest(path)["files"]}
+    deleted = vacuum_table(path, keep_epochs=1)
+    assert deleted and not (set(deleted) & current_files)
+    assert _txn_rows(spark, path) == before
+    # carried epoch-1 files referenced by the CURRENT manifest survive
+    assert all(
+        _os.path.exists(_os.path.join(path, f)) for f in current_files
+    )
+    with pytest.raises(ValueError, match="not retained"):
+        read_snapshot(spark, path, epoch=1)

@@ -214,3 +214,24 @@ def test_schema_evolution_null_backfill(spark, sf_dir):
         | ((F.col("event_id") % 2 == 1) & F.col("user_id").isNull())
     ).count()
     assert bad == 0
+
+
+def test_xml_roundtrip_escapes_entities(spark, tmp_path):
+    """Spark 4's built-in XML source must round-trip text needing entity
+    escaping — '&', '<', '>', quotes — byte-exactly (the failure mode that
+    silently corrupts names in feed exports)."""
+    rows = [
+        (1, "A&B Suppliers", 10.5),
+        (2, "x < y > z", -3.25),
+        (3, 'quote " and \' here', 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, bal double")
+    p = str(tmp_path / "x")
+    df.write.format("xml").option("rootTag", "rows").option("rowTag", "row").save(p)
+    back = (
+        spark.read.schema(df.schema)
+        .format("xml")
+        .option("rowTag", "row")
+        .load(p)
+    )
+    assert {tuple(r) for r in back.collect()} == set(rows)
