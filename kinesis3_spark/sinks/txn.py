@@ -58,15 +58,24 @@ def read_manifest(path: str, epoch: int | None = None) -> dict | None:
     [{"path": rel, "bucket": int}, ...]}``. ``epoch`` reads a RETAINED
     historical version (time travel — Delta's ``versionAsOf``): every
     commit also files an immutable ``_MANIFEST.v<epoch>.json`` copy;
-    raises ValueError for an epoch whose manifest vacuum has reaped."""
+    raises ValueError for an epoch vacuum has reaped, and for an epoch
+    ABOVE the current pointer — a crash between the version-copy and the
+    atomic swap can leave an uncommitted ``v<epoch+1>`` file behind, and
+    the current manifest, not that residue, is the source of truth."""
+    if epoch is not None:
+        cur = read_manifest(path)
+        if cur is None or epoch > cur["epoch"]:
+            raise ValueError(
+                f"epoch {epoch} is not committed for table {path}"
+            )
     try:
         with open(_manifest_path(path, epoch)) as fh:
             return json.load(fh)
     except FileNotFoundError:
-        if epoch is not None and os.path.exists(_manifest_path(path)):
+        if epoch is not None:
             raise ValueError(
-                f"epoch {epoch} is not retained (vacuumed or never "
-                f"committed) for table {path}"
+                f"epoch {epoch} is not retained (vacuumed) for table "
+                f"{path}"
             ) from None
         return None
 

@@ -336,3 +336,39 @@ def test_txn_vacuum_reaps_outside_retention_only(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not retained"):
         read_snapshot(spark, path, epoch=1)
+
+
+def test_txn_uncommitted_version_residue_is_not_readable(spark, tmp_path, monkeypatch):
+    """A crash BETWEEN the versioned-manifest copy and the atomic swap
+    leaves a v<epoch+1> residue file; time travel must refuse it (the
+    current manifest is the source of truth), and the retry commit must
+    overwrite it cleanly."""
+    import os as _os
+
+    from kinesis3_spark.sinks import txn
+
+    path = str(tmp_path / "t")
+    txn.upsert_manifest_txn(spark, _events(spark, B1), path, key="id", order_col="ts")
+
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        if dst.endswith(txn.MANIFEST):
+            raise OSError("simulated crash after version copy")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(txn.os, "replace", boom)
+    with pytest.raises(OSError):
+        txn.upsert_manifest_txn(spark, _events(spark, B2), path, key="id", order_col="ts")
+    monkeypatch.undo()
+    # residue v2 exists, but epoch 2 is NOT committed
+    assert _os.path.exists(_os.path.join(path, "_MANIFEST.v000002.json"))
+    with pytest.raises(ValueError, match="not committed"):
+        txn.read_snapshot(spark, path, epoch=2)
+    # retry lands epoch 2 for real and the state is the full merge
+    txn.upsert_manifest_txn(spark, _events(spark, B2), path, key="id", order_col="ts")
+    assert txn.read_manifest(path)["epoch"] == 2
+    assert _txn_rows(spark, path) == _duck_expected("replace")
+    assert {r["id"] for r in txn.read_snapshot(spark, path, epoch=2).collect()} == set(
+        _duck_expected("replace")
+    )
