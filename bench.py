@@ -180,9 +180,12 @@ def main() -> None:
     # So: full detail goes FIRST on stdout and to a sidecar file, and the
     # FINAL line is a compact summary guaranteed to fit the tail buffer.
     print(json.dumps(detail))
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(detail, fh, indent=1)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout must not cost the parseable summary line
     summary = {
         "metric": "headline_queries_total",
         "value": detail["value"],

@@ -206,12 +206,19 @@ def topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     C, books = S.train_ivfpq(emb)
     enc = S.ivfpq_encode(emb, C, books)
     topk = S.cosine_topk_ivfpq(emb, qset, k=_K, index=(C, books), enc=enc)
+    return _ivfpq_banded_result(topk, emb, qset, enc, C, books)
+
+
+def _ivfpq_banded_result(topk, emb, qset, enc, C, books):
+    """The shared banded-oracle tail of both IVF-PQ rows (in-session and
+    persisted): integrity flags + the two index invariants. ONE definition
+    so the integrity contract cannot diverge between the two rows (review
+    r8 #9). Bounds derive from the TRAINED index (ADVICE r7): n_centroids
+    cells, k codewords per book — hard-coded constants would drift
+    silently if the training defaults change."""
     flags = _topk_integrity(
         topk, emb, qset.select(F.col("vec_id").alias("query_id")), _K
     )
-    # Bounds derive from the TRAINED index (ADVICE r7): n_centroids cells,
-    # k codewords per book — hard-coded constants would drift silently if
-    # the training defaults change.
     in_range = (
         (F.col("cell") >= 0)
         & (F.col("cell") < int(C.shape[0]))
@@ -236,8 +243,12 @@ def _ivfpq_persisted_index(spark: SparkSession, sf_dir: str):
     (process, sf_dir) — the production lifecycle in miniature: the index is
     built by one job and probed by many. Lives in a tmpdirs-reaped scratch
     dir; at real scale this is the object-store index table."""
+    import os
+
     got = _IVFPQ_PERSISTED.get(sf_dir)
-    if got is None:
+    # isdir revalidation like every other materialization cache: a reaped
+    # scratch dir must rebuild, not poison later reads (review r8 #8)
+    if got is None or not os.path.isdir(got[2]):
         from .. import tmpdirs
 
         emb = _t(spark, sf_dir, "embeddings")
@@ -267,23 +278,7 @@ def topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     C, books, path = _ivfpq_persisted_index(spark, sf_dir)
     enc = S.read_ivfpq_index(spark, path)
     topk = S.cosine_topk_ivfpq(emb, qset, k=_K, index=(C, books), enc=enc)
-    flags = _topk_integrity(
-        topk, emb, qset.select(F.col("vec_id").alias("query_id")), _K
-    )
-    in_range = (
-        (F.col("cell") >= 0)
-        & (F.col("cell") < int(C.shape[0]))
-        & (F.array_min("codes") >= 0)
-        & (F.array_max("codes") < int(books.shape[1]))
-    )
-    enc_stats = enc.agg(
-        F.count("*").cast("bigint").alias("corpus_encoded"),
-        F.min(F.when(in_range, 1).otherwise(0)).cast("int").alias("codes_ok"),
-    )
-    return flags.crossJoin(enc_stats).select(
-        "query_id", "corpus_encoded", "codes_ok", "n_le_k", "ranks_ok",
-        "neighbors_ok",
-    )
+    return _ivfpq_banded_result(topk, emb, qset, enc, C, books)
 
 
 @query(

@@ -81,7 +81,13 @@ def read_manifest(path: str, epoch: int | None = None) -> dict | None:
 
 
 def _bucket_expr(key: str, n_buckets: int):
-    return (portable_hash60(F.col(key).cast("string")) % n_buckets).cast("int")
+    # NULL merge keys are a legal (single) key value for the window-based
+    # LWW merge, so they must land in a deterministic bucket rather than
+    # hash to NULL — which would crash the touched-bucket collect and,
+    # worse, write a __HIVE_DEFAULT_PARTITION__ dir the manifest harvest
+    # can't parse (review r8 #3).
+    key_s = F.coalesce(F.col(key).cast("string"), F.lit("\x00__null_key__"))
+    return (portable_hash60(key_s) % n_buckets).cast("int")
 
 
 def read_snapshot(
@@ -124,10 +130,20 @@ def commit_snapshot(
     this function itself wrote, so manifest metadata can't drift from the
     physical files. fsync on the temp manifest + directory makes the
     rename durable, not merely atomic."""
+    import shutil
+
     man = read_manifest(path)
     epoch = (man["epoch"] if man else 0) + 1
     snap = f"snap-{epoch:06d}"
     snap_dir = os.path.join(path, snap)
+    # A RETRIED epoch (torn commit left data files behind) must start from
+    # an empty snapshot dir: under partitionOverwriteMode=dynamic — which
+    # upsert_parquet sets session-wide — mode("overwrite") would replace
+    # only the partitions the retry writes and the os.walk below would
+    # harvest the stale buckets' never-merged files into the new manifest
+    # (review r8 #1).
+    if os.path.isdir(snap_dir):
+        shutil.rmtree(snap_dir)
     (
         merged.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
         .write.mode("overwrite")
@@ -158,10 +174,16 @@ def commit_snapshot(
     # Versioned copy FIRST (time-travel history), then the atomic swap of
     # the current pointer — if the crash lands between the two, the
     # version file is unreferenced garbage and the table state is the
-    # previous epoch, exactly like unreferenced data files.
-    import shutil
-
-    shutil.copyfile(tmp, _manifest_path(path, epoch))
+    # previous epoch, exactly like unreferenced data files. The copy is
+    # fsynced too: once the swap commits the epoch, its retained version
+    # must be as durable as the pointer (review r8 #7).
+    vpath = _manifest_path(path, epoch)
+    shutil.copyfile(tmp, vpath)
+    vfd = os.open(vpath, os.O_RDONLY)
+    try:
+        os.fsync(vfd)
+    finally:
+        os.close(vfd)
     os.replace(tmp, _manifest_path(path))
     dfd = os.open(path, os.O_RDONLY)
     try:
@@ -274,11 +296,18 @@ def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
         for f in fs:
             full = os.path.join(root, f)
             rel = os.path.relpath(full, path)
-            if f == MANIFEST or f.endswith(".tmp"):
+            if f == MANIFEST:
+                continue
+            if f.endswith(".tmp"):
+                # stale temp manifests from torn commits (review r8 #6)
+                os.remove(full)
+                deleted.append(rel)
                 continue
             if f.startswith("_MANIFEST.v"):
                 v = int(f[len("_MANIFEST.v"):].split(".")[0])
-                if v < keep_from:
+                # below retention, or uncommitted residue ABOVE the
+                # current pointer (crash between version copy and swap)
+                if v < keep_from or v > man["epoch"]:
                     os.remove(full)
                     deleted.append(rel)
                 continue
