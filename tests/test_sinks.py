@@ -372,3 +372,27 @@ def test_txn_uncommitted_version_residue_is_not_readable(spark, tmp_path, monkey
     assert {r["id"] for r in txn.read_snapshot(spark, path, epoch=2).collect()} == set(
         _duck_expected("replace")
     )
+
+
+def test_txn_upsert_null_key_is_one_deterministic_group(spark, tmp_path):
+    """NULL merge keys are a single legal key: they hash to a fixed bucket
+    (no crash, no unparseable partition dir), the window merge keeps one
+    LWW winner among them, and a later NULL-key row replaces it."""
+    from kinesis3_spark.sinks.txn import upsert_manifest_txn
+
+    path = str(tmp_path / "t")
+    b1 = [
+        (None, "2024-01-01 10:00:00", 1.0, "2024-01-01"),
+        (None, "2024-01-01 11:00:00", 2.0, "2024-01-01"),
+        ("a", "2024-01-01 12:00:00", 3.0, "2024-01-01"),
+    ]
+    upsert_manifest_txn(spark, _events(spark, b1), path, key="id", order_col="ts")
+    assert _txn_rows(spark, path) == {None: 2.0, "a": 3.0}
+    upsert_manifest_txn(
+        spark,
+        _events(spark, [(None, "2024-01-02 00:00:00", 9.0, "2024-01-02")]),
+        path,
+        key="id",
+        order_col="ts",
+    )
+    assert _txn_rows(spark, path) == {None: 9.0, "a": 3.0}
