@@ -396,3 +396,38 @@ def test_txn_upsert_null_key_is_one_deterministic_group(spark, tmp_path):
         order_col="ts",
     )
     assert _txn_rows(spark, path) == {None: 9.0, "a": 3.0}
+
+
+def test_txn_table_changes_classifies_epoch_diff(spark, tmp_path):
+    """CDF between retained epochs: B2 over B1 yields d=insert,
+    c=update_postimage (newer ts wins), b=NO change (the replay lost LWW,
+    so the key's surviving row is identical across epochs), a=untouched
+    (omitted); deletes appear when a key vanishes (compaction epoch diff
+    of a filtered rewrite)."""
+    from kinesis3_spark.sinks.txn import (
+        commit_snapshot,
+        read_manifest,
+        read_snapshot,
+        table_changes,
+        upsert_manifest_txn,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_manifest_txn(spark, _events(spark, B1), path, key="id", order_col="ts")
+    upsert_manifest_txn(spark, _events(spark, B2), path, key="id", order_col="ts")
+    ch = {
+        r["id"]: (r["_change_type"], r["val"])
+        for r in table_changes(spark, path, 1, 2).collect()
+    }
+    assert ch == {"c": ("update_postimage", 30.0), "d": ("insert", 4.0)}
+    # a delete: commit a filtered rewrite (drop key 'a') as epoch 3
+    cur = read_snapshot(spark, path)
+    commit_snapshot(
+        cur.where("id <> 'a'"), path, key="id",
+        n_buckets=read_manifest(path)["n_buckets"],
+    )
+    ch3 = {
+        r["id"]: r["_change_type"]
+        for r in table_changes(spark, path, 2, 3).collect()
+    }
+    assert ch3 == {"a": "delete"}
