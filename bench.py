@@ -101,6 +101,8 @@ HEADLINE = [
     "upsert_manifest_txn",
     "sim_cosine_topk_ivfpq_persisted",
     "stream_stream_right_outer_attribution",
+    "txn_stats_skipping_read",
+    "txn_incremental_mv_refresh",
 ]
 
 

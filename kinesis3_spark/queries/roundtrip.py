@@ -1021,6 +1021,147 @@ def _txn_upsert_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 @query(
+    "txn_incremental_mv_refresh",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_rows,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS sum_value_cents
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def txn_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the txn table's
+    change data feed: initialize a count+sum MV by full recompute on
+    EPOCH 1 only, then fold the 1→2 and 2→3 CDF deltas (insert /
+    delete / update pre+postimage, sinks/txn.apply_changes_to_mv) into
+    it — the base table is never rescanned after epoch 1. The oracle is
+    the full aggregate over the FINAL state (per-user LWW of raw
+    events), so any misclassified change row, missing preimage
+    retraction, or double-counted update breaks value parity; integer
+    cents keep retraction arithmetic exact (no float drift).
+
+    Scale: each refresh shuffles |changes| + |MV| rows — at 100 TB a
+    commit touching 0.1% of keys refreshes the view at 0.1% of the
+    recompute cost, the Delta CDF + streaming-aggregation pattern for
+    keeping serving views hot behind an upsert table."""
+    from ..sinks.txn import (
+        apply_changes_to_mv,
+        count_sum_mv,
+        read_snapshot,
+        table_changes,
+    )
+
+    tbl = _txn_upsert_table(spark, sf_dir)
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "value_cents",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        )
+
+    mv = count_sum_mv(
+        prep(read_snapshot(spark, tbl, epoch=1)), ["event_type"],
+        ["value_cents"],
+    )
+    for e in (2, 3):
+        ch = table_changes(
+            spark, tbl, e - 1, e, key="user_id", include_preimage=True
+        )
+        mv = apply_changes_to_mv(mv, prep(ch), ["event_type"], ["value_cents"])
+    return mv.select("event_type", "n_rows", "sum_value_cents").orderBy(
+        "event_type"
+    )
+
+
+_TS_TABLE_CACHE: dict[str, str] = {}
+
+
+def _txn_timeseries_table(spark: SparkSession, sf_dir: str) -> str:
+    """Append-mode manifest table built from six sequential 5-day ingest
+    commits of `events` (sinks/txn.append_snapshot) with footer min/max
+    stats recorded for ts/value — the append-log + zone-map layout a
+    100 TB event archive uses for time-range reads."""
+    path = _TS_TABLE_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from ..sinks.txn import append_snapshot
+
+        table = tmpdirs.mkdtemp(prefix="k3s_ts_txn_") + "/events_log"
+        ev = load_table(spark, sf_dir, "events")
+        for d0 in range(1, 31, 5):
+            batch = ev.where(
+                (F.dayofmonth("ts") >= d0) & (F.dayofmonth("ts") < d0 + 5)
+            )
+            append_snapshot(
+                batch,
+                table,
+                key="user_id",
+                n_buckets=4,
+                stats_cols=["ts", "value"],
+            )
+        _TS_TABLE_CACHE[sf_dir] = path = table
+    return path
+
+
+@query(
+    "txn_stats_skipping_read",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS value_cents_sum
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping range read over the manifest txn table (Delta/Iceberg
+    zone maps on the r8 append log): six 5-day ingest commits record
+    per-file footer min/max for ts in the manifest; the reader's
+    `where=[("ts","between",...)]` drops every file whose stats prove the
+    range unsatisfiable BEFORE Spark lists it — at sf0.001 the 10-day
+    probe opens 8 of 24 files (pinned in tests/test_sinks.py), and on a
+    100 TB archive it is the difference between a full-table scan and the
+    two ingest windows that overlap the range. Skipping is I/O-only: the
+    exact filter still runs, so a wrong prune surfaces as a value
+    mismatch against the raw-events oracle (a dropped needed file loses
+    rows; a kept extra file is filtered back out)."""
+    import datetime
+
+    from ..sinks.txn import read_snapshot
+
+    lo = datetime.datetime(2024, 1, 11)
+    hi = datetime.datetime(2024, 1, 21)
+    t = read_snapshot(
+        spark,
+        _txn_timeseries_table(spark, sf_dir),
+        where=[("ts", "between", lo, hi)],
+    )
+    return (
+        t.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("value_cents_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "upsert_manifest_txn",
     oracle="""
     SELECT user_id,

@@ -31,6 +31,13 @@ _RUNTIME_CONFS = {
     # Last-wins on duplicate map keys (reference's `into {}` cookie merge,
     # db.clj:136-144; default EXCEPTION would fail the row).
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # Write LTZ timestamps as INT64 TIMESTAMP_MICROS, not the legacy INT96
+    # default: INT96 carries NO footer min/max statistics, which blinds
+    # both parquet row-group filter pushdown and the manifest table's
+    # zone-map data skipping (sinks/txn.py) on any timestamp column — at
+    # 100 TB that turns every time-range probe into a full scan. MICROS is
+    # what Delta/Iceberg/modern engines write and read.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # The corpus events.parquet stores ts as INT64 TIMESTAMP(NANOS), which
     # vanilla Spark refuses to scan. Read nanos as long; sources.load_table
     # converts to TimestampType (µs, matching DuckDB's truncation).

@@ -33,6 +33,7 @@ optimistic concurrency is exactly what the Delta/Iceberg upgrade adds.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 
@@ -44,6 +45,121 @@ from .upsert import _dedup_last
 
 MANIFEST = "_MANIFEST.json"
 _BUCKET_COL = "__bucket"
+_EPOCH0 = _dt.datetime(1970, 1, 1)
+
+
+def _encode_stat(v):
+    """(type_tag, json_scalar) for a parquet-footer min/max value, or None
+    for types where a reliable total order can't be JSON-round-tripped
+    (bytes, decimals). Timestamps/dates go to exact integer epochs so the
+    manifest comparison is integer algebra, immune to isoformat quirks
+    and float rounding."""
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        d = v - _EPOCH0
+        return (
+            "ts_us",
+            d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds,
+        )
+    if isinstance(v, _dt.date):
+        return ("date_days", (v - _EPOCH0.date()).days)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        return ("float", v)
+    if isinstance(v, str):
+        return ("str", v)
+    return None
+
+
+def _harvest_file_stats(
+    path: str, rel_paths: list[str], stats_cols: list[str]
+) -> dict[str, dict]:
+    """Per-file min/max/null_count for `stats_cols`, read from the parquet
+    FOOTERS of the just-written files (tiny metadata reads, O(new files)
+    on the driver per commit — the same numbers Delta harvests from its
+    write-task results; on a real cluster this rides the tasks' returned
+    WriteTaskStats instead of a driver loop). A column whose footer lacks
+    min/max (unsupported type, stats disabled) is simply absent from that
+    file's blob — readers treat absence as 'may match'."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rel_paths:
+        pf = pq.ParquetFile(os.path.join(path, rel))
+        md = pf.metadata
+        idx = {
+            md.row_group(0).column(j).path_in_schema: j
+            for j in range(md.num_columns)
+        } if md.num_row_groups else {}
+        blob: dict[str, dict] = {}
+        for col in stats_cols:
+            j = idx.get(col)
+            if j is None:
+                continue
+            mins, maxs, nulls, ok = [], [], 0, True
+            for rg in range(md.num_row_groups):
+                cm = md.row_group(rg).column(j)
+                st = cm.statistics
+                if st is None or st.null_count is None:
+                    ok = False
+                    break
+                nulls += st.null_count
+                if st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if not ok:
+                continue
+            if not mins:
+                # every row-group value is NULL: record that affirmatively
+                # (comparison predicates are UNSAT on an all-null file)
+                blob[col] = {"type": None, "min": None, "max": None,
+                             "nulls": nulls}
+                continue
+            emin = _encode_stat(min(mins))
+            emax = _encode_stat(max(maxs))
+            if emin is None or emax is None or emin[0] != emax[0]:
+                continue
+            blob[col] = {
+                "type": emin[0], "min": emin[1], "max": emax[1],
+                "nulls": nulls,
+            }
+        if blob:
+            out[rel] = blob
+    return out
+
+
+def _file_may_match(stats: dict | None, col: str, op: str, *vals) -> bool:
+    """Can any row of a file with footer `stats` satisfy `col op vals`?
+    Conservative: unknown column / missing stats / type mismatch → True
+    (scan it). An all-null column proves comparison predicates UNSAT for
+    the file → False. Ops: == < <= > >= between (inclusive)."""
+    s = (stats or {}).get(col)
+    if s is None:
+        return True
+    if s["min"] is None:
+        return False  # no non-null values; any comparison is NULL
+    enc = [_encode_stat(v) for v in vals]
+    if any(e is None or e[0] != s["type"] for e in enc):
+        return True
+    v = [e[1] for e in enc]
+    mn, mx = s["min"], s["max"]
+    if op == "==":
+        return mn <= v[0] <= mx
+    if op == "<":
+        return mn < v[0]
+    if op == "<=":
+        return mn <= v[0]
+    if op == ">":
+        return mx > v[0]
+    if op == ">=":
+        return mx >= v[0]
+    if op == "between":
+        return mx >= v[0] and mn <= v[1]
+    raise ValueError(f"unknown skipping op {op!r}")
 
 
 def _manifest_path(path: str, epoch: int | None = None) -> str:
@@ -95,6 +211,7 @@ def read_snapshot(
     path: str,
     buckets: set[int] | None = None,
     epoch: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame | None:
     """Scan the committed snapshot STRICTLY through the manifest's file
     list (never a directory listing — stray/partial files from a torn or
@@ -103,14 +220,30 @@ def read_snapshot(
     the bounded-write-amplification contract. ``epoch`` time-travels to a
     retained historical version (immutable files + retained manifests
     make every old snapshot fully reconstructible until vacuumed).
-    Returns None when the table (or the selected bucket set) has no
-    committed files."""
+    ``where`` — ``[(col, op, v)...]`` with ops ``== < <= > >= between``
+    (conjunction) — DATA-SKIPS: files whose manifest min/max stats prove
+    the predicate unsatisfiable are dropped from the scan before Spark
+    ever lists them (Delta/Iceberg zone-map pruning; at 100 TB this is
+    what turns a point-in-time range query from a full-table scan into a
+    handful of files). Skipping is an I/O optimization ONLY — callers
+    still apply the exact filter; files without stats are conservatively
+    scanned. Returns None when the table (or the selected file set) has
+    no committed files."""
     man = read_manifest(path, epoch)
     if man is None:
         return None
     entries = man["files"]
     if buckets is not None:
         entries = [e for e in entries if e["bucket"] in buckets]
+    if where is not None:
+        entries = [
+            e
+            for e in entries
+            if all(
+                _file_may_match(e.get("stats"), p[0], p[1], *p[2:])
+                for p in where
+            )
+        ]
     if not entries:
         return None
     return spark.read.parquet(*(os.path.join(path, e["path"]) for e in entries))
@@ -122,6 +255,7 @@ def commit_snapshot(
     key: str,
     n_buckets: int,
     carry: list[dict] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Publish `merged` as the rewritten-buckets portion of the next
     snapshot: files land in ``snap-<epoch>/__bucket=<b>/``, then the new
@@ -161,13 +295,34 @@ def commit_snapshot(
             new_entries.append(
                 {"path": rel, "bucket": int(part_dir.split("=", 1)[1])}
             )
+    stats_cols = list(
+        stats_cols
+        if stats_cols is not None
+        else (man.get("stats_cols") or []) if man else []
+    )
+    if stats_cols:
+        # footer harvest for the NEW files only; carried entries keep the
+        # stats blobs they were committed with (files are immutable)
+        fstats = _harvest_file_stats(
+            path, [e["path"] for e in new_entries], stats_cols
+        )
+        for e in new_entries:
+            if e["path"] in fstats:
+                e["stats"] = fstats[e["path"]]
     files = sorted(
         list(carry or []) + new_entries, key=lambda e: (e["bucket"], e["path"])
     )
     tmp = os.path.join(path, f".{MANIFEST}.{epoch}.tmp")
     with open(tmp, "w") as fh:
         json.dump(
-            {"epoch": epoch, "n_buckets": n_buckets, "files": files}, fh, indent=1
+            {
+                "epoch": epoch,
+                "n_buckets": n_buckets,
+                "stats_cols": stats_cols,
+                "files": files,
+            },
+            fh,
+            indent=1,
         )
         fh.flush()
         os.fsync(fh.fileno())
@@ -201,6 +356,7 @@ def upsert_manifest_txn(
     order_col: str | None = None,
     mode: str = "replace",
     n_buckets: int = 8,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """One transactional merge of `batch` into the manifest table —
     upsert_parquet's exact merge semantics (first- or last-writer-wins by
@@ -222,7 +378,9 @@ def upsert_manifest_txn(
     order = order_col or key
     man = read_manifest(path)
     if man is not None:
-        n_buckets = man["n_buckets"]  # layout is fixed at table creation
+        # layout + stats config are fixed at table creation
+        n_buckets = man["n_buckets"]
+        stats_cols = man.get("stats_cols") or None
     touched = {
         int(r[0])
         for r in batch.select(_bucket_expr(key, n_buckets).alias("b"))
@@ -245,7 +403,37 @@ def upsert_manifest_txn(
     carry = [
         e for e in (man["files"] if man else []) if e["bucket"] not in touched
     ]
-    return commit_snapshot(merged, path, key, n_buckets, carry=carry)
+    return commit_snapshot(
+        merged, path, key, n_buckets, carry=carry, stats_cols=stats_cols
+    )
+
+
+def append_snapshot(
+    batch: DataFrame,
+    path: str,
+    key: str = "id",
+    n_buckets: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Blind-append commit: the batch's files PLUS every current file
+    carried by reference — zero read amplification (no merge, no key
+    resolution), the fact/time-series ingest mode next to the keyed
+    upsert. Duplicate keys across commits are legal here by design. With
+    ``stats_cols`` set at table creation, each 5-minute/daily ingest
+    commit records its files' min/max — so a later time-range
+    ``read_snapshot(where=[("ts", "between", lo, hi)])`` opens only the
+    commits that overlap the range: the append-log + zone-map shape that
+    makes a 100 TB event archive range-queryable without partitioning by
+    every predicate column."""
+    os.makedirs(path, exist_ok=True)
+    man = read_manifest(path)
+    if man is not None:
+        n_buckets = man["n_buckets"]
+        stats_cols = man.get("stats_cols") or None
+    carry = list(man["files"]) if man else []
+    return commit_snapshot(
+        batch, path, key, n_buckets, carry=carry, stats_cols=stats_cols
+    )
 
 
 def compact_table(
@@ -332,14 +520,19 @@ def table_changes(
     from_epoch: int,
     to_epoch: int,
     key: str = "id",
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Change data feed between two retained epochs (Delta's
     ``table_changes`` on the manifest table): full-outer join the two
     snapshots on the merge key and classify each key as insert / delete /
     update_postimage (emitted with the TO-epoch row values; unchanged keys
-    — all non-key columns equal, NULL-safe — are omitted). Downstream
-    incremental consumers (index refresh, cache invalidation, reverse
-    ETL) read the delta instead of re-scanning the table.
+    — all non-key columns equal, NULL-safe — are omitted).
+    ``include_preimage=True`` additionally emits an ``update_preimage``
+    row carrying the FROM-epoch values for every updated key — Delta's
+    full CDF row set, which is what subtractive consumers (incremental
+    aggregate maintenance, index deletion lists) need: the preimage says
+    what to retract, the postimage what to add. Downstream incremental
+    consumers read the delta instead of re-scanning the table.
 
     Scale: one key-hash shuffle over the two snapshots; with bucket
     layouts shared between epochs the join co-locates per bucket. Time
@@ -359,21 +552,97 @@ def table_changes(
         F.struct(*[F.col(c) for c in cols]).alias("__b"),
     )
     joined = a_r.join(b_r, a_r["__k"].eqNullSafe(b_r["__k"]), "fullOuter")
-    change = (
-        F.when(a_r["__k"].isNull() & b_r["__k"].isNotNull(), F.lit("insert"))
-        .when(b_r["__k"].isNull() & a_r["__k"].isNotNull(), F.lit("delete"))
-        .when(~F.col("__a").eqNullSafe(F.col("__b")), F.lit("update_postimage"))
+    is_ins = a_r["__k"].isNull() & b_r["__k"].isNotNull()
+    is_del = b_r["__k"].isNull() & a_r["__k"].isNotNull()
+    is_upd = (
+        a_r["__k"].isNotNull()
+        & b_r["__k"].isNotNull()
+        & ~F.col("__a").eqNullSafe(F.col("__b"))
     )
-    out_key = F.coalesce(b_r["__k"], a_r["__k"]).alias(key)
-    post = F.coalesce(F.col("__b"), F.col("__a"))
-    return (
-        joined.withColumn("_change_type", change)
-        .where(F.col("_change_type").isNotNull())
-        .select(
-            out_key,
-            *[post.getField(c).alias(c) for c in cols],
-            "_change_type",
+    def _tagged(tag: str, payload):
+        return F.struct(
+            F.lit(tag).alias("t"), payload.alias("p")
         )
+    emitted = [
+        F.when(is_ins, _tagged("insert", F.col("__b"))),
+        F.when(is_del, _tagged("delete", F.col("__a"))),
+    ]
+    if include_preimage:
+        emitted.append(F.when(is_upd, _tagged("update_preimage", F.col("__a"))))
+    emitted.append(F.when(is_upd, _tagged("update_postimage", F.col("__b"))))
+    out_key = F.coalesce(b_r["__k"], a_r["__k"]).alias(key)
+    ch = F.col("__ch")
+    return (
+        joined.select(
+            out_key,
+            F.explode(F.array_compact(F.array(*emitted))).alias("__ch"),
+        )
+        .select(
+            key,
+            *[ch.getField("p").getField(c).alias(c) for c in cols],
+            ch.getField("t").alias("_change_type"),
+        )
+    )
+
+
+def count_sum_mv(
+    df: DataFrame, group_cols: list[str], metrics: list[str]
+) -> DataFrame:
+    """Full recompute of a count+sum materialized view: one row per
+    group, ``n_rows`` + ``sum_<metric>`` per metric. NULL metric values
+    count as 0 (the same convention the incremental path's retraction
+    arithmetic uses, so a refreshed MV and a recompute agree even on
+    all-NULL groups). The initialization (and the correctness oracle)
+    for `apply_changes_to_mv`."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.coalesce(F.col(m), F.lit(0))).alias(f"sum_{m}")
+            for m in metrics
+        ],
+    )
+
+
+def apply_changes_to_mv(
+    mv: DataFrame, changes: DataFrame, group_cols: list[str],
+    metrics: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance from a change feed:
+    fold a `table_changes(..., include_preimage=True)` delta into a
+    `count_sum_mv` state without touching the base table. insert /
+    update_postimage rows add (+1, +metric); delete / update_preimage
+    rows retract (−1, −metric); groups whose row count reaches zero are
+    dropped, so the refreshed MV is row-identical to a full recompute on
+    the TO-epoch snapshot (pinned by the oracle of
+    `txn_incremental_mv_refresh` and tests/test_sinks.py).
+
+    Scale: the refresh shuffles |changes| + |mv| rows grouped by the MV
+    key — NEVER the base table. That is the entire point at 100 TB: a
+    daily ingest touching 0.1% of keys refreshes the view at 0.1% cost.
+    Count+sum (and any algebraic aggregate: mean = sum/count, M2 for
+    variance) maintain exactly; use EXACT-typed metrics (integer cents,
+    not doubles) so retractions cancel without float drift — MIN/MAX are
+    not retractable this way and need a recompute-on-delete path. Chain
+    refreshes through a checkpoint/persist of the MV state per epoch, or
+    the lazy plan re-reads every epoch's delta."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = changes.groupBy(*group_cols).agg(
+        F.sum(sign).alias("n_rows"),
+        *[
+            F.sum(sign * F.coalesce(F.col(m), F.lit(0))).alias(f"sum_{m}")
+            for m in metrics
+        ],
+    )
+    return (
+        mv.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            *[F.sum(f"sum_{m}").alias(f"sum_{m}") for m in metrics],
+        )
+        .where(F.col("n_rows") > 0)
     )
 
 
@@ -386,6 +655,7 @@ def upsert_manifest_stream(
     mode: str = "replace",
     n_buckets: int = 8,
     trigger: dict | None = None,
+    stats_cols: list[str] | None = None,
 ):
     """The foreachBatch wiring (run.upsert_stream's transactional twin):
     every micro-batch is one atomic manifest commit, so a reader polling
@@ -400,6 +670,7 @@ def upsert_manifest_stream(
             order_col=order_col,
             mode=mode,
             n_buckets=n_buckets,
+            stats_cols=stats_cols,
         )
 
     return (

@@ -431,3 +431,183 @@ def test_txn_table_changes_classifies_epoch_diff(spark, tmp_path):
         for r in table_changes(spark, path, 2, 3).collect()
     }
     assert ch3 == {"a": "delete"}
+
+
+def test_txn_append_records_stats_and_skips_files(spark, tmp_path):
+    """Append-mode commits record footer min/max for stats_cols in the
+    manifest, and a range read prunes every file whose stats prove the
+    predicate unsatisfiable — while the scanned subset, exactly filtered,
+    equals the full-scan result (skipping is I/O-only)."""
+    from kinesis3_spark.sinks.txn import (
+        append_snapshot,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "log")
+    # three disjoint val windows, one commit each
+    for lo in (0, 100, 200):
+        rows = [
+            (f"k{lo}_{i}", "2024-01-01 10:00:00", float(lo + i), "2024-01-01")
+            for i in range(5)
+        ]
+        append_snapshot(
+            _events(spark, rows), path, key="id", n_buckets=2,
+            stats_cols=["val", "ts"],
+        )
+    man = read_manifest(path)
+    assert man["stats_cols"] == ["val", "ts"]
+    assert all("stats" in e and "val" in e["stats"] for e in man["files"])
+    for e in man["files"]:
+        assert e["stats"]["val"]["min"] <= e["stats"]["val"]["max"]
+        assert e["stats"]["ts"]["type"] == "ts_us"
+    # probe the middle window only
+    pruned = read_snapshot(spark, path, where=[("val", "between", 100.0, 104.0)])
+    full = read_snapshot(spark, path)
+    pruned_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    full_files = {
+        r[0] for r in full.select(F.input_file_name()).distinct().collect()
+    }
+    assert pruned_files < full_files
+    assert all("snap-000002/" in f for f in pruned_files)
+    got = sorted(
+        r["id"] for r in pruned.where("val BETWEEN 100.0 AND 104.0").collect()
+    )
+    want = sorted(
+        r["id"] for r in full.where("val BETWEEN 100.0 AND 104.0").collect()
+    )
+    assert got == want and len(got) == 5
+    # append after table creation reuses the recorded stats config
+    append_snapshot(
+        _events(spark, [("z", "2024-01-01 10:00:00", 999.0, "2024-01-01")]),
+        path, key="id",
+    )
+    m2 = read_manifest(path)
+    assert m2["stats_cols"] == ["val", "ts"]
+    new = [e for e in m2["files"] if e["path"].startswith("snap-000004/")]
+    assert new and all("stats" in e for e in new)
+
+
+def test_txn_skipping_is_conservative_where_stats_cannot_decide():
+    """The pure pruning predicate: missing column / absent stats / type
+    mismatch keep the file; an all-null column drops it for comparison
+    predicates; every op respects closed bounds."""
+    from kinesis3_spark.sinks.txn import _file_may_match
+
+    s = {"val": {"type": "float", "min": 10.0, "max": 20.0, "nulls": 1}}
+    assert _file_may_match(s, "other_col", ">=", 5)          # unknown col
+    assert _file_may_match(None, "val", ">=", 5)             # no stats blob
+    assert _file_may_match(s, "val", ">=", "not-a-float")    # type mismatch
+    assert _file_may_match(s, "val", "==", 10.0)
+    assert _file_may_match(s, "val", "==", 20.0)
+    assert not _file_may_match(s, "val", "==", 9.99)
+    assert not _file_may_match(s, "val", ">", 20.0)
+    assert _file_may_match(s, "val", ">=", 20.0)
+    assert not _file_may_match(s, "val", "<", 10.0)
+    assert _file_may_match(s, "val", "<=", 10.0)
+    assert _file_may_match(s, "val", "between", 0.0, 10.0)
+    assert not _file_may_match(s, "val", "between", 20.5, 30.0)
+    allnull = {"val": {"type": None, "min": None, "max": None, "nulls": 7}}
+    assert not _file_may_match(allnull, "val", ">=", 0.0)
+    assert not _file_may_match(allnull, "val", "==", 0.0)
+
+
+def test_txn_compaction_recomputes_stats_for_folded_files(spark, tmp_path):
+    """compact_table rewrites every bucket; the folded files must carry
+    freshly harvested stats spanning the union of their inputs."""
+    from kinesis3_spark.sinks.txn import (
+        append_snapshot,
+        compact_table,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "log")
+    for lo in (0, 100):
+        rows = [
+            (f"k{lo}_{i}", "2024-01-01 10:00:00", float(lo + i), "2024-01-01")
+            for i in range(4)
+        ]
+        append_snapshot(
+            _events(spark, rows), path, key="id", n_buckets=2,
+            stats_cols=["val"],
+        )
+    compact_table(spark, path, key="id")
+    man = read_manifest(path)
+    assert all(e["path"].startswith("snap-000003/") for e in man["files"])
+    assert all("stats" in e for e in man["files"])
+    mn = min(e["stats"]["val"]["min"] for e in man["files"])
+    mx = max(e["stats"]["val"]["max"] for e in man["files"])
+    assert (mn, mx) == (0.0, 103.0)
+
+
+def test_txn_cdf_preimage_rows(spark, tmp_path):
+    """include_preimage=True emits BOTH images for an update (FROM values
+    under update_preimage, TO values under update_postimage) and leaves
+    insert/delete rows unchanged; the default stays postimage-only."""
+    from kinesis3_spark.sinks.txn import table_changes, upsert_manifest_txn
+
+    path = str(tmp_path / "t")
+    upsert_manifest_txn(spark, _events(spark, B1), path, key="id", order_col="ts")
+    upsert_manifest_txn(spark, _events(spark, B2), path, key="id", order_col="ts")
+    full = sorted(
+        (r["id"], r["_change_type"], r["val"])
+        for r in table_changes(
+            spark, path, 1, 2, include_preimage=True
+        ).collect()
+    )
+    assert full == [
+        ("c", "update_postimage", 30.0),
+        ("c", "update_preimage", 3.0),
+        ("d", "insert", 4.0),
+    ]
+    default = {
+        r["_change_type"] for r in table_changes(spark, path, 1, 2).collect()
+    }
+    assert "update_preimage" not in default
+
+
+def test_txn_incremental_mv_matches_full_recompute(spark, tmp_path):
+    """Fold two CDF deltas (with an update, an insert, and a
+    group-emptying delete) into a count+sum MV and compare against the
+    full recompute on the final snapshot — including NULL-metric rows
+    (count as 0 on both paths) and the dropped empty group."""
+    from kinesis3_spark.sinks.txn import (
+        apply_changes_to_mv,
+        commit_snapshot,
+        count_sum_mv,
+        read_manifest,
+        read_snapshot,
+        table_changes,
+        upsert_manifest_txn,
+    )
+
+    path = str(tmp_path / "t")
+    rows1 = [
+        ("a", "2024-01-01 10:00:00", 1.0, "g1"),
+        ("b", "2024-01-01 10:00:00", None, "g1"),  # NULL metric
+        ("c", "2024-01-01 10:00:00", 3.0, "g2"),
+    ]
+    rows2 = [
+        ("a", "2024-01-02 10:00:00", 10.0, "g1"),  # update
+        ("d", "2024-01-02 10:00:00", 4.0, "g1"),   # insert
+    ]
+    upsert_manifest_txn(spark, _events(spark, rows1), path, key="id", order_col="ts")
+    upsert_manifest_txn(spark, _events(spark, rows2), path, key="id", order_col="ts")
+    # epoch 3: delete 'c' -> group g2 empties entirely
+    cur = read_snapshot(spark, path)
+    commit_snapshot(
+        cur.where("id <> 'c'"), path, key="id",
+        n_buckets=read_manifest(path)["n_buckets"],
+    )
+    mv = count_sum_mv(read_snapshot(spark, path, epoch=1), ["dt"], ["val"])
+    for e in (2, 3):
+        ch = table_changes(spark, path, e - 1, e, include_preimage=True)
+        mv = apply_changes_to_mv(mv, ch, ["dt"], ["val"])
+    got = sorted(map(tuple, mv.collect()))
+    want = sorted(
+        map(tuple, count_sum_mv(read_snapshot(spark, path), ["dt"], ["val"]).collect())
+    )
+    assert got == want
+    assert got == [("g1", 3, 14.0)]  # g2 dropped; NULL b counted, sums 0
