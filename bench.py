@@ -103,6 +103,7 @@ HEADLINE = [
     "stream_stream_right_outer_attribution",
     "txn_stats_skipping_read",
     "txn_incremental_mv_refresh",
+    "txn_schema_evolution_read",
 ]
 
 

@@ -1021,6 +1021,54 @@ def _txn_upsert_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 @query(
+    "txn_schema_evolution_read",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           count(CASE WHEN day(ts) >= 16 THEN 1 END)::BIGINT AS n_with_cents,
+           SUM(CASE WHEN day(ts) >= 16
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+              )::BIGINT AS cents_sum
+    FROM events
+    """,
+)
+def txn_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the txn table (Delta's mergeSchema on
+    the manifest layout): epoch 1 upserts the first half-month of events
+    with the base columns; epoch 2 upserts the second half WITH a new
+    `value_cents` column. The table schema lives in the MANIFEST (updated
+    at commit by sinks/txn._evolved_schema — one log read, never N footer
+    reads), so the final read NULL-backfills epoch-1 files for the new
+    column without rewriting a byte. Parity requires: no row lost across
+    the widening merge, the new column populated on exactly the epoch-2
+    rows, and NULL (not 0) on the epoch-1 rows — a mergeSchema-style
+    footer union that silently dropped or zero-filled either side breaks
+    the count or the sum. Incompatible (type-changing) evolution raises
+    at commit; pinned with time-travel reads in tests/test_sinks.py.
+
+    Scale: the 100 TB archive evolves additively for free — old files
+    are immutable, the manifest's schema row is the only write."""
+    from ..sinks.txn import read_snapshot, upsert_manifest_txn
+
+    base = tmpdirs.mkdtemp(prefix="k3s_txn_evo_") + "/events_evo"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    b1 = ev.where(F.dayofmonth("ts") < 16)
+    b2 = ev.where(F.dayofmonth("ts") >= 16).withColumn(
+        "value_cents",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+    )
+    upsert_manifest_txn(spark, b1, base, key="event_id", order_col="ts")
+    upsert_manifest_txn(spark, b2, base, key="event_id", order_col="ts")
+    t = read_snapshot(spark, base)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value_cents").alias("n_with_cents"),
+        F.sum("value_cents").alias("cents_sum"),
+    )
+
+
+@query(
     "txn_incremental_mv_refresh",
     oracle="""
     SELECT event_type,

@@ -196,6 +196,33 @@ def read_manifest(path: str, epoch: int | None = None) -> dict | None:
         return None
 
 
+def _evolved_schema(man: dict | None, written) -> dict:
+    """The next manifest's table schema: the previous epoch's fields (in
+    order) plus any NEW fields the written frame adds, appended. Only
+    ADDITIVE evolution is supported — a same-name field whose type
+    changed raises (type rewrites need a full-table migration, exactly
+    Delta's rule); a column the written frame drops stays in the table
+    schema and reads back NULL for the new files."""
+    from pyspark.sql.types import StructType
+
+    new_fields = {f.name: f for f in written.schema.fields}
+    if man is None or man.get("schema") is None:
+        return json.loads(written.schema.json())
+    old = StructType.fromJson(man["schema"])
+    merged = list(old.fields)
+    for name, f in new_fields.items():
+        prev = next((o for o in old.fields if o.name == name), None)
+        if prev is None:
+            merged.append(f)
+        elif prev.dataType != f.dataType:
+            raise ValueError(
+                f"incompatible schema evolution for column {name!r}: "
+                f"{prev.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} (additive changes only)"
+            )
+    return json.loads(StructType(merged).json())
+
+
 def _bucket_expr(key: str, n_buckets: int):
     # NULL merge keys are a legal (single) key value for the window-based
     # LWW merge, so they must land in a deterministic bucket rather than
@@ -246,7 +273,16 @@ def read_snapshot(
         ]
     if not entries:
         return None
-    return spark.read.parquet(*(os.path.join(path, e["path"]) for e in entries))
+    reader = spark.read
+    if man.get("schema") is not None:
+        # The TABLE schema lives in the manifest (Delta's log-owned
+        # schema, not N footer reads): files committed before a widening
+        # lack the newer columns and the explicit read schema backfills
+        # them as NULL — schema evolution without rewriting a byte.
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(man["schema"]))
+    return reader.parquet(*(os.path.join(path, e["path"]) for e in entries))
 
 
 def commit_snapshot(
@@ -319,6 +355,9 @@ def commit_snapshot(
                 "epoch": epoch,
                 "n_buckets": n_buckets,
                 "stats_cols": stats_cols,
+                "schema": _evolved_schema(
+                    man, merged.drop(_BUCKET_COL)
+                ),
                 "files": files,
             },
             fh,
@@ -394,8 +433,14 @@ def upsert_manifest_txn(
             new, key, order, prefer="new" if mode == "replace" else "old"
         )
     else:
+        # allowMissingColumns = additive schema evolution: a batch with a
+        # NEW column widens the table (old rows read back NULL via the
+        # manifest schema); a batch MISSING a table column writes NULL
+        # for it on the rows it updates.
         merged = _dedup_last(
-            current.withColumn("__is_new", F.lit(0)).unionByName(new),
+            current.withColumn("__is_new", F.lit(0)).unionByName(
+                new, allowMissingColumns=True
+            ),
             key,
             order,
             prefer="new" if mode == "replace" else "old",
@@ -543,6 +588,16 @@ def table_changes(
     a = read_snapshot(spark, path, epoch=from_epoch)
     b = read_snapshot(spark, path, epoch=to_epoch)
     assert a is not None and b is not None, (from_epoch, to_epoch)
+    # schema may have widened between the epochs (additive evolution):
+    # NULL-pad each side to the union so the struct compare is total —
+    # a row whose only change is a newly-added column's value correctly
+    # classifies as an update, not a crash
+    for c in b.columns:
+        if c not in a.columns:
+            a = a.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+    for c in a.columns:
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None).cast(a.schema[c].dataType))
     cols = [c for c in b.columns if c != key]
     a_r = a.select(
         F.col(key).alias("__k"), F.struct(*[F.col(c) for c in cols]).alias("__a")

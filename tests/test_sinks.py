@@ -611,3 +611,62 @@ def test_txn_incremental_mv_matches_full_recompute(spark, tmp_path):
     )
     assert got == want
     assert got == [("g1", 3, 14.0)]  # g2 dropped; NULL b counted, sums 0
+
+
+def test_txn_schema_evolution_widens_and_backfills(spark, tmp_path):
+    """A batch with a new column widens the MANIFEST schema; files from
+    before the widening read back NULL for it, time travel to the
+    pre-widening epoch shows the old schema, and a type-changing batch
+    is refused at commit."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as SF
+    from kinesis3_spark.sinks.txn import (
+        read_manifest,
+        read_snapshot,
+        table_changes,
+        upsert_manifest_txn,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_manifest_txn(spark, _events(spark, B1), path, key="id", order_col="ts")
+    b2 = _events(spark, B2).withColumn("score", SF.col("val") * 2)
+    upsert_manifest_txn(spark, b2, path, key="id", order_col="ts")
+    man = read_manifest(path)
+    names = [f["name"] for f in man["schema"]["fields"]]
+    assert names == ["id", "ts", "val", "dt", "score"]
+    snap = {r["id"]: r["score"] for r in read_snapshot(spark, path).collect()}
+    # 'a' untouched by b2 -> NULL backfill; 'b' kept epoch-1 row (LWW: its
+    # replay was older) but its bucket was REWRITTEN under the widened
+    # schema; 'd' inserted by b2 -> populated
+    assert snap["a"] is None and snap["d"] == 8.0
+    assert "score" not in read_snapshot(spark, path, epoch=1).columns
+    # CDF across the widening pads the FROM side instead of crashing
+    ch = {
+        (r["id"], r["_change_type"])
+        for r in table_changes(spark, path, 1, 2).collect()
+    }
+    assert ("d", "insert") in ch
+    bad = _events(spark, [("z", "2024-01-01 10:00:00", 1.0, "2024-01-01")]
+                  ).withColumn("score", SF.lit("not-a-double"))
+    with _pytest.raises(ValueError, match="incompatible schema evolution"):
+        upsert_manifest_txn(spark, bad, path, key="id", order_col="ts")
+
+
+def test_txn_batch_missing_column_null_fills_updated_rows(spark, tmp_path):
+    """A batch MISSING a table column upserts NULL for it on the rows it
+    replaces (documented additive-evolution semantics) and leaves other
+    rows' values intact."""
+    from pyspark.sql import functions as SF
+    from kinesis3_spark.sinks.txn import read_snapshot, upsert_manifest_txn
+
+    path = str(tmp_path / "t")
+    b1 = _events(spark, B1).withColumn("score", SF.col("val") * 2)
+    upsert_manifest_txn(spark, b1, path, key="id", order_col="ts")
+    upsert_manifest_txn(
+        spark,
+        _events(spark, [("c", "2024-01-05 10:00:00", 99.0, "2024-01-05")]),
+        path, key="id", order_col="ts",
+    )
+    snap = {r["id"]: r["score"] for r in read_snapshot(spark, path).collect()}
+    assert snap["c"] is None and snap["a"] == 2.0
