@@ -26,9 +26,20 @@ the poor-man's transaction log an immutable-file layout affords):
     merge costs O(touched buckets), not O(table) — the Delta MERGE
     file-rewrite shape, expressed with a JSON manifest.
 
-Single-writer contract: commits are serialized by the caller (foreachBatch
-runs micro-batches sequentially; that is the writer lock). Multi-writer
-optimistic concurrency is exactly what the Delta/Iceberg upgrade adds.
+Multi-writer optimistic concurrency (round 8): the commit point is the
+EXCLUSIVE CREATE (O_CREAT|O_EXCL) of the epoch's versioned manifest —
+exactly one writer can claim ``_MANIFEST.v<epoch>.json``, so two writers
+that both computed epoch N serialize: the loser gets CommitConflict,
+re-reads the winner's snapshot, re-merges its batch, and retries at N+1
+(Delta's log-entry rename arbitration on a POSIX directory). Data-file
+safety needs no locking because every attempt writes into its own
+uuid-suffixed ``snap-<epoch>-<nonce>/`` directory — a losing attempt's
+files are unreferenced garbage for vacuum, never a torn table. One
+operational rule (same as Delta's VACUUM): don't run vacuum concurrently
+with writers stalled for longer than the retention window, since reaping
+a versioned manifest re-opens its epoch number to exclusive create; the
+commit re-checks the current pointer after claiming to shrink that
+window.
 """
 
 from __future__ import annotations
@@ -46,6 +57,10 @@ from .upsert import _dedup_last
 MANIFEST = "_MANIFEST.json"
 _BUCKET_COL = "__bucket"
 _EPOCH0 = _dt.datetime(1970, 1, 1)
+
+
+class CommitConflict(RuntimeError):
+    """Another writer claimed this epoch first; re-read and retry."""
 
 
 def _encode_stat(v):
@@ -294,26 +309,23 @@ def commit_snapshot(
     stats_cols: list[str] | None = None,
 ) -> int:
     """Publish `merged` as the rewritten-buckets portion of the next
-    snapshot: files land in ``snap-<epoch>/__bucket=<b>/``, then the new
-    manifest (carried untouched-file refs + the new files) replaces the
-    old atomically. The bucket of each new file is parsed from the layout
-    this function itself wrote, so manifest metadata can't drift from the
-    physical files. fsync on the temp manifest + directory makes the
-    rename durable, not merely atomic."""
-    import shutil
+    snapshot: files land in ``snap-<epoch>-<nonce>/__bucket=<b>/``, then
+    the new manifest (carried untouched-file refs + the new files)
+    replaces the old atomically. The nonce makes every ATTEMPT's data
+    directory unique, so concurrent writers (and torn-commit retries)
+    never touch each other's files — a losing attempt's directory is
+    unreferenced garbage for vacuum. The epoch itself is claimed by
+    exclusive create of the versioned manifest; losing that race raises
+    CommitConflict with nothing published. The bucket of each new file
+    is parsed from the layout this function itself wrote, so manifest
+    metadata can't drift from the physical files. fsync on the manifest
+    + directory makes the rename durable, not merely atomic."""
+    import uuid
 
     man = read_manifest(path)
     epoch = (man["epoch"] if man else 0) + 1
-    snap = f"snap-{epoch:06d}"
+    snap = f"snap-{epoch:06d}-{uuid.uuid4().hex[:8]}"
     snap_dir = os.path.join(path, snap)
-    # A RETRIED epoch (torn commit left data files behind) must start from
-    # an empty snapshot dir: under partitionOverwriteMode=dynamic — which
-    # upsert_parquet sets session-wide — mode("overwrite") would replace
-    # only the partitions the retry writes and the os.walk below would
-    # harvest the stale buckets' never-merged files into the new manifest
-    # (review r8 #1).
-    if os.path.isdir(snap_dir):
-        shutil.rmtree(snap_dir)
     (
         merged.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
         .write.mode("overwrite")
@@ -348,36 +360,49 @@ def commit_snapshot(
     files = sorted(
         list(carry or []) + new_entries, key=lambda e: (e["bucket"], e["path"])
     )
-    tmp = os.path.join(path, f".{MANIFEST}.{epoch}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "epoch": epoch,
-                "n_buckets": n_buckets,
-                "stats_cols": stats_cols,
-                "schema": _evolved_schema(
-                    man, merged.drop(_BUCKET_COL)
-                ),
-                "files": files,
-            },
-            fh,
-            indent=1,
-        )
-        fh.flush()
-        os.fsync(fh.fileno())
-    # Versioned copy FIRST (time-travel history), then the atomic swap of
-    # the current pointer — if the crash lands between the two, the
-    # version file is unreferenced garbage and the table state is the
-    # previous epoch, exactly like unreferenced data files. The copy is
-    # fsynced too: once the swap commits the epoch, its retained version
-    # must be as durable as the pointer (review r8 #7).
+    payload = json.dumps(
+        {
+            "epoch": epoch,
+            "n_buckets": n_buckets,
+            "stats_cols": stats_cols,
+            "schema": _evolved_schema(man, merged.drop(_BUCKET_COL)),
+            "files": files,
+        },
+        indent=1,
+    )
+    # COMMIT POINT: exclusive create of the versioned manifest claims the
+    # epoch — exactly one concurrent writer wins; the loser's data files
+    # stay unreferenced (vacuum's problem) and it retries from the
+    # winner's snapshot. Written-then-fsynced FIRST (time-travel history),
+    # then the atomic swap of the current pointer — a crash between the
+    # two leaves the claimed version as residue ABOVE the pointer, which
+    # read_manifest refuses and vacuum reaps (review r8 #7 durability
+    # retained).
     vpath = _manifest_path(path, epoch)
-    shutil.copyfile(tmp, vpath)
-    vfd = os.open(vpath, os.O_RDONLY)
     try:
+        vfd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError:
+        raise CommitConflict(
+            f"epoch {epoch} of {path} was committed by another writer"
+        ) from None
+    try:
+        os.write(vfd, payload.encode())
         os.fsync(vfd)
     finally:
         os.close(vfd)
+    # shrink the vacuum-reopened-epoch window: if the current pointer
+    # moved past epoch-1 while we merged, our claim is stale residue
+    cur = read_manifest(path)
+    if (cur["epoch"] if cur else 0) != epoch - 1:
+        os.remove(vpath)
+        raise CommitConflict(
+            f"table {path} advanced past epoch {epoch - 1} during merge"
+        )
+    tmp = os.path.join(path, f".{MANIFEST}.{epoch}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, _manifest_path(path))
     dfd = os.open(path, os.O_RDONLY)
     try:
@@ -396,6 +421,7 @@ def upsert_manifest_txn(
     mode: str = "replace",
     n_buckets: int = 8,
     stats_cols: list[str] | None = None,
+    max_retries: int = 5,
 ) -> int:
     """One transactional merge of `batch` into the manifest table —
     upsert_parquet's exact merge semantics (first- or last-writer-wins by
@@ -409,48 +435,62 @@ def upsert_manifest_txn(
          every untouched file, one atomic manifest swap.
 
     Readers through read_snapshot never observe the intermediate state.
-    Returns the committed epoch. The reader/writer pair is exercised
-    mid-commit in tests/test_sinks.py (partial files + stale tmp
-    manifests planted; a failed swap leaves the old snapshot intact)."""
+    Returns the committed epoch. On a multi-writer CommitConflict the
+    whole merge RE-RUNS from the winner's snapshot (optimistic
+    concurrency — the merge inputs must be the now-current table, not
+    the one read before losing the race), up to `max_retries` times.
+    The reader/writer pair is exercised mid-commit in
+    tests/test_sinks.py (partial files + stale tmp manifests planted; a
+    failed swap leaves the old snapshot intact); two-thread interleaved
+    upserts converge in tests/test_txn_concurrency.py."""
     assert mode in ("ignore", "replace")
     os.makedirs(path, exist_ok=True)
     order = order_col or key
-    man = read_manifest(path)
-    if man is not None:
-        # layout + stats config are fixed at table creation
-        n_buckets = man["n_buckets"]
-        stats_cols = man.get("stats_cols") or None
-    touched = {
-        int(r[0])
-        for r in batch.select(_bucket_expr(key, n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    }
-    new = batch.withColumn("__is_new", F.lit(1))
-    current = read_snapshot(spark, path, buckets=touched)
-    if current is None:
-        merged = _dedup_last(
-            new, key, order, prefer="new" if mode == "replace" else "old"
-        )
-    else:
-        # allowMissingColumns = additive schema evolution: a batch with a
-        # NEW column widens the table (old rows read back NULL via the
-        # manifest schema); a batch MISSING a table column writes NULL
-        # for it on the rows it updates.
-        merged = _dedup_last(
-            current.withColumn("__is_new", F.lit(0)).unionByName(
-                new, allowMissingColumns=True
-            ),
-            key,
-            order,
-            prefer="new" if mode == "replace" else "old",
-        )
-    carry = [
-        e for e in (man["files"] if man else []) if e["bucket"] not in touched
-    ]
-    return commit_snapshot(
-        merged, path, key, n_buckets, carry=carry, stats_cols=stats_cols
-    )
+    last: CommitConflict | None = None
+    for _attempt in range(max_retries):
+        man = read_manifest(path)
+        if man is not None:
+            # layout + stats config are fixed at table creation
+            n_buckets = man["n_buckets"]
+            stats_cols = man.get("stats_cols") or None
+        touched = {
+            int(r[0])
+            for r in batch.select(_bucket_expr(key, n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        }
+        new = batch.withColumn("__is_new", F.lit(1))
+        current = read_snapshot(spark, path, buckets=touched)
+        if current is None:
+            merged = _dedup_last(
+                new, key, order, prefer="new" if mode == "replace" else "old"
+            )
+        else:
+            # allowMissingColumns = additive schema evolution: a batch
+            # with a NEW column widens the table (old rows read back NULL
+            # via the manifest schema); a batch MISSING a table column
+            # writes NULL for it on the rows it updates.
+            merged = _dedup_last(
+                current.withColumn("__is_new", F.lit(0)).unionByName(
+                    new, allowMissingColumns=True
+                ),
+                key,
+                order,
+                prefer="new" if mode == "replace" else "old",
+            )
+        carry = [
+            e
+            for e in (man["files"] if man else [])
+            if e["bucket"] not in touched
+        ]
+        try:
+            return commit_snapshot(
+                merged, path, key, n_buckets, carry=carry,
+                stats_cols=stats_cols,
+            )
+        except CommitConflict as exc:
+            last = exc
+    raise last
 
 
 def append_snapshot(
@@ -469,16 +509,25 @@ def append_snapshot(
     ``read_snapshot(where=[("ts", "between", lo, hi)])`` opens only the
     commits that overlap the range: the append-log + zone-map shape that
     makes a 100 TB event archive range-queryable without partitioning by
-    every predicate column."""
+    every predicate column. Appends never conflict on DATA (no keys are
+    merged), so a lost commit race just re-carries the winner's file
+    list and retries."""
     os.makedirs(path, exist_ok=True)
-    man = read_manifest(path)
-    if man is not None:
-        n_buckets = man["n_buckets"]
-        stats_cols = man.get("stats_cols") or None
-    carry = list(man["files"]) if man else []
-    return commit_snapshot(
-        batch, path, key, n_buckets, carry=carry, stats_cols=stats_cols
-    )
+    last: CommitConflict | None = None
+    for _attempt in range(5):
+        man = read_manifest(path)
+        if man is not None:
+            n_buckets = man["n_buckets"]
+            stats_cols = man.get("stats_cols") or None
+        carry = list(man["files"]) if man else []
+        try:
+            return commit_snapshot(
+                batch, path, key, n_buckets, carry=carry,
+                stats_cols=stats_cols,
+            )
+        except CommitConflict as exc:
+            last = exc
+    raise last
 
 
 def compact_table(
@@ -493,7 +542,12 @@ def compact_table(
     upsert table needs: N micro-batch commits leave O(N) files per
     touched bucket; compaction folds them back to O(1). (The in-place
     twin for plain directories is sinks/compact.py; this one inherits
-    MVCC atomicity for free.)"""
+    MVCC atomicity for free.) Deliberately ONE-SHOT under contention: a
+    compaction that loses the commit race raises CommitConflict rather
+    than retrying — its folded layout describes a superseded snapshot,
+    and the right response is to re-run against the new state (or let
+    the next scheduled compaction handle it), not to republish stale
+    folding."""
     man = read_manifest(path)
     assert man is not None, f"no committed table at {path}"
     n_buckets = man["n_buckets"]
@@ -551,7 +605,8 @@ def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
                 continue
             # unreferenced parquet anywhere; writer bookkeeping (_SUCCESS,
             # .crc) only once its whole epoch left the retention window
-            if f.endswith(".parquet") or int(top[5:]) < keep_from:
+            # (dir format: snap-<epoch> pre-r8 or snap-<epoch>-<nonce>)
+            if f.endswith(".parquet") or int(top[5:].split("-")[0]) < keep_from:
                 os.remove(full)
                 deleted.append(rel)
         if not os.listdir(root) and root != path:

@@ -202,7 +202,7 @@ def test_txn_commit_carries_untouched_bucket_files_by_reference(spark, tmp_path)
     carried = [e for e in m2["files"] if e["bucket"] != touched]
     assert carried and all(e in m1["files"] for e in carried)
     assert all(
-        e["path"].startswith("snap-000002/")
+        e["path"].startswith("snap-000002")
         for e in m2["files"]
         if e["bucket"] == touched
     )
@@ -222,8 +222,11 @@ def test_txn_reader_immune_to_stray_and_torn_commit(spark, tmp_path, monkeypatch
     txn.upsert_manifest_txn(spark, _events(spark, B1), path, key="id", order_col="ts")
     before = _txn_rows(spark, path)
 
-    # (a) stray files a concurrent/naive writer might drop
+    # (a) stray files a concurrent/naive writer might drop (since r8 the
+    # real snap dirs are nonce-suffixed, so this whole directory is
+    # foreign — e.g. a losing OCC attempt's leftovers)
     stray_dir = _os.path.join(path, "snap-000001")
+    _os.makedirs(stray_dir, exist_ok=True)
     _events(spark, B2).write.mode("overwrite").parquet(
         _os.path.join(str(tmp_path), "stray")
     )
@@ -339,10 +342,14 @@ def test_txn_vacuum_reaps_outside_retention_only(spark, tmp_path):
 
 
 def test_txn_uncommitted_version_residue_is_not_readable(spark, tmp_path, monkeypatch):
-    """A crash BETWEEN the versioned-manifest copy and the atomic swap
+    """A crash BETWEEN the versioned-manifest claim and the atomic swap
     leaves a v<epoch+1> residue file; time travel must refuse it (the
-    current manifest is the source of truth), and the retry commit must
-    overwrite it cleanly."""
+    current manifest is the source of truth). Since r8's optimistic
+    concurrency, that residue BLOCKS the epoch number (an exclusive
+    create can't distinguish a dead writer from a live one mid-commit):
+    a blind retry raises CommitConflict, and the recovery path is
+    vacuum_table — run under operator-asserted writer quiescence — which
+    reaps above-pointer residue and re-opens the number."""
     import os as _os
 
     from kinesis3_spark.sinks import txn
@@ -365,6 +372,14 @@ def test_txn_uncommitted_version_residue_is_not_readable(spark, tmp_path, monkey
     assert _os.path.exists(_os.path.join(path, "_MANIFEST.v000002.json"))
     with pytest.raises(ValueError, match="not committed"):
         txn.read_snapshot(spark, path, epoch=2)
+    # the claimed-but-unswapped epoch number is blocked until vacuum
+    with pytest.raises(txn.CommitConflict):
+        txn.upsert_manifest_txn(
+            spark, _events(spark, B2), path, key="id", order_col="ts",
+            max_retries=1,
+        )
+    deleted = txn.vacuum_table(path, keep_epochs=99)
+    assert "_MANIFEST.v000002.json" in deleted
     # retry lands epoch 2 for real and the state is the full merge
     txn.upsert_manifest_txn(spark, _events(spark, B2), path, key="id", order_col="ts")
     assert txn.read_manifest(path)["epoch"] == 2
@@ -471,7 +486,7 @@ def test_txn_append_records_stats_and_skips_files(spark, tmp_path):
         r[0] for r in full.select(F.input_file_name()).distinct().collect()
     }
     assert pruned_files < full_files
-    assert all("snap-000002/" in f for f in pruned_files)
+    assert all("snap-000002" in f for f in pruned_files)
     got = sorted(
         r["id"] for r in pruned.where("val BETWEEN 100.0 AND 104.0").collect()
     )
@@ -486,7 +501,7 @@ def test_txn_append_records_stats_and_skips_files(spark, tmp_path):
     )
     m2 = read_manifest(path)
     assert m2["stats_cols"] == ["val", "ts"]
-    new = [e for e in m2["files"] if e["path"].startswith("snap-000004/")]
+    new = [e for e in m2["files"] if e["path"].startswith("snap-000004")]
     assert new and all("stats" in e for e in new)
 
 
@@ -535,7 +550,7 @@ def test_txn_compaction_recomputes_stats_for_folded_files(spark, tmp_path):
         )
     compact_table(spark, path, key="id")
     man = read_manifest(path)
-    assert all(e["path"].startswith("snap-000003/") for e in man["files"])
+    assert all(e["path"].startswith("snap-000003") for e in man["files"])
     assert all("stats" in e for e in man["files"])
     mn = min(e["stats"]["val"]["min"] for e in man["files"])
     mx = max(e["stats"]["val"]["max"] for e in man["files"])
