@@ -531,7 +531,12 @@ def append_snapshot(
 
 
 def compact_table(
-    spark: SparkSession, path: str, key: str
+    spark: SparkSession,
+    path: str,
+    key: str,
+    cluster_by: list[str] | None = None,
+    zorder: tuple[str, str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> int:
     """Small-file compaction as an ordinary commit: read the current
     snapshot, rewrite every bucket with one shuffle task per bucket (≈one
@@ -547,13 +552,58 @@ def compact_table(
     than retrying — its folded layout describes a superseded snapshot,
     and the right response is to re-run against the new state (or let
     the next scheduled compaction handle it), not to republish stale
-    folding."""
+    folding.
+
+    ``cluster_by`` / ``zorder`` make this the Delta ``OPTIMIZE ZORDER
+    BY`` maintenance op: rows are sorted inside each bucket by the named
+    column(s) (or by the Morton interleave of a 2-D pair, reusing
+    operators/zorder.z_value — codegen expressions, no UDF), and
+    ``max_records_per_file`` splits each bucket into several files, so
+    every emitted file covers a TIGHT range of the cluster column(s) and
+    the manifest's zone-map stats (harvested fresh by the commit) start
+    pruning predicates that ingest order never clustered — the
+    compose-point of the r8 skipping + lifecycle features: ingest
+    append-ordered by time, compact clustered by what you query."""
     man = read_manifest(path)
     assert man is not None, f"no committed table at {path}"
     n_buckets = man["n_buckets"]
     cur = read_snapshot(spark, path)
-    merged = cur.repartition(n_buckets, _bucket_expr(key, n_buckets))
-    return commit_snapshot(merged, path, key, n_buckets, carry=[])
+    b = _bucket_expr(key, n_buckets)
+    merged = cur.repartition(n_buckets, b)
+    sort_cols: list = []
+    if zorder is not None:
+        from ..operators.zorder import _bucket as _zb, z_value
+
+        cx, cy = zorder
+        lo_x, hi_x, lo_y, hi_y = cur.agg(
+            F.min(cx), F.max(cx), F.min(cy), F.max(cy)
+        ).first()
+        merged = merged.withColumn(
+            "__zv",
+            z_value(
+                _zb(F.coalesce(F.col(cx), F.lit(lo_x)), lo_x, hi_x, 16),
+                _zb(F.coalesce(F.col(cy), F.lit(lo_y)), lo_y, hi_y, 16),
+                16,
+            ),
+        )
+        sort_cols = ["__zv"]
+    elif cluster_by:
+        sort_cols = list(cluster_by)
+    if sort_cols:
+        # a task may hold rows of several hash buckets; leading with the
+        # bucket keeps each output dir's files on contiguous sorted runs
+        merged = merged.sortWithinPartitions(b, *sort_cols)
+        if zorder is not None:
+            merged = merged.drop("__zv")
+    if max_records_per_file is not None:
+        spark.conf.set(
+            "spark.sql.files.maxRecordsPerFile", str(max_records_per_file)
+        )
+    try:
+        return commit_snapshot(merged, path, key, n_buckets, carry=[])
+    finally:
+        if max_records_per_file is not None:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
 
 
 def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:

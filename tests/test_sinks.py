@@ -685,3 +685,107 @@ def test_txn_batch_missing_column_null_fills_updated_rows(spark, tmp_path):
     )
     snap = {r["id"]: r["score"] for r in read_snapshot(spark, path).collect()}
     assert snap["c"] is None and snap["a"] == 2.0
+
+
+def test_txn_clustered_compaction_tightens_zone_maps(spark, tmp_path):
+    """Ingest-ordered commits give every file the FULL value range (no
+    range probe prunes); compacting clustered by the probe column splits
+    each bucket into tight-range files, after which the same probe skips
+    most of them — and the table content is unchanged."""
+    from kinesis3_spark.sinks.txn import (
+        append_snapshot,
+        compact_table,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "log")
+    # 3 commits, each spanning the whole 0..299 range (interleaved)
+    for start in range(3):
+        rows = [
+            (f"k{v}", "2024-01-01 10:00:00", float(v), "2024-01-01")
+            for v in range(start, 300, 3)
+        ]
+        # coalesce(1): one writer task per commit, so each bucket gets ONE
+        # file spanning the commit's ENTIRE value range (the realistic
+        # arrival-ordered ingest; without it the 32-way local parallelism
+        # would accidentally pre-cluster tiny files)
+        append_snapshot(
+            _events(spark, rows).coalesce(1), path, key="id", n_buckets=2,
+            stats_cols=["val"],
+        )
+    probe = [("val", "between", 100.0, 119.0)]
+    man = read_manifest(path)
+    from kinesis3_spark.sinks.txn import _file_may_match
+
+    kept_before = [
+        e for e in man["files"]
+        if _file_may_match(e.get("stats"), *probe[0])
+    ]
+    assert len(kept_before) == len(man["files"])  # every file overlaps
+    before = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+
+    compact_table(
+        spark, path, key="id", cluster_by=["val"], max_records_per_file=40
+    )
+    man2 = read_manifest(path)
+    assert len(man2["files"]) >= 8  # max_records_per_file split buckets
+    kept_after = [
+        e for e in man2["files"]
+        if _file_may_match(e.get("stats"), *probe[0])
+    ]
+    assert len(kept_after) <= len(man2["files"]) // 2
+    after = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert after == before
+    got = sorted(
+        r["id"]
+        for r in read_snapshot(spark, path, where=probe)
+        .where("val BETWEEN 100.0 AND 119.0")
+        .collect()
+    )
+    assert got == [f"k{v}" for v in range(100, 120)]
+
+
+def test_txn_zorder_compaction_prunes_2d_box(spark, tmp_path):
+    """Z-ordered compaction gives each file a tight box in BOTH
+    dimensions: a 2-D box probe (val band AND score band) prunes files
+    the 1-D ingest layout kept."""
+    from kinesis3_spark.sinks.txn import (
+        _file_may_match,
+        append_snapshot,
+        compact_table,
+        read_manifest,
+        read_snapshot,
+    )
+    from pyspark.sql import functions as SF
+
+    path = str(tmp_path / "log")
+    rows = [
+        (f"k{v}", "2024-01-01 10:00:00", float(v % 100), "2024-01-01")
+        for v in range(400)
+    ]
+    df = _events(spark, rows).withColumn(
+        "score", (SF.crc32(SF.col("id")) % 100).cast("double")
+    )
+    append_snapshot(df, path, key="id", n_buckets=2, stats_cols=["val", "score"])
+    compact_table(
+        spark, path, key="id", zorder=("val", "score"),
+        max_records_per_file=50,
+    )
+    man = read_manifest(path)
+    box = [("val", "between", 0.0, 24.0), ("score", "between", 0.0, 24.0)]
+    kept = [
+        e for e in man["files"]
+        if all(_file_may_match(e.get("stats"), *p) for p in box)
+    ]
+    assert 0 < len(kept) < len(man["files"])
+    # correctness: pruned + exact filter == full + exact filter
+    pruned = (
+        read_snapshot(spark, path, where=box)
+        .where("val <= 24.0 AND score <= 24.0").count()
+    )
+    full = (
+        read_snapshot(spark, path)
+        .where("val <= 24.0 AND score <= 24.0").count()
+    )
+    assert pruned == full > 0
