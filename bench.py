@@ -104,6 +104,9 @@ HEADLINE = [
     "txn_stats_skipping_read",
     "txn_incremental_mv_refresh",
     "txn_schema_evolution_read",
+    "txn_deletion_vector_read",
+    "stream_txn_exactly_once",
+    "seq_market_basket_pairs",
 ]
 
 

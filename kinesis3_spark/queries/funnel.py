@@ -513,3 +513,70 @@ def seg_rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("recency", "frequency", "monetary")
     )
+
+
+@query(
+    "seq_market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n_baskets AS (SELECT count(DISTINCT okey) AS nb FROM items)
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           count(*)::BIGINT AS n_orders,
+           (count(*) * 1000000 // (SELECT nb FROM n_baskets))::BIGINT
+             AS support_ppm
+    FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand
+    GROUP BY brand_a, brand_b
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 15
+    """,
+)
+def seq_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the counting core of FP-growth /
+    association rules): top co-occurring part-brand pairs within an
+    order, with support in exact integer parts-per-million (integer DIV
+    on both engines — float-ratio rounding splits engines at half-ulp
+    boundaries, TESTING.md rule 3). Items
+    normalize to (basket, item) DISTINCT rows; pairs come from a
+    self-equi-join ON THE BASKET KEY with `brand_a < brand_b` so each
+    unordered pair counts once — never an all-pairs cross join.
+
+    Scale: the self-join is hash-partitioned by basket key, so the
+    quadratic blowup is PER BASKET: cost ~ sum(items_per_basket²). With
+    a bounded item vocabulary (25 brands) a basket contributes ≤ 300
+    pairs; for open vocabularies the standard guard is capping items per
+    basket before the join (top-N by frequency — same cap discipline as
+    dedup_minhash_lsh_capped) and filtering items below min-support
+    FIRST (the a-priori property: an infrequent item can't be in a
+    frequent pair). The basket count for support is a scalar broadcast,
+    and the final top-k is a TakeOrderedAndProject, never a full sort."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nb = items.select("okey").distinct().count()  # scalar driver metadata
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn(
+            "support_ppm",
+            F.expr(f"CAST(n_orders * 1000000L DIV {nb} AS BIGINT)"),
+        )
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(15)
+    )

@@ -1257,3 +1257,169 @@ def upsert_manifest_txn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_DV_CACHE: dict[str, str] = {}
+
+
+def _txn_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """Events landed as two append commits, then two row-level deletes as
+    METADATA-ONLY commits (sinks/txn.delete_where): every click, and every
+    day-7 row — overlapping predicates, so the second sidecar records only
+    the day-7 rows the first didn't already delete."""
+    path = _DV_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from ..sinks.txn import append_snapshot, delete_where
+
+        table = tmpdirs.mkdtemp(prefix="k3s_dv_txn_") + "/events_dv"
+        ev = load_table(spark, sf_dir, "events")
+        append_snapshot(
+            ev.where(F.dayofmonth("ts") < 16), table, key="user_id",
+            n_buckets=4,
+        )
+        append_snapshot(
+            ev.where(F.dayofmonth("ts") >= 16), table, key="user_id",
+            n_buckets=4,
+        )
+        delete_where(spark, table, "event_type = 'click'")
+        delete_where(spark, table, "dayofmonth(ts) = 7")
+        _DV_CACHE[sf_dir] = path = table
+    return path
+
+
+@query(
+    "txn_deletion_vector_read",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS value_cents_sum
+    FROM events
+    WHERE event_type <> 'click' AND day(ts) <> 7
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def txn_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via deletion vectors (Delta DVs on the manifest
+    txn table): two delete commits record matching ``(file, row_index)``
+    positions in parquet sidecars and republish the manifest — the DATA
+    FILES ARE NOT REWRITTEN (pinned byte-identical in tests/test_txn_dv.py),
+    yet every subsequent scan anti-joins the positions out. The aggregate
+    here runs over the post-delete snapshot and must equal the oracle's
+    NOT(predicate) aggregate over raw events: a position recorded against
+    the wrong file, a row-index misalignment, or a scan that misses a
+    sidecar all break value parity (n_events catches lost/extra rows, the
+    cents sum catches WHICH rows).
+
+    Scale: this is the GDPR-erasure / bad-batch-retraction op at 100 TB —
+    deleting 0.01% of rows costs one distributed position scan plus a
+    positions-sized sidecar write instead of rewriting every touched
+    file; the read-side anti-join broadcasts the tiny DV side (AQE).
+    Time travel still sees pre-delete epochs; compaction physically
+    purges (both pinned in tests)."""
+    from ..sinks.txn import read_snapshot
+
+    t = read_snapshot(spark, _txn_dv_table(spark, sf_dir))
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("value_cents_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_XO_CACHE: dict[str, str] = {}
+
+
+def _txn_exactly_once_table(spark: SparkSession, sf_dir: str) -> str:
+    """Append-mode ingest of events through foreachBatch in three
+    micro-batches (sinks/txn.append_manifest_stream), then a simulated
+    checkpoint-recovery REPLAY of the final batch: append_snapshot is
+    re-invoked with the same (app_id, batch_id) and a non-empty payload.
+    The manifest's app watermark must skip it — if the fence fails, the
+    table double-counts and the registered query's parity breaks."""
+    path = _XO_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from ..sinks.txn import (
+            append_manifest_stream,
+            append_snapshot,
+            read_manifest,
+        )
+
+        base = tmpdirs.mkdtemp(prefix="k3s_xo_txn_")
+        landing, table = base + "/landing", base + "/events_log"
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(3).write.mode("overwrite").parquet(landing)
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = append_manifest_stream(
+            sdf,
+            table,
+            checkpoint=base + "/ck",
+            app_id="events-ingest",
+            key="user_id",
+            n_buckets=4,
+        )
+        await_or_raise(q)
+        man = read_manifest(table)
+        last_v = man["apps"]["events-ingest"]
+        # the replay: same app, same batch version, real rows
+        append_snapshot(
+            ev.limit(500), table, key="user_id",
+            app_id="events-ingest", app_version=last_v,
+        )
+        _XO_CACHE[sf_dir] = path = table
+    return path
+
+
+@query(
+    "stream_txn_exactly_once",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS value_cents_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming appends into the txn table (Delta's
+    txnAppId/txnVersion protocol on the manifest layout): Structured
+    Streaming's checkpoint replays a failed micro-batch with identical
+    contents (at-least-once); the manifest's per-app version watermark
+    makes the replayed append_snapshot a NO-OP, so the composition is
+    exactly-once. The build replays the final batch with real rows after
+    the drain — if the fence fails the table holds ~17% extra rows and
+    both parity columns break against the raw-events oracle. A blind
+    append is the mode that genuinely needs this: upsert merges are
+    value-idempotent under replay, doubled appends are data corruption.
+
+    Scale: the fence is one manifest-field comparison at commit (no data
+    read); each micro-batch remains one atomic epoch. This is the ingest
+    contract a 100 TB event archive runs 24/7 — crash-restart safe
+    without a dedup pass over the table."""
+    from ..sinks.txn import read_snapshot
+
+    t = read_snapshot(spark, _txn_exactly_once_table(spark, sf_dir))
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("value_cents_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -26,6 +26,13 @@ the poor-man's transaction log an immutable-file layout affords):
     merge costs O(touched buckets), not O(table) — the Delta MERGE
     file-rewrite shape, expressed with a JSON manifest.
 
+Row-level deletes ride DELETION VECTORS (delete_where): a delete is a
+metadata-only commit referencing position sidecars, never a data-file
+rewrite; scans anti-join the positions out. Streaming ingest is
+EXACTLY-ONCE: the manifest's per-app version watermark (Delta's
+txnAppId/txnVersion) turns foreachBatch's at-least-once replays into
+no-ops for both append and upsert commits.
+
 Multi-writer optimistic concurrency (round 8): the commit point is the
 EXCLUSIVE CREATE (O_CREAT|O_EXCL) of the epoch's versioned manifest —
 exactly one writer can claim ``_MANIFEST.v<epoch>.json``, so two writers
@@ -254,6 +261,7 @@ def read_snapshot(
     buckets: set[int] | None = None,
     epoch: int | None = None,
     where: list[tuple] | None = None,
+    _with_pos: bool = False,
 ) -> DataFrame | None:
     """Scan the committed snapshot STRICTLY through the manifest's file
     list (never a directory listing — stray/partial files from a torn or
@@ -269,8 +277,17 @@ def read_snapshot(
     what turns a point-in-time range query from a full-table scan into a
     handful of files). Skipping is an I/O optimization ONLY — callers
     still apply the exact filter; files without stats are conservatively
-    scanned. Returns None when the table (or the selected file set) has
-    no committed files."""
+    scanned.
+
+    DELETION VECTORS: a file entry carrying ``"dv"`` sidecar references
+    has row-level deletes recorded against it (delete_where); the scan
+    anti-joins its ``(_metadata.file_path, _metadata.row_index)`` pairs
+    against the referenced sidecars so deleted rows never surface —
+    Delta's DV read path. The DV side is positions-only metadata (tiny
+    next to the data) so AQE plans it as a broadcast anti-join; files
+    with no deletes pay nothing (the fast path below is untouched when
+    no selected entry has a dv). Returns None when the table (or the
+    selected file set) has no committed files."""
     man = read_manifest(path, epoch)
     if man is None:
         return None
@@ -297,7 +314,27 @@ def read_snapshot(
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(man["schema"]))
-    return reader.parquet(*(os.path.join(path, e["path"]) for e in entries))
+    df = reader.parquet(*(os.path.join(path, e["path"]) for e in entries))
+    dv_refs = sorted({r for e in entries for r in e.get("dv", [])})
+    if not dv_refs and not _with_pos:
+        return df
+    cols = df.columns
+    # rel path = the trailing snap-dir/bucket-dir/file triple of the scan
+    # URI — exactly the manifest's entry["path"], resolvable per row
+    # without knowing the table root's URI form.
+    df = df.select(
+        "*",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"([^/]+/[^/]+/[^/]+)$", 1
+        ).alias("__rel"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    if dv_refs:
+        dv = spark.read.parquet(
+            *(os.path.join(path, r) for r in dv_refs)
+        ).select(F.col("rel").alias("__rel"), F.col("pos").alias("__pos"))
+        df = df.join(dv, ["__rel", "__pos"], "left_anti")
+    return df if _with_pos else df.select(*cols)
 
 
 def commit_snapshot(
@@ -307,6 +344,8 @@ def commit_snapshot(
     n_buckets: int,
     carry: list[dict] | None = None,
     stats_cols: list[str] | None = None,
+    app_id: str | None = None,
+    app_version: int | None = None,
 ) -> int:
     """Publish `merged` as the rewritten-buckets portion of the next
     snapshot: files land in ``snap-<epoch>-<nonce>/__bucket=<b>/``, then
@@ -319,7 +358,14 @@ def commit_snapshot(
     CommitConflict with nothing published. The bucket of each new file
     is parsed from the layout this function itself wrote, so manifest
     metadata can't drift from the physical files. fsync on the manifest
-    + directory makes the rename durable, not merely atomic."""
+    + directory makes the rename durable, not merely atomic.
+
+    ``app_id``/``app_version`` record a writer-application watermark in
+    the manifest (Delta's ``txnAppId``/``txnVersion``): the committed
+    manifest remembers the highest version each named application has
+    applied, which is what lets a replayed streaming micro-batch be
+    recognized and skipped (see append_snapshot) — the exactly-once half
+    of the foreachBatch contract."""
     import uuid
 
     man = read_manifest(path)
@@ -360,16 +406,31 @@ def commit_snapshot(
     files = sorted(
         list(carry or []) + new_entries, key=lambda e: (e["bucket"], e["path"])
     )
+    apps = dict(man.get("apps") or {}) if man else {}
+    if app_id is not None:
+        apps[app_id] = app_version
     payload = json.dumps(
         {
             "epoch": epoch,
             "n_buckets": n_buckets,
             "stats_cols": stats_cols,
             "schema": _evolved_schema(man, merged.drop(_BUCKET_COL)),
+            "apps": apps,
             "files": files,
         },
         indent=1,
     )
+    _publish_manifest(path, epoch, payload)
+    return epoch
+
+
+def _publish_manifest(path: str, epoch: int, payload: str) -> None:
+    """The commit protocol shared by every epoch publisher (data commits
+    and metadata-only commits like row deletes): claim the epoch by
+    EXCLUSIVE CREATE of the versioned manifest, fsync it (time-travel
+    history first), re-check the current pointer, then atomically swap
+    ``_MANIFEST.json``. Raises CommitConflict with nothing visible when
+    another writer won the epoch."""
     # COMMIT POINT: exclusive create of the versioned manifest claims the
     # epoch — exactly one concurrent writer wins; the loser's data files
     # stay unreferenced (vacuum's problem) and it retries from the
@@ -409,7 +470,6 @@ def commit_snapshot(
         os.fsync(dfd)
     finally:
         os.close(dfd)
-    return epoch
 
 
 def upsert_manifest_txn(
@@ -422,6 +482,8 @@ def upsert_manifest_txn(
     n_buckets: int = 8,
     stats_cols: list[str] | None = None,
     max_retries: int = 5,
+    app_id: str | None = None,
+    app_version: int | None = None,
 ) -> int:
     """One transactional merge of `batch` into the manifest table —
     upsert_parquet's exact merge semantics (first- or last-writer-wins by
@@ -449,6 +511,12 @@ def upsert_manifest_txn(
     last: CommitConflict | None = None
     for _attempt in range(max_retries):
         man = read_manifest(path)
+        if (
+            app_id is not None
+            and man is not None
+            and (man.get("apps") or {}).get(app_id, -1) >= app_version
+        ):
+            return man["epoch"]  # replayed batch: already merged
         if man is not None:
             # layout + stats config are fixed at table creation
             n_buckets = man["n_buckets"]
@@ -486,7 +554,8 @@ def upsert_manifest_txn(
         try:
             return commit_snapshot(
                 merged, path, key, n_buckets, carry=carry,
-                stats_cols=stats_cols,
+                stats_cols=stats_cols, app_id=app_id,
+                app_version=app_version,
             )
         except CommitConflict as exc:
             last = exc
@@ -499,6 +568,8 @@ def append_snapshot(
     key: str = "id",
     n_buckets: int = 8,
     stats_cols: list[str] | None = None,
+    app_id: str | None = None,
+    app_version: int | None = None,
 ) -> int:
     """Blind-append commit: the batch's files PLUS every current file
     carried by reference — zero read amplification (no merge, no key
@@ -511,11 +582,26 @@ def append_snapshot(
     makes a 100 TB event archive range-queryable without partitioning by
     every predicate column. Appends never conflict on DATA (no keys are
     merged), so a lost commit race just re-carries the winner's file
-    list and retries."""
+    list and retries.
+
+    EXACTLY-ONCE for replayed micro-batches: pass ``app_id`` +
+    ``app_version`` (foreachBatch's batch_id). A blind append is the one
+    commit mode a replay genuinely corrupts — the same rows land twice —
+    so the manifest records each application's high-water version
+    (Delta's txnAppId/txnVersion) and a commit at or below it is SKIPPED,
+    returning the current epoch unchanged. The check re-runs inside the
+    retry loop, so a writer that loses the OCC race to its own earlier
+    replay (or a concurrent duplicate task) converges to the skip."""
     os.makedirs(path, exist_ok=True)
     last: CommitConflict | None = None
     for _attempt in range(5):
         man = read_manifest(path)
+        if (
+            app_id is not None
+            and man is not None
+            and (man.get("apps") or {}).get(app_id, -1) >= app_version
+        ):
+            return man["epoch"]  # replayed batch: already applied
         if man is not None:
             n_buckets = man["n_buckets"]
             stats_cols = man.get("stats_cols") or None
@@ -523,10 +609,83 @@ def append_snapshot(
         try:
             return commit_snapshot(
                 batch, path, key, n_buckets, carry=carry,
-                stats_cols=stats_cols,
+                stats_cols=stats_cols, app_id=app_id,
+                app_version=app_version,
             )
         except CommitConflict as exc:
             last = exc
+    raise last
+
+
+def delete_where(
+    spark: SparkSession, path: str, condition, max_retries: int = 5
+) -> tuple[int, int]:
+    """Row-level DELETE as a METADATA-ONLY commit (Delta deletion
+    vectors): rows of the current snapshot matching ``condition`` (a SQL
+    boolean expression string or Column) are recorded as
+    ``(file, row_index)`` positions in a parquet sidecar; the next
+    manifest epoch references the SAME immutable data files plus, on each
+    affected entry, the sidecar holding its deleted positions. Not a byte
+    of table data is rewritten — at 100 TB deleting one user's rows
+    (GDPR erasure, bad-batch retraction) costs one distributed position
+    scan plus a positions-sized write, not a rewrite of every touched
+    file. read_snapshot anti-joins the positions back out on every
+    scan; time travel to a pre-delete epoch still sees the rows (erasure
+    of HISTORY additionally needs vacuum of the old epochs, same as
+    Delta); compaction rewrites buckets from the DV-filtered scan, so it
+    physically purges deleted rows and drops the dv references.
+
+    Matching is computed on the DV-APPLIED snapshot, so re-deleting an
+    already-deleted row never bloats sidecars. Positions are harvested
+    distributed (never collected); only the DISTINCT AFFECTED FILE list
+    (manifest-scale metadata) comes to the driver, to know which entries
+    get the dv reference. Publishes through the same OCC epoch claim as
+    data commits; on conflict the whole delete recomputes against the
+    winner's snapshot. Returns (epoch, n_deleted); a no-match delete
+    commits nothing and returns the current epoch."""
+    import uuid
+
+    last: CommitConflict | None = None
+    for _attempt in range(max_retries):
+        man = read_manifest(path)
+        assert man is not None, f"no committed table at {path}"
+        live = read_snapshot(spark, path, _with_pos=True)
+        hits = live.where(condition).select(
+            F.col("__rel").alias("rel"), F.col("__pos").alias("pos")
+        )
+        epoch = man["epoch"] + 1
+        dv_rel = f"dv-{epoch:06d}-{uuid.uuid4().hex[:8]}"
+        dv_dir = os.path.join(path, dv_rel)
+        hits.write.mode("overwrite").parquet(dv_dir)
+        side = spark.read.parquet(dv_dir)
+        # driver metadata: affected files (≤ |manifest|) + a count
+        affected = {r[0] for r in side.select("rel").distinct().collect()}
+        n_deleted = side.count()
+        if n_deleted == 0:
+            return man["epoch"], 0
+        dv_files = []
+        for root, _dirs, fs in os.walk(dv_dir):
+            for f in sorted(fs):
+                if f.endswith(".parquet") and not f.startswith((".", "_")):
+                    dv_files.append(
+                        os.path.relpath(os.path.join(root, f), path)
+                    )
+        files = []
+        for e in man["files"]:
+            e = dict(e)
+            if e["path"] in affected:
+                e["dv"] = list(e.get("dv", [])) + dv_files
+            files.append(e)
+        payload = json.dumps(
+            {**{k: man[k] for k in man if k not in ("epoch", "files")},
+             "epoch": epoch, "files": files},
+            indent=1,
+        )
+        try:
+            _publish_manifest(path, epoch, payload)
+            return epoch, n_deleted
+        except CommitConflict as exc:
+            last = exc  # sidecar of the losing attempt is vacuum garbage
     raise last
 
 
@@ -628,6 +787,8 @@ def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
             continue
         if m:
             referenced.update(x["path"] for x in m["files"])
+            for x in m["files"]:
+                referenced.update(x.get("dv", []))
     deleted = []
     for root, _dirs, fs in os.walk(path, topdown=False):
         for f in fs:
@@ -649,14 +810,15 @@ def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
                     deleted.append(rel)
                 continue
             top = rel.split(os.sep, 1)[0]
-            if not top.startswith("snap-"):
+            if not top.startswith(("snap-", "dv-")):
                 continue
             if rel in referenced:
                 continue
             # unreferenced parquet anywhere; writer bookkeeping (_SUCCESS,
             # .crc) only once its whole epoch left the retention window
-            # (dir format: snap-<epoch> pre-r8 or snap-<epoch>-<nonce>)
-            if f.endswith(".parquet") or int(top[5:].split("-")[0]) < keep_from:
+            # (dir formats: snap-<epoch> pre-r8, snap-<epoch>-<nonce>,
+            # dv-<epoch>-<nonce> deletion-vector sidecars)
+            if f.endswith(".parquet") or int(top.split("-")[1]) < keep_from:
                 os.remove(full)
                 deleted.append(rel)
         if not os.listdir(root) and root != path:
@@ -816,10 +978,15 @@ def upsert_manifest_stream(
     n_buckets: int = 8,
     trigger: dict | None = None,
     stats_cols: list[str] | None = None,
+    app_id: str | None = None,
 ):
     """The foreachBatch wiring (run.upsert_stream's transactional twin):
     every micro-batch is one atomic manifest commit, so a reader polling
-    the table between batches always sees a consistent merge prefix."""
+    the table between batches always sees a consistent merge prefix.
+    With ``app_id`` set, the batch_id rides into the manifest's app
+    watermark so a checkpoint-recovery REPLAY of a committed batch is
+    skipped (exactly-once; without it a replayed upsert is still
+    value-idempotent for replace-mode LWW, just a wasted commit)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         upsert_manifest_txn(
@@ -831,12 +998,55 @@ def upsert_manifest_stream(
             mode=mode,
             n_buckets=n_buckets,
             stats_cols=stats_cols,
+            app_id=app_id,
+            app_version=batch_id if app_id is not None else None,
         )
 
     return (
         sdf.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def append_manifest_stream(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    key: str = "id",
+    n_buckets: int = 8,
+    trigger: dict | None = None,
+    stats_cols: list[str] | None = None,
+):
+    """foreachBatch append-mode ingest with the EXACTLY-ONCE contract a
+    blind append needs: Structured Streaming's checkpoint guarantees each
+    batch_id's contents are replayed identically after a failure
+    (at-least-once), and the manifest's (app_id, batch_id) watermark
+    turns the replay into a no-op (append_snapshot skips versions at or
+    below it) — together, exactly-once appends into the txn table, the
+    Delta streaming-sink idempotence protocol (txnAppId/txnVersion) on
+    the manifest layout. Each micro-batch is one atomic epoch; a reader
+    polling between batches sees a consistent ingest prefix, never a
+    torn batch or a doubled one."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        append_snapshot(
+            batch_df,
+            path,
+            key=key,
+            n_buckets=n_buckets,
+            stats_cols=stats_cols,
+            app_id=app_id,
+            app_version=batch_id,
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -1,0 +1,180 @@
+"""Deletion vectors + exactly-once appends on the manifest txn table.
+
+Row-level delete must be a METADATA-ONLY commit (sinks/txn.delete_where):
+the data-file set is bit-identical across the delete epoch, deleted rows
+vanish from every scan (including bucket-pruned and zone-map-skipped
+reads), time travel to a pre-delete epoch still sees them, compaction
+physically purges them, and vacuum reaps sidecars that leave retention.
+Exactly-once: a replayed (app_id, batch_id) append is skipped via the
+manifest's app watermark — the Delta txnAppId/txnVersion protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from kinesis3_spark.sinks.txn import (
+    append_manifest_stream,
+    append_snapshot,
+    compact_table,
+    delete_where,
+    read_manifest,
+    read_snapshot,
+    table_changes,
+    upsert_manifest_txn,
+    vacuum_table,
+)
+from kinesis3_spark.streaming.run import await_or_raise
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id string, grp string, val bigint")
+
+
+def _seed(spark, path, n=40, n_buckets=4):
+    rows = [(f"k{i:03d}", "even" if i % 2 == 0 else "odd", i) for i in range(n)]
+    append_snapshot(_mk(spark, rows), path, key="id", n_buckets=n_buckets)
+    return rows
+
+
+def test_delete_is_metadata_only_and_scans_hide_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    before = sorted(e["path"] for e in read_manifest(path)["files"])
+    epoch, n = delete_where(spark, path, "grp = 'odd'")
+    assert epoch == 2 and n == 20
+    man = read_manifest(path)
+    # identical data files, no rewrite — only dv refs + epoch changed
+    assert sorted(e["path"] for e in man["files"]) == before
+    assert any(e.get("dv") for e in man["files"])
+    t = read_snapshot(spark, path)
+    assert t.where("grp = 'odd'").count() == 0
+    assert t.count() == 20
+    # bucket-pruned scan applies the vector too
+    some = read_snapshot(spark, path, buckets={0, 1})
+    if some is not None:
+        assert some.where("grp = 'odd'").count() == 0
+
+
+def test_time_travel_sees_pre_delete_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_where(spark, path, "val < 10")
+    assert read_snapshot(spark, path).count() == 30
+    assert read_snapshot(spark, path, epoch=1).count() == 40
+    ch = table_changes(spark, path, 1, 2, key="id")
+    got = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert got == {(f"k{i:03d}", "delete") for i in range(10)}
+
+
+def test_redelete_is_noop_and_no_match_commits_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_where(spark, path, "grp = 'odd'")
+    ep, n = delete_where(spark, path, "grp = 'odd'")
+    assert (ep, n) == (2, 0)  # epoch unchanged: nothing new matched
+    ep, n = delete_where(spark, path, "val > 10000")
+    assert (ep, n) == (2, 0)
+
+
+def test_overlapping_deletes_union(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_where(spark, path, "val < 15")        # 15 rows
+    ep, n = delete_where(spark, path, "val < 25")  # 10 NEW rows only
+    assert n == 10
+    t = read_snapshot(spark, path)
+    assert t.agg(F.min("val")).first()[0] == 25
+    assert t.count() == 15
+
+
+def test_upsert_after_delete_does_not_resurrect(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_where(spark, path, "id = 'k001'")
+    # merge touching OTHER keys: k001 must stay gone even though its
+    # bucket may be rewritten from the dv-applied scan
+    upsert_manifest_txn(
+        spark,
+        _mk(spark, [(f"k{i:03d}", "new", 900 + i) for i in range(100, 105)]),
+        path, key="id", order_col="val",
+    )
+    t = read_snapshot(spark, path)
+    assert t.where("id = 'k001'").count() == 0
+    assert t.where("grp = 'new'").count() == 5
+
+
+def test_compaction_purges_vectors_physically(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_where(spark, path, "grp = 'odd'")
+    compact_table(spark, path, key="id")
+    man = read_manifest(path)
+    assert not any(e.get("dv") for e in man["files"])
+    t = read_snapshot(spark, path)
+    assert t.count() == 20 and t.where("grp='odd'").count() == 0
+    # the compacted epoch's parquet no longer CONTAINS the rows (purged,
+    # not merely filtered): read the files raw, bypassing the manifest
+    raw = spark.read.parquet(
+        *(os.path.join(path, e["path"]) for e in man["files"])
+    )
+    assert raw.where("grp = 'odd'").count() == 0
+
+
+def test_vacuum_keeps_referenced_sidecars_reaps_expired(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_where(spark, path, "grp = 'odd'")  # epoch 2 + dv sidecar
+    # retention covers epoch 2: its sidecar must survive vacuum
+    deleted = vacuum_table(path, keep_epochs=1)
+    assert not any(d.startswith("dv-") for d in deleted)
+    assert read_snapshot(spark, path).count() == 20
+    compact_table(spark, path, key="id")  # epoch 3, dv-free
+    deleted = vacuum_table(path, keep_epochs=1)
+    assert any(d.startswith("dv-") for d in deleted)
+    assert read_snapshot(spark, path).count() == 20
+
+
+def test_append_replay_skipped_by_app_watermark(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rows = [(f"k{i:03d}", "g", i) for i in range(10)]
+    e1 = append_snapshot(_mk(spark, rows), path, key="id",
+                         app_id="ing", app_version=0)
+    e2 = append_snapshot(_mk(spark, rows), path, key="id",
+                         app_id="ing", app_version=0)  # replay
+    assert (e1, e2) == (1, 1)
+    assert read_snapshot(spark, path).count() == 10
+    # a DIFFERENT app is not fenced by this watermark
+    append_snapshot(_mk(spark, rows[:3]), path, key="id",
+                    app_id="other", app_version=0)
+    assert read_snapshot(spark, path).count() == 13
+    man = read_manifest(path)
+    assert man["apps"] == {"ing": 0, "other": 0}
+
+
+def test_stream_append_exactly_once_through_foreachbatch(spark, tmp_path):
+    path, landing = str(tmp_path / "t"), str(tmp_path / "landing")
+    rows = [(f"k{i:03d}", "g", i) for i in range(30)]
+    src = _mk(spark, rows)
+    src.repartition(3).write.parquet(landing)
+    sdf = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+    q = append_manifest_stream(
+        sdf, path, checkpoint=str(tmp_path / "ck"), app_id="stream-ing",
+        key="id", n_buckets=2,
+    )
+    await_or_raise(q)
+    assert read_snapshot(spark, path).count() == 30
+    # simulate a post-checkpoint-recovery replay of the LAST batch: the
+    # runtime re-invokes foreachBatch with the same batch_id and payload
+    man = read_manifest(path)
+    last_v = man["apps"]["stream-ing"]
+    e = append_snapshot(_mk(spark, rows[:7]), path, key="id",
+                        app_id="stream-ing", app_version=last_v)
+    assert e == man["epoch"]
+    assert read_snapshot(spark, path).count() == 30
