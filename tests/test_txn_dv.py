@@ -178,3 +178,54 @@ def test_stream_append_exactly_once_through_foreachbatch(spark, tmp_path):
                         app_id="stream-ing", app_version=last_v)
     assert e == man["epoch"]
     assert read_snapshot(spark, path).count() == 30
+
+
+def test_delete_recomputes_after_losing_commit_race(spark, tmp_path, monkeypatch):
+    """OCC interplay: a delete that loses the epoch race must RECOMPUTE its
+    positions against the winner's snapshot — its first attempt's sidecar
+    (computed pre-race) may miss rows the winner just merged in. We inject
+    a competing upsert between the delete's position scan and its publish:
+    the retried delete must also remove the newly-merged matching row."""
+    from kinesis3_spark.sinks import txn as txn_mod
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # epoch 1: grps even/odd
+    real_publish = txn_mod._publish_manifest
+    fired = {"n": 0}
+
+    def racing_publish(p, epoch, payload):
+        if fired["n"] == 0 and '"dv"' in payload:
+            fired["n"] += 1
+            # the competing writer lands FIRST: a new 'odd' row the
+            # delete's in-flight sidecar has never seen
+            upsert_manifest_txn(
+                spark, _mk(spark, [("k999", "odd", 999)]), path,
+                key="id", order_col="val",
+            )
+        return real_publish(p, epoch, payload)
+
+    monkeypatch.setattr(txn_mod, "_publish_manifest", racing_publish)
+    epoch, n = txn_mod.delete_where(spark, path, "grp = 'odd'")
+    assert fired["n"] == 1
+    assert n == 21  # 20 seeded odd rows + the raced-in k999
+    t = read_snapshot(spark, path)
+    assert t.where("grp = 'odd'").count() == 0
+    assert t.count() == 20
+
+
+def test_dv_composes_with_zone_map_skipping(spark, tmp_path):
+    """Deletion vectors and manifest min/max skipping apply on the SAME
+    read: a range probe that prunes files must still anti-join the
+    surviving files' deleted positions out."""
+    from kinesis3_spark.sinks.txn import delete_where
+
+    path = str(tmp_path / "t")
+    lo = [(f"a{i:02d}", "lo", i) for i in range(20)]
+    hi = [(f"b{i:02d}", "hi", 1000 + i) for i in range(20)]
+    append_snapshot(_mk(spark, lo), path, key="id", n_buckets=2,
+                    stats_cols=["val"])
+    append_snapshot(_mk(spark, hi), path, key="id", n_buckets=2)
+    delete_where(spark, path, "val >= 1010")
+    t = read_snapshot(spark, path, where=[("val", ">=", 1000)])
+    got = t.where("val >= 1000").count()
+    assert got == 10  # hi rows minus the 10 deleted, lo files pruned
