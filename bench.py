@@ -107,6 +107,7 @@ HEADLINE = [
     "txn_deletion_vector_read",
     "stream_txn_exactly_once",
     "seq_market_basket_pairs",
+    "source_txntable_datasource",
 ]
 
 

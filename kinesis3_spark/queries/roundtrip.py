@@ -1423,3 +1423,48 @@ def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "source_txntable_datasource",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS value_cents_sum
+    FROM events
+    WHERE event_type <> 'click' AND day(ts) <> 7
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def source_txntable_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txn table consumed through ``spark.read.format("txntable")`` —
+    a Spark 4 Python Data Source (sources/txn_datasource.py) over the
+    manifest layout, sharing the DV-table build with
+    `txn_deletion_vector_read` so THIS row certifies the alternate scan
+    engine on the same truth: planning diffs manifests on the driver,
+    each file is one InputPartition read executor-side with pyarrow and
+    yielded as Arrow record batches (vectorized, never through the
+    driver), deletion-vector positions dropped per partition, evolved
+    columns NULL-backfilled before the schema cast. Parity vs the same
+    NOT(predicate) oracle as the read_snapshot row means the two scan
+    paths agree row-for-row. The STREAMING half (incremental manifest-
+    epoch offsets, Delta's append-only contract with ignoreChanges /
+    ignoreDeletes) is pinned in tests/test_txn_datasource.py — a
+    checkpointed drain is stateful across calls, so it stays pytest-side
+    like the other streaming-infra rows."""
+    from ..sources.txn_datasource import TxnTableDataSource
+
+    spark.dataSource.register(TxnTableDataSource)
+    t = spark.read.format("txntable").load(_txn_dv_table(spark, sf_dir))
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("value_cents_sum"),
+        )
+        .orderBy("event_type")
+    )

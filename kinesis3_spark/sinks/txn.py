@@ -220,16 +220,16 @@ def read_manifest(path: str, epoch: int | None = None) -> dict | None:
 
 def _evolved_schema(man: dict | None, written) -> dict:
     """The next manifest's table schema: the previous epoch's fields (in
-    order) plus any NEW fields the written frame adds, appended. Only
-    ADDITIVE evolution is supported — a same-name field whose type
-    changed raises (type rewrites need a full-table migration, exactly
-    Delta's rule); a column the written frame drops stays in the table
-    schema and reads back NULL for the new files."""
+    order) plus any NEW fields the written schema (a StructType) adds,
+    appended. Only ADDITIVE evolution is supported — a same-name field
+    whose type changed raises (type rewrites need a full-table
+    migration, exactly Delta's rule); a column the written frame drops
+    stays in the table schema and reads back NULL for the new files."""
     from pyspark.sql.types import StructType
 
-    new_fields = {f.name: f for f in written.schema.fields}
+    new_fields = {f.name: f for f in written.fields}
     if man is None or man.get("schema") is None:
-        return json.loads(written.schema.json())
+        return json.loads(written.json())
     old = StructType.fromJson(man["schema"])
     merged = list(old.fields)
     for name, f in new_fields.items():
@@ -414,7 +414,7 @@ def commit_snapshot(
             "epoch": epoch,
             "n_buckets": n_buckets,
             "stats_cols": stats_cols,
-            "schema": _evolved_schema(man, merged.drop(_BUCKET_COL)),
+            "schema": _evolved_schema(man, merged.drop(_BUCKET_COL).schema),
             "apps": apps,
             "files": files,
         },
@@ -662,6 +662,9 @@ def delete_where(
         affected = {r[0] for r in side.select("rel").distinct().collect()}
         n_deleted = side.count()
         if n_deleted == 0:
+            import shutil
+
+            shutil.rmtree(dv_dir, ignore_errors=True)  # empty sidecar
             return man["epoch"], 0
         dv_files = []
         for root, _dirs, fs in os.walk(dv_dir):

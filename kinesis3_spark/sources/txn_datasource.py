@@ -1,0 +1,403 @@
+"""The manifest txn table as a Spark 4 Python Data Source.
+
+``spark.read.format("txntable")`` and ``spark.readStream.format
+("txntable")`` over a `sinks/txn.py` table, after
+``spark.dataSource.register(TxnTableDataSource)``. This closes the
+medallion loop: `append_manifest_stream` writes bronze epochs
+exactly-once, and this source lets the NEXT hop (silver) read those
+epochs INCREMENTALLY as a stream — Delta's streaming-source semantic
+(each micro-batch = the files new manifest epochs added), re-expressed
+through pyspark.sql.datasource (public API, Spark 4).
+
+Scale shape: the driver touches only MANIFESTS (offsets are epoch
+numbers; planning diffs two file lists); each InputPartition is one
+data file, read executor-side with pyarrow and yielded as Arrow record
+batches (the vectorized path — never row-at-a-time tuples, never
+through the driver). Deletion-vector positions are dropped
+executor-side per partition; schema-evolved files NULL-backfill to the
+manifest schema before the cast, same contract as read_snapshot.
+
+Streaming reads are APPEND-ONLY by default, exactly like Delta: a file
+that disappears between epochs (upsert/compaction rewrote it) raises
+unless ``ignoreChanges=true``, and a deletion vector added to an
+already-streamed file raises unless ``ignoreDeletes=true`` — changed
+history cannot be replayed as an append stream, and silently emitting
+rewritten files would double-count merged rows.
+
+Reference: the collector's archive re-read path (src/kinesis3/
+core.clj:153) generalized to an incremental table-history read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from ..sinks.txn import read_manifest
+
+
+class _FileSlice(InputPartition):
+    """One data file (+ its dv sidecar refs) shipped to an executor."""
+
+    def __init__(self, root: str, rel: str, dv: list[str], schema_json: str):
+        self.root = root
+        self.rel = rel
+        self.dv = dv
+        self.schema_json = schema_json
+
+
+def _read_slice(part: _FileSlice):
+    """Executor-side: one file → Arrow batches in the MANIFEST schema —
+    missing (pre-evolution) columns NULL-backfilled, deletion-vector
+    positions dropped by file-local row index, then a cast to the exact
+    target Arrow schema so Spark's consumer never coerces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(StructType.fromJson(json.loads(part.schema_json)))
+    tbl = pq.read_table(os.path.join(part.root, part.rel))
+    if part.dv:
+        dead: set[int] = set()
+        for ref in part.dv:
+            side = pq.read_table(
+                os.path.join(part.root, ref), columns=["rel", "pos"]
+            )
+            mask = pa.compute.equal(side["rel"], part.rel)
+            dead.update(side.filter(mask)["pos"].to_pylist())
+        if dead:
+            keep = [i for i in range(tbl.num_rows) if i not in dead]
+            tbl = tbl.take(pa.array(keep, type=pa.int64()))
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            cols.append(tbl[field.name])
+        else:
+            cols.append(pa.nulls(tbl.num_rows, type=field.type))
+    out = pa.table(cols, names=[f.name for f in target]).cast(target)
+    yield from out.to_batches()
+
+
+class _TxnBatchReader(DataSourceReader):
+    def __init__(self, options: dict, schema_json: str):
+        self.path = options["path"]
+        self.schema_json = schema_json
+        man = read_manifest(self.path)
+        self.entries = man["files"] if man else []
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _FileSlice(self.path, e["path"], e.get("dv", []), self.schema_json)
+            for e in self.entries
+        ]
+
+    def read(self, partition: _FileSlice) -> Iterator:
+        return _read_slice(partition)
+
+
+class _TxnStreamReader(DataSourceStreamReader):
+    """Offsets are manifest epochs; a micro-batch is the files the
+    epochs in (start, end] ADDED. Planning is manifest-diff only."""
+
+    def __init__(self, options: dict, schema_json: str):
+        self.path = options["path"]
+        self.schema_json = schema_json
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        ) or self.ignore_changes
+        start = options.get("startingepoch")
+        self._initial = {"epoch": int(start) if start is not None else 0}
+
+    def initialOffset(self) -> dict:
+        return dict(self._initial)
+
+    def latestOffset(self) -> dict:
+        man = read_manifest(self.path)
+        return {"epoch": man["epoch"] if man else 0}
+
+    def _entries(self, epoch: int) -> dict[str, dict]:
+        if epoch == 0:
+            return {}
+        man = read_manifest(self.path, epoch)
+        return {e["path"]: e for e in man["files"]}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        a = self._entries(start["epoch"])
+        b = self._entries(end["epoch"])
+        removed = sorted(set(a) - set(b))
+        if removed and not self.ignore_changes:
+            raise ValueError(
+                f"txntable stream over {self.path}: epoch "
+                f"{start['epoch']}→{end['epoch']} REWROTE files (e.g. "
+                f"{removed[0]}) — an upsert/compaction history is not an "
+                "append stream; set ignoreChanges=true to emit only newly "
+                "added files (downstream must tolerate re-merged rows)"
+            )
+        dv_grew = [
+            rel
+            for rel in set(a) & set(b)
+            if len(b[rel].get("dv", [])) > len(a[rel].get("dv", []))
+        ]
+        if dv_grew and not self.ignore_deletes:
+            raise ValueError(
+                f"txntable stream over {self.path}: deletion vectors were "
+                f"added to already-streamed files (e.g. {dv_grew[0]}) — "
+                "deletes cannot be replayed as appends; set "
+                "ignoreDeletes=true to skip them"
+            )
+        # New files stream WITHOUT dv filtering: positions deleted after
+        # the file's epoch belong to later offsets by definition, and
+        # append-only tables have none at first sight of the file.
+        return [
+            _FileSlice(self.path, rel, [], self.schema_json)
+            for rel in sorted(set(b) - set(a))
+        ]
+
+    def read(self, partition: _FileSlice) -> Iterator:
+        return _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class _StagedFiles(WriterCommitMessage):
+    """Per-task result: [(rel_path, bucket, n_rows)] staged parquet."""
+
+    def __init__(self, files: list[tuple[str, int, int]]):
+        self.files = files
+
+
+class _TxnWriter(DataSourceWriter):
+    """``df.write.format("txntable")`` as a genuine TWO-PHASE COMMIT
+    through Spark's writer protocol: every task stages its rows as
+    per-bucket parquet files into a nonce-unique snap dir (phase 1,
+    executor-side, restart-safe — an aborted or speculated task's files
+    are unreferenced garbage) and returns their names in its
+    WriterCommitMessage; the driver's commit() publishes ONE manifest
+    epoch referencing exactly the reported files (phase 2, the same OCC
+    epoch claim as every other commit). A job that dies before commit()
+    leaves the table untouched; abort() additionally reaps the staging
+    dir. mode("append") carries the current file list; mode("overwrite")
+    replaces it (a full-table MVCC replace — time travel still reaches
+    the pre-overwrite epochs).
+
+    Bucket assignment runs per row with portable_hash60_py — the exact
+    Python twin of the read side's _bucket_expr — so bucket-pruned reads
+    and upsert touched-bucket merges see writer-produced files
+    correctly. Keys must render to the same string Spark's CAST produces
+    (strings/integers; the table contract everywhere else too)."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        import uuid
+
+        self.path = options["path"]
+        self.key = options.get("key", "id")
+        self.overwrite = overwrite
+        self.schema_json = json.dumps(json.loads(schema.json()))
+        man = read_manifest(self.path)
+        if man is not None:
+            self.n_buckets = man["n_buckets"]
+            self.stats_cols = man.get("stats_cols") or []
+        else:
+            self.n_buckets = int(options.get("n_buckets", 8))
+            sc = options.get("stats_cols", "")
+            self.stats_cols = [c for c in sc.split(",") if c]
+        # numeric second token keeps vacuum's epoch parse happy; nonce
+        # isolates concurrent jobs' staging
+        self.snap = f"snap-000000-{uuid.uuid4().hex[:8]}"
+
+    def write(self, iterator) -> _StagedFiles:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..operators.dedup import portable_hash60_py
+
+        target = to_arrow_schema(
+            StructType.fromJson(json.loads(self.schema_json))
+        )
+        names = [f.name for f in target]
+        ki = names.index(self.key)
+        per_bucket: dict[int, list[tuple]] = {}
+        for row in iterator:
+            t = tuple(row)
+            k = t[ki]
+            ks = "\x00__null_key__" if k is None else str(k)
+            b = portable_hash60_py(ks) % self.n_buckets
+            per_bucket.setdefault(b, []).append(t)
+        out: list[tuple[str, int, int]] = []
+        for b, rows in per_bucket.items():
+            rel = os.path.join(
+                self.snap,
+                f"__bucket={b}",
+                f"part-{uuid.uuid4().hex}.parquet",
+            )
+            full = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            cols = list(zip(*rows))
+            tbl = pa.table(
+                [pa.array(list(c), type=f.type)
+                 for c, f in zip(cols, target)],
+                schema=target,
+            )
+            pq.write_table(tbl, full)
+            out.append((rel, b, len(rows)))
+        return _StagedFiles(out)
+
+    def commit(self, messages) -> None:
+        self._publish(messages)
+
+    def _publish(self, messages, app_id=None, app_version=None) -> None:
+        from ..sinks.txn import (
+            CommitConflict,
+            _evolved_schema,
+            _harvest_file_stats,
+            _publish_manifest,
+        )
+
+        new_entries = [
+            {"path": rel, "bucket": b}
+            for m in messages
+            if m is not None
+            for (rel, b, _n) in m.files
+        ]
+        if self.stats_cols:
+            fstats = _harvest_file_stats(
+                self.path, [e["path"] for e in new_entries], self.stats_cols
+            )
+            for e in new_entries:
+                if e["path"] in fstats:
+                    e["stats"] = fstats[e["path"]]
+        written = StructType.fromJson(json.loads(self.schema_json))
+        last = None
+        for _attempt in range(5):
+            man = read_manifest(self.path)
+            apps = dict((man.get("apps") or {}) if man else {})
+            if app_id is not None:
+                if apps.get(app_id, -1) >= app_version:
+                    return  # replay lost a race to itself: already in
+                apps[app_id] = app_version
+            carry = (
+                [] if self.overwrite else (list(man["files"]) if man else [])
+            )
+            epoch = (man["epoch"] if man else 0) + 1
+            files = sorted(
+                carry + new_entries, key=lambda e: (e["bucket"], e["path"])
+            )
+            payload = json.dumps(
+                {
+                    "epoch": epoch,
+                    "n_buckets": self.n_buckets,
+                    "stats_cols": self.stats_cols,
+                    "schema": _evolved_schema(man, written),
+                    "apps": apps,
+                    "files": files,
+                },
+                indent=1,
+            )
+            try:
+                _publish_manifest(self.path, epoch, payload)
+                return
+            except CommitConflict as exc:
+                last = exc  # append never conflicts on data: re-carry
+        raise last
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.snap), ignore_errors=True)
+
+
+class _TxnStreamWriter(_TxnWriter, DataSourceStreamWriter):
+    """``df.writeStream.format("txntable")``: each micro-batch is one OCC
+    manifest epoch, fenced EXACTLY-ONCE by the manifest's per-app
+    watermark keyed on the runtime's batchId (the same txnAppId/
+    txnVersion protocol as append_manifest_stream, now through Spark's
+    native stream-writer path — no foreachBatch wiring). A replayed
+    batch re-stages files (garbage for vacuum) but the fenced commit
+    publishes nothing, so the table never double-counts. outputMode
+    append carries the current file list; complete replaces it per
+    batch (an MVCC truncate-and-load for aggregate sinks)."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        super().__init__(options, schema, overwrite)
+        self.app_id = options.get("app_id", "txntable-stream")
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        man = read_manifest(self.path)
+        if (
+            man is not None
+            and (man.get("apps") or {}).get(self.app_id, -1) >= batchId
+        ):
+            return  # replayed micro-batch: already committed
+        self._publish(messages, app_id=self.app_id, app_version=batchId)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.snap), ignore_errors=True)
+
+
+class TxnTableDataSource(DataSource):
+    """``spark.dataSource.register(TxnTableDataSource)`` →
+    ``spark.read.format("txntable").load(path)`` /
+    ``spark.readStream.format("txntable").load(path)`` /
+    ``df.write.format("txntable").mode("append"|"overwrite").save(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txntable"
+
+    def _schema_json(self) -> str:
+        man = read_manifest(self.options["path"])
+        if man is None:
+            raise ValueError(
+                f"no committed txn table at {self.options.get('path')}"
+            )
+        if man.get("schema") is None:
+            raise ValueError(
+                f"txn table {self.options['path']} predates manifest "
+                "schemas; recommit once to record one"
+            )
+        return json.dumps(man["schema"])
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self._schema_json()))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _TxnBatchReader(dict(self.options), self._schema_json())
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _TxnStreamReader(dict(self.options), self._schema_json())
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        os.makedirs(self.options["path"], exist_ok=True)
+        return _TxnWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        os.makedirs(self.options["path"], exist_ok=True)
+        return _TxnStreamWriter(dict(self.options), schema, overwrite)

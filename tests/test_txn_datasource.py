@@ -1,0 +1,197 @@
+"""txn table as a Spark 4 Python Data Source (sources/txn_datasource.py):
+batch reads must equal read_snapshot (deletion vectors applied, evolved
+schema NULL-backfilled); streaming reads are incremental over manifest
+epochs with Delta's append-only contract (rewrites raise without
+ignoreChanges, new deletion vectors raise without ignoreDeletes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis3_spark.sinks.txn import (
+    append_snapshot,
+    compact_table,
+    delete_where,
+    read_snapshot,
+    upsert_manifest_txn,
+)
+from kinesis3_spark.sources.txn_datasource import TxnTableDataSource
+
+
+def _mk(spark, rows, schema="id string, grp string, val bigint"):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(TxnTableDataSource)
+    return spark
+
+
+def _drain(spark, path, ck, **opts):
+    got: list[tuple] = []
+    reader = spark.readStream.format("txntable")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.foreachBatch(
+            lambda df, bid: got.extend(map(tuple, df.collect()))
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.exception() is not None:
+        raise q.exception()
+    return sorted(got)
+
+
+def test_batch_read_equals_read_snapshot(registered, tmp_path):
+    spark, path = registered, str(tmp_path / "t")
+    append_snapshot(_mk(spark, [(f"k{i}", "a", i) for i in range(20)]),
+                    path, key="id", n_buckets=2)
+    delete_where(spark, path, "val >= 15")
+    upsert_manifest_txn(
+        spark,
+        _mk(spark, [("z", "c", 999, 7)],
+            "id string, grp string, val bigint, extra bigint"),
+        path, key="id", order_col="val",
+    )
+    got = sorted(map(tuple, spark.read.format("txntable").load(path).collect()))
+    want = sorted(map(tuple, read_snapshot(spark, path).collect()))
+    assert got == want and len(got) == 16
+    # evolved column NULL-backfilled on pre-evolution rows
+    assert {t[3] for t in got} == {None, 7}
+
+
+def test_stream_is_incremental_across_restarts(registered, tmp_path):
+    spark, path, ck = registered, str(tmp_path / "t"), str(tmp_path / "ck")
+    append_snapshot(_mk(spark, [("a", "g", 1)]), path, key="id")
+    append_snapshot(_mk(spark, [("b", "g", 2)]), path, key="id")
+    first = _drain(spark, path, ck)
+    assert [t[:3] for t in first] == [("a", "g", 1), ("b", "g", 2)]
+    append_snapshot(_mk(spark, [("c", "g", 3)]), path, key="id")
+    second = _drain(spark, path, ck)  # same checkpoint: only the delta
+    assert [t[:3] for t in second] == [("c", "g", 3)]
+    assert _drain(spark, path, ck) == []  # nothing new
+
+
+def test_stream_rejects_rewrites_unless_ignore_changes(registered, tmp_path):
+    spark, path, ck = registered, str(tmp_path / "t"), str(tmp_path / "ck")
+    append_snapshot(_mk(spark, [("a", "g", 1)]), path, key="id", n_buckets=1)
+    _drain(spark, path, ck)
+    compact_table(spark, path, key="id")  # rewrites the only file
+    with pytest.raises(Exception, match="REWROTE|ignoreChanges"):
+        _drain(spark, path, ck)
+    got = _drain(spark, path, str(tmp_path / "ck2"), ignoreChanges="true")
+    assert [t[:3] for t in got] == [("a", "g", 1)]
+
+
+def test_stream_rejects_new_deletes_unless_ignore_deletes(registered, tmp_path):
+    spark, path, ck = registered, str(tmp_path / "t"), str(tmp_path / "ck")
+    append_snapshot(_mk(spark, [("a", "g", 1), ("b", "g", 2)]),
+                    path, key="id", n_buckets=1)
+    _drain(spark, path, ck)
+    delete_where(spark, path, "id = 'a'")  # dv on an already-streamed file
+    with pytest.raises(Exception, match="deletion vectors|ignoreDeletes"):
+        _drain(spark, path, ck)
+    assert _drain(spark, path, ck, ignoreDeletes="true") == []
+
+
+def test_writer_two_phase_commit_roundtrip(registered, tmp_path):
+    """df.write.format("txntable"): tasks stage per-bucket files, the
+    driver's commit publishes one manifest epoch. Bucket assignment must
+    be hash-identical to the read side's _bucket_expr — proven by an
+    upsert MERGING a writer-produced key (a bucket mismatch would leave
+    both versions alive in different buckets)."""
+    spark, path = registered, str(tmp_path / "t")
+    df = _mk(spark, [(f"k{i:03d}", "a", i) for i in range(50)])
+    (df.write.format("txntable").option("key", "id")
+       .option("n_buckets", "4").option("stats_cols", "val")
+       .mode("append").save(path))
+    from kinesis3_spark.sinks.txn import read_manifest
+
+    man = read_manifest(path)
+    assert man["epoch"] == 1 and man["stats_cols"] == ["val"]
+    assert sorted({e["bucket"] for e in man["files"]}) == [0, 1, 2, 3]
+    assert any("stats" in e for e in man["files"])  # writer files zone-map
+    got = sorted(map(tuple, read_snapshot(spark, path).collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # bucket-hash parity: merge replaces the single key everywhere
+    upsert_manifest_txn(spark, _mk(spark, [("k007", "UP", 9999)]),
+                        path, key="id", order_col="val")
+    rows = read_snapshot(spark, path)
+    assert rows.count() == 50
+    assert [tuple(r) for r in rows.where("id='k007'").collect()] == [
+        ("k007", "UP", 9999)
+    ]
+
+
+def test_writer_overwrite_is_mvcc_replace(registered, tmp_path):
+    spark, path = registered, str(tmp_path / "t")
+    _mk(spark, [("a", "g", 1), ("b", "g", 2)]).write.format(
+        "txntable").option("key", "id").mode("append").save(path)
+    _mk(spark, [("z", "h", 9)]).write.format(
+        "txntable").mode("overwrite").save(path)
+    assert [t[:3] for t in sorted(
+        map(tuple, read_snapshot(spark, path).collect())
+    )] == [("z", "h", 9)]
+    # history intact: the pre-overwrite epoch still reads
+    old = read_snapshot(spark, path, epoch=1)
+    assert old.count() == 2
+
+
+def test_writer_zone_maps_prune_reads(registered, tmp_path):
+    spark, path = registered, str(tmp_path / "t")
+    (_mk(spark, [(f"a{i}", "lo", i) for i in range(20)])
+     .coalesce(1).write.format("txntable").option("key", "id")
+     .option("stats_cols", "val").mode("append").save(path))
+    (_mk(spark, [(f"b{i}", "hi", 1000 + i) for i in range(20)])
+     .coalesce(1).write.format("txntable").mode("append").save(path))
+    sel = read_snapshot(spark, path, where=[("val", ">=", 1000)])
+    assert sel.count() == 20
+    from kinesis3_spark.sinks.txn import read_manifest
+
+    man = read_manifest(path)
+    keep = [e for e in man["files"]
+            if e.get("stats", {}).get("val", {}).get("max", -1) >= 1000]
+    assert 0 < len(keep) < len(man["files"])  # writer stats really prune
+
+
+def test_stream_writer_micro_batches_are_fenced_epochs(registered, tmp_path):
+    """df.writeStream.format("txntable"): each micro-batch is one OCC
+    manifest epoch; a replayed (app_id, batchId) commit publishes
+    nothing — exactly-once through Spark's native stream-writer path."""
+    from kinesis3_spark.sinks.txn import read_manifest
+    from kinesis3_spark.sources.txn_datasource import _TxnStreamWriter
+
+    spark = registered
+    landing = str(tmp_path / "landing")
+    path, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    src = _mk(spark, [(f"k{i:03d}", "g", i) for i in range(30)])
+    src.repartition(3).write.parquet(landing)
+    sdf = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+    q = (
+        sdf.writeStream.format("txntable")
+        .option("path", path).option("key", "id")
+        .option("app_id", "ds-stream")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    man = read_manifest(path)
+    assert man["epoch"] == 3 and man["apps"] == {"ds-stream": 2}
+    assert read_snapshot(spark, path).count() == 30
+    # replay of the last micro-batch: same app + batchId → no new epoch
+    w = _TxnStreamWriter(
+        {"path": path, "key": "id", "app_id": "ds-stream"}, src.schema, False
+    )
+    w.commit([], man["apps"]["ds-stream"])
+    assert read_manifest(path)["epoch"] == 3
+    assert read_snapshot(spark, path).count() == 30

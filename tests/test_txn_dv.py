@@ -229,3 +229,53 @@ def test_dv_composes_with_zone_map_skipping(spark, tmp_path):
     t = read_snapshot(spark, path, where=[("val", ">=", 1000)])
     got = t.where("val >= 1000").count()
     assert got == 10  # hi rows minus the 10 deleted, lo files pruned
+
+
+def test_randomized_op_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check: random interleavings of upsert / delete_where /
+    compact / vacuum must leave the table equal to a plain dict model
+    (key → last-written row, minus deleted). Seeded RNG, three sequences —
+    the cross-feature interactions (delete then upsert same key, compact
+    mid-history, vacuum after deletes) are where layered metadata goes
+    wrong, not in any single op."""
+    import random
+
+    from kinesis3_spark.sinks.txn import delete_where
+
+    for seed in (7, 23, 91):
+        rnd = random.Random(seed)
+        path = str(tmp_path / f"t{seed}")
+        model: dict[str, tuple] = {}
+        ver = 0
+        _seed(spark, path, n=30, n_buckets=2)
+        for i in range(30):
+            model[f"k{i:03d}"] = ("even" if i % 2 == 0 else "odd", i)
+        for step in range(8):
+            op = rnd.choice(["upsert", "delete", "compact", "vacuum"])
+            if op == "upsert":
+                ver += 1
+                keys = rnd.sample(range(60), rnd.randint(1, 6))
+                rows = [(f"k{k:03d}", f"g{ver}", 1000 * ver + k) for k in keys]
+                upsert_manifest_txn(
+                    spark, _mk(spark, rows), path, key="id", order_col="val"
+                )
+                for kid, g, v in rows:
+                    model[kid] = (g, v)
+            elif op == "delete":
+                lo = rnd.randint(0, 1500 * max(ver, 1))
+                cond = f"val >= {lo} AND val < {lo + 400}"
+                delete_where(spark, path, cond)
+                model = {
+                    k: (g, v) for k, (g, v) in model.items()
+                    if not (lo <= v < lo + 400)
+                }
+            elif op == "compact":
+                compact_table(spark, path, key="id")
+            else:
+                vacuum_table(path, keep_epochs=rnd.randint(1, 2))
+        t = read_snapshot(spark, path)
+        got = (
+            {} if t is None else
+            {r["id"]: (r["grp"], r["val"]) for r in t.collect()}
+        )
+        assert got == model, f"seed {seed} diverged"
