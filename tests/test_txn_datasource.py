@@ -195,3 +195,33 @@ def test_stream_writer_micro_batches_are_fenced_epochs(registered, tmp_path):
     w.commit([], man["apps"]["ds-stream"])
     assert read_manifest(path)["epoch"] == 3
     assert read_snapshot(spark, path).count() == 30
+
+
+def test_writer_abort_leaves_table_untouched(registered, tmp_path):
+    """Phase-1 failure: a task that dies mid-job must abort the whole
+    write — the manifest never advances, a prior snapshot stays intact,
+    and the staging dir is reaped (no stray parquet for readers to see;
+    read_snapshot would ignore it anyway, but vacuum hygiene matters)."""
+    import os
+
+    from kinesis3_spark.sinks.txn import read_manifest
+
+    spark, path = registered, str(tmp_path / "t")
+    _mk(spark, [("a", "g", 1)]).write.format("txntable").option(
+        "key", "id").mode("append").save(path)
+    man1 = read_manifest(path)
+
+    poisoned = _mk(spark, [("b", "g", 2)]).withColumn(
+        "val",
+        __import__("pyspark").sql.functions.expr(
+            "CASE WHEN val = 2 THEN raise_error('boom') ELSE val END"
+        ).cast("bigint"),
+    )
+    with pytest.raises(Exception, match="boom"):
+        poisoned.write.format("txntable").mode("append").save(path)
+    man2 = read_manifest(path)
+    assert man2 == man1  # no epoch, no files, no schema change
+    assert read_snapshot(spark, path).count() == 1
+    tops = {d for d in os.listdir(path) if d.startswith("snap-")}
+    referenced = {e["path"].split(os.sep, 1)[0] for e in man2["files"]}
+    assert tops == referenced  # staging reaped by abort
