@@ -58,11 +58,14 @@ class _FileSlice(InputPartition):
         self.schema_json = schema_json
 
 
-def _read_slice(part: _FileSlice):
+def _read_slice(part: _FileSlice | None):
     """Executor-side: one file → Arrow batches in the MANIFEST schema —
     missing (pre-evolution) columns NULL-backfilled, deletion-vector
     positions dropped by file-local row index, then a cast to the exact
-    target Arrow schema so Spark's consumer never coerces."""
+    target Arrow schema so Spark's consumer never coerces. ``None`` is
+    the empty-plan task Spark schedules when every file was pruned."""
+    if part is None:
+        return
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -92,20 +95,103 @@ def _read_slice(part: _FileSlice):
 
 
 class _TxnBatchReader(DataSourceReader):
+    """Batch scan with CATALYST-INTEGRATED zone-map skipping: Spark's
+    planner hands the query's conjunctive predicates to pushFilters
+    (Spark 4.1 Python DS pushdown); any comparison / In / null test on a
+    column whose min/max/null_count live in the manifest prunes files
+    whose stats prove it unsatisfiable — `df.where("ts between ...")`
+    skips ingest commits WITHOUT the caller asking (read_snapshot's
+    manual `where=` contract, now automatic). Skipping is I/O-only:
+    every filter is returned to Spark for exact post-scan evaluation, so
+    a wrong prune can only LOSE rows — which the parity oracle would
+    catch — never invent them. An `epoch` option time-travels the whole
+    scan (schema included) to a retained version."""
+
     def __init__(self, options: dict, schema_json: str):
         self.path = options["path"]
         self.schema_json = schema_json
-        man = read_manifest(self.path)
+        ep = options.get("epoch")
+        man = read_manifest(self.path, int(ep) if ep is not None else None)
         self.entries = man["files"] if man else []
+        self.pushed: list[tuple] = []  # (col, kind, values)
+
+    def _push_filters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "==",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], op, (f.value,)))
+            elif isinstance(f, In) and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], "in", tuple(f.value)))
+            elif isinstance(f, IsNull) and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], "isnull", ()))
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], "isnotnull", ()))
+        return filters  # skipping is I/O-only; Spark re-applies exactly
+
+    def _may_match(self, entry: dict) -> bool:
+        from ..sinks.txn import _file_may_match
+
+        stats = entry.get("stats")
+        for col, kind, vals in self.pushed:
+            s = (stats or {}).get(col)
+            if kind == "in":
+                if not any(
+                    _file_may_match(stats, col, "==", v) for v in vals
+                ):
+                    return False
+            elif kind == "isnull":
+                # a recorded zero null_count proves IS NULL unsatisfiable
+                if s is not None and s.get("nulls") == 0:
+                    return False
+            elif kind == "isnotnull":
+                # all-null file (min is None) has no non-null rows
+                if s is not None and s["min"] is None and s["max"] is None:
+                    return False
+            else:
+                if not _file_may_match(stats, col, kind, *vals):
+                    return False
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
         return [
             _FileSlice(self.path, e["path"], e.get("dv", []), self.schema_json)
             for e in self.entries
+            if self._may_match(e)
         ]
 
     def read(self, partition: _FileSlice) -> Iterator:
         return _read_slice(partition)
+
+
+class _TxnBatchReaderPushdown(_TxnBatchReader):
+    """The pushdown-enabled variant, returned only when the read sets
+    ``option("pushdown", "true")``: merely DEFINING pushFilters makes
+    Spark raise when ``spark.sql.python.filterPushdown.enabled`` is off
+    (and the planner worker can't inspect the conf), so opting in is the
+    reader's own declaration that the session enables it. Without the
+    option, scans work everywhere and skipping is available through
+    read_snapshot's manual ``where=``."""
+
+    def pushFilters(self, filters):
+        return self._push_filters(filters)
 
 
 class _TxnStreamReader(DataSourceStreamReader):
@@ -371,7 +457,10 @@ class TxnTableDataSource(DataSource):
         return "txntable"
 
     def _schema_json(self) -> str:
-        man = read_manifest(self.options["path"])
+        ep = self.options.get("epoch")
+        man = read_manifest(
+            self.options["path"], int(ep) if ep is not None else None
+        )
         if man is None:
             raise ValueError(
                 f"no committed txn table at {self.options.get('path')}"
@@ -387,7 +476,10 @@ class TxnTableDataSource(DataSource):
         return StructType.fromJson(json.loads(self._schema_json()))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _TxnBatchReader(dict(self.options), self._schema_json())
+        opts = dict(self.options)
+        if str(opts.get("pushdown", "false")).lower() == "true":
+            return _TxnBatchReaderPushdown(opts, self._schema_json())
+        return _TxnBatchReader(opts, self._schema_json())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TxnStreamReader(dict(self.options), self._schema_json())

@@ -225,3 +225,72 @@ def test_writer_abort_leaves_table_untouched(registered, tmp_path):
     tops = {d for d in os.listdir(path) if d.startswith("snap-")}
     referenced = {e["path"].split(os.sep, 1)[0] for e in man2["files"]}
     assert tops == referenced  # staging reaped by abort
+
+
+def test_pushdown_prunes_files_and_stays_exact(registered, tmp_path):
+    """Catalyst-integrated zone-map skipping: with pushdown opted in,
+    Spark's pushed predicates prune stats-unsat files at the READER
+    level (asserted on the reader directly — task packing hides the
+    partition count), and every query answer stays exact because all
+    filters are re-applied post-scan."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        In,
+        IsNull,
+    )
+
+    from kinesis3_spark.sources.txn_datasource import (
+        _TxnBatchReader,
+        _TxnBatchReaderPushdown,
+    )
+
+    spark, path = registered, str(tmp_path / "t")
+    (_mk(spark, [(f"a{i}", "lo", i) for i in range(20)])
+     .coalesce(1).write.format("txntable").option("key", "id")
+     .option("stats_cols", "val,grp").mode("append").save(path))
+    (_mk(spark, [(f"b{i}", "hi", 1000 + i) for i in range(20)])
+     .coalesce(1).write.format("txntable").mode("append").save(path))
+
+    man_schema = spark.read.format("txntable").load(path).schema.json()
+    base = _TxnBatchReader({"path": path}, man_schema)
+    total = len(base.partitions())
+    assert total >= 2
+
+    def pruned(*filters):
+        r = _TxnBatchReaderPushdown({"path": path}, man_schema)
+        kept = list(r._push_filters(list(filters)))
+        assert kept == list(filters)  # skipping is I/O-only: Spark re-applies
+        return len(r.partitions())
+
+    assert pruned(GreaterThanOrEqual(("val",), 1000)) < total
+    assert pruned(EqualTo(("val",), 99999)) == 0
+    assert pruned(In(("val",), (3, 7))) < total
+    assert pruned(IsNull(("grp",))) == 0          # null_count == 0 recorded
+    assert pruned(EqualTo(("other",), 1)) == total  # unknown col: keep all
+
+    # end-to-end: answers identical with and without pushdown
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = spark.read.format("txntable").option("pushdown", "true").load(path)
+        plain = spark.read.format("txntable").load(path)
+        for cond in ["val >= 1000", "val = 5", "val in (3, 1003)",
+                     "grp = 'hi'", "grp is null", "val > 99999"]:
+            assert df.where(cond).count() == plain.where(cond).count()
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_epoch_option_time_travels_batch_reads(registered, tmp_path):
+    spark, path = registered, str(tmp_path / "t")
+    _mk(spark, [("a", "g", 1)]).write.format("txntable").option(
+        "key", "id").mode("append").save(path)
+    _mk(spark, [("b", "g", 2, 9)],
+        "id string, grp string, val bigint, extra bigint").write.format(
+        "txntable").mode("append").save(path)
+    cur = spark.read.format("txntable").load(path)
+    assert cur.count() == 2 and "extra" in cur.columns
+    old = spark.read.format("txntable").option("epoch", "1").load(path)
+    # pre-evolution epoch: old schema, old rows only
+    assert old.count() == 1 and "extra" not in old.columns
