@@ -416,6 +416,7 @@ def commit_snapshot(
             "stats_cols": stats_cols,
             "schema": _evolved_schema(man, merged.drop(_BUCKET_COL).schema),
             "apps": apps,
+            "constraints": dict((man.get("constraints") or {}) if man else {}),
             "files": files,
         },
         indent=1,
@@ -521,6 +522,7 @@ def upsert_manifest_txn(
             # layout + stats config are fixed at table creation
             n_buckets = man["n_buckets"]
             stats_cols = man.get("stats_cols") or None
+        _enforce_constraints(batch, man)
         touched = {
             int(r[0])
             for r in batch.select(_bucket_expr(key, n_buckets).alias("b"))
@@ -605,6 +607,7 @@ def append_snapshot(
         if man is not None:
             n_buckets = man["n_buckets"]
             stats_cols = man.get("stats_cols") or None
+        _enforce_constraints(batch, man)
         carry = list(man["files"]) if man else []
         try:
             return commit_snapshot(
@@ -766,6 +769,95 @@ def compact_table(
     finally:
         if max_records_per_file is not None:
             spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+
+
+def restore_table(spark: SparkSession, path: str, epoch: int) -> int:
+    """Delta RESTORE: roll the table back to a retained historical epoch
+    as a METADATA-ONLY commit — the new epoch's file list, schema,
+    layout, and stats are the old epoch's, republished under the normal
+    OCC claim. Nothing is copied or rewritten; the rolled-back-over
+    epochs stay reachable for time travel until vacuumed, so a botched
+    restore is itself restorable. The per-app version watermarks are
+    carried from the CURRENT manifest, not the restored one — rolling
+    them back would re-open already-applied streaming batches to replay
+    (double-count on the next recovery), exactly the fence the watermark
+    exists to hold."""
+    last: CommitConflict | None = None
+    for _attempt in range(5):
+        cur = read_manifest(path)
+        assert cur is not None, f"no committed table at {path}"
+        old = read_manifest(path, epoch)  # raises outside retention
+        if epoch == cur["epoch"]:
+            return epoch  # restoring to the present is a no-op
+        new_epoch = cur["epoch"] + 1
+        payload = json.dumps(
+            {
+                "epoch": new_epoch,
+                "n_buckets": old["n_buckets"],
+                "stats_cols": old.get("stats_cols") or [],
+                "schema": old.get("schema"),
+                "apps": dict(cur.get("apps") or {}),
+                "constraints": old.get("constraints") or {},
+                "files": old["files"],
+            },
+            indent=1,
+        )
+        try:
+            _publish_manifest(path, new_epoch, payload)
+            return new_epoch
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def add_constraint(path: str, name: str, condition: str) -> int:
+    """Attach a named CHECK constraint (Delta column invariants /
+    ``ALTER TABLE ADD CONSTRAINT``): a SQL boolean expression every
+    INCOMING batch must satisfy from the next epoch on — rows where the
+    condition is FALSE (NULL passes, SQL CHECK semantics) fail the
+    commit before anything publishes. Enforcement is on the batch being
+    written (one distributed filter per commit), never a retro-scan of
+    the table; existing rows are not revalidated, same as Delta's ADD
+    CONSTRAINT default on history. Metadata-only commit under OCC."""
+    last: CommitConflict | None = None
+    for _attempt in range(5):
+        man = read_manifest(path)
+        assert man is not None, f"no committed table at {path}"
+        cons = dict(man.get("constraints") or {})
+        cons[name] = condition
+        payload = json.dumps(
+            {**{k: man[k] for k in man if k != "epoch"},
+             "constraints": cons, "epoch": man["epoch"] + 1},
+            indent=1,
+        )
+        try:
+            _publish_manifest(path, man["epoch"] + 1, payload)
+            return man["epoch"] + 1
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def _enforce_constraints(batch: DataFrame, man: dict | None) -> None:
+    """Raise if any incoming row makes a table constraint FALSE (NULL is
+    a pass — SQL CHECK). One distributed aggregate over the batch; the
+    violating constraint and a row count come back, never the rows."""
+    cons = (man or {}).get("constraints") or {}
+    if not cons:
+        return
+    checks = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(cond), F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, cond in cons.items()
+    ]
+    bad = batch.agg(*checks).first().asDict()
+    broken = {k: v for k, v in bad.items() if v}
+    if broken:
+        detail = ", ".join(
+            f"{k} ({cons[k]!r}: {v} rows)" for k, v in sorted(broken.items())
+        )
+        raise ValueError(f"CHECK constraint violation: {detail}")
 
 
 def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:

@@ -48,6 +48,19 @@ from pyspark.sql.types import StructType
 from ..sinks.txn import read_manifest
 
 
+def _norm_path(options: dict) -> str:
+    """The table root from reader/writer options. SQL DDL (``CREATE
+    TABLE ... USING txntable OPTIONS (path ...)``) normalizes the path
+    to a ``file:`` URI while ``load(path)`` passes it verbatim — accept
+    both (local filesystem only, like the rest of the manifest code)."""
+    p = options["path"]
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    return p
+
+
 class _FileSlice(InputPartition):
     """One data file (+ its dv sidecar refs) shipped to an executor."""
 
@@ -108,7 +121,7 @@ class _TxnBatchReader(DataSourceReader):
     scan (schema included) to a retained version."""
 
     def __init__(self, options: dict, schema_json: str):
-        self.path = options["path"]
+        self.path = _norm_path(options)
         self.schema_json = schema_json
         ep = options.get("epoch")
         man = read_manifest(self.path, int(ep) if ep is not None else None)
@@ -199,7 +212,7 @@ class _TxnStreamReader(DataSourceStreamReader):
     epochs in (start, end] ADDED. Planning is manifest-diff only."""
 
     def __init__(self, options: dict, schema_json: str):
-        self.path = options["path"]
+        self.path = _norm_path(options)
         self.schema_json = schema_json
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
@@ -295,11 +308,22 @@ class _TxnWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         import uuid
 
-        self.path = options["path"]
+        self.path = _norm_path(options)
         self.key = options.get("key", "id")
         self.overwrite = overwrite
         self.schema_json = json.dumps(json.loads(schema.json()))
         man = read_manifest(self.path)
+        if man is not None and (man.get("constraints") or {}):
+            # CHECK constraints are validated with a distributed SQL
+            # filter at commit (sinks/txn._enforce_constraints); the DS
+            # writer's commit runs in a planner worker with no session,
+            # so it cannot honor them — refusing beats silently skipping
+            # the table's declared invariants.
+            raise ValueError(
+                f"txntable writer cannot enforce CHECK constraints "
+                f"({sorted(man['constraints'])}) on {self.path}; write "
+                "through append_snapshot/upsert_manifest_txn instead"
+            )
         if man is not None:
             self.n_buckets = man["n_buckets"]
             self.stats_cols = man.get("stats_cols") or []
@@ -399,6 +423,9 @@ class _TxnWriter(DataSourceWriter):
                     "stats_cols": self.stats_cols,
                     "schema": _evolved_schema(man, written),
                     "apps": apps,
+                    "constraints": dict(
+                        (man.get("constraints") or {}) if man else {}
+                    ),
                     "files": files,
                 },
                 indent=1,
@@ -459,7 +486,7 @@ class TxnTableDataSource(DataSource):
     def _schema_json(self) -> str:
         ep = self.options.get("epoch")
         man = read_manifest(
-            self.options["path"], int(ep) if ep is not None else None
+            _norm_path(self.options), int(ep) if ep is not None else None
         )
         if man is None:
             raise ValueError(
@@ -485,11 +512,11 @@ class TxnTableDataSource(DataSource):
         return _TxnStreamReader(dict(self.options), self._schema_json())
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
-        os.makedirs(self.options["path"], exist_ok=True)
+        os.makedirs(_norm_path(self.options), exist_ok=True)
         return _TxnWriter(dict(self.options), schema, overwrite)
 
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> DataSourceStreamWriter:
-        os.makedirs(self.options["path"], exist_ok=True)
+        os.makedirs(_norm_path(self.options), exist_ok=True)
         return _TxnStreamWriter(dict(self.options), schema, overwrite)
