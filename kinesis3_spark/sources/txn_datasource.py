@@ -84,19 +84,24 @@ def _read_slice(part: _FileSlice | None):
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    import numpy as np
+
     target = to_arrow_schema(StructType.fromJson(json.loads(part.schema_json)))
     tbl = pq.read_table(os.path.join(part.root, part.rel))
     if part.dv:
-        dead: set[int] = set()
+        dead = []
         for ref in part.dv:
             side = pq.read_table(
                 os.path.join(part.root, ref), columns=["rel", "pos"]
             )
             mask = pa.compute.equal(side["rel"], part.rel)
-            dead.update(side.filter(mask)["pos"].to_pylist())
-        if dead:
-            keep = [i for i in range(tbl.num_rows) if i not in dead]
-            tbl = tbl.take(pa.array(keep, type=pa.int64()))
+            dead.append(side.filter(mask)["pos"].to_numpy(zero_copy_only=False))
+        dead = np.concatenate(dead) if dead else np.empty(0, dtype=np.int64)
+        if dead.size:
+            # vectorized survivor selection — no per-row Python loop
+            alive = np.ones(tbl.num_rows, dtype=bool)
+            alive[dead[dead < tbl.num_rows]] = False
+            tbl = tbl.filter(pa.array(alive))
     cols = []
     for field in target:
         if field.name in tbl.column_names:
