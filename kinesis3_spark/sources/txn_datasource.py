@@ -62,13 +62,24 @@ def _norm_path(options: dict) -> str:
 
 
 class _FileSlice(InputPartition):
-    """One data file (+ its dv sidecar refs) shipped to an executor."""
+    """One data file (+ its dv sidecar refs) shipped to an executor.
+    ``kind`` drives change-feed reads: "scan" yields live rows, "insert"
+    the same plus a _change_type column, "delete" the rows at the
+    positions the dv refs name (a newly-deleted slice)."""
 
-    def __init__(self, root: str, rel: str, dv: list[str], schema_json: str):
+    def __init__(
+        self,
+        root: str,
+        rel: str,
+        dv: list[str],
+        schema_json: str,
+        kind: str = "scan",
+    ):
         self.root = root
         self.rel = rel
         self.dv = dv
         self.schema_json = schema_json
+        self.kind = kind
 
 
 def _read_slice(part: _FileSlice | None):
@@ -88,23 +99,35 @@ def _read_slice(part: _FileSlice | None):
 
     target = to_arrow_schema(StructType.fromJson(json.loads(part.schema_json)))
     tbl = pq.read_table(os.path.join(part.root, part.rel))
-    if part.dv:
-        dead = []
-        for ref in part.dv:
-            side = pq.read_table(
-                os.path.join(part.root, ref), columns=["rel", "pos"]
-            )
-            mask = pa.compute.equal(side["rel"], part.rel)
-            dead.append(side.filter(mask)["pos"].to_numpy(zero_copy_only=False))
-        dead = np.concatenate(dead) if dead else np.empty(0, dtype=np.int64)
-        if dead.size:
-            # vectorized survivor selection — no per-row Python loop
-            alive = np.ones(tbl.num_rows, dtype=bool)
-            alive[dead[dead < tbl.num_rows]] = False
-            tbl = tbl.filter(pa.array(alive))
+    dead = []
+    for ref in part.dv:
+        side = pq.read_table(
+            os.path.join(part.root, ref), columns=["rel", "pos"]
+        )
+        mask = pa.compute.equal(side["rel"], part.rel)
+        dead.append(side.filter(mask)["pos"].to_numpy(zero_copy_only=False))
+    positions = (
+        np.concatenate(dead) if dead else np.empty(0, dtype=np.int64)
+    )
+    if part.kind == "delete":
+        # change feed: the rows these NEW dv refs just deleted
+        tbl = tbl.take(pa.array(np.sort(positions), type=pa.int64()))
+    elif positions.size:
+        # vectorized survivor selection — no per-row Python loop
+        alive = np.ones(tbl.num_rows, dtype=bool)
+        alive[positions[positions < tbl.num_rows]] = False
+        tbl = tbl.filter(pa.array(alive))
     cols = []
     for field in target:
-        if field.name in tbl.column_names:
+        if field.name == "_change_type":
+            cols.append(
+                pa.array(
+                    ["insert" if part.kind == "insert" else "delete"]
+                    * tbl.num_rows,
+                    type=field.type,
+                )
+            )
+        elif field.name in tbl.column_names:
             cols.append(tbl[field.name])
         else:
             cols.append(pa.nulls(tbl.num_rows, type=field.type))
@@ -225,6 +248,9 @@ class _TxnStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             str(options.get("ignoredeletes", "false")).lower() == "true"
         ) or self.ignore_changes
+        self.cdf = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
         start = options.get("startingepoch")
         self._initial = {"epoch": int(start) if start is not None else 0}
 
@@ -253,25 +279,45 @@ class _TxnStreamReader(DataSourceStreamReader):
                 "append stream; set ignoreChanges=true to emit only newly "
                 "added files (downstream must tolerate re-merged rows)"
             )
-        dv_grew = [
-            rel
+        dv_grew = {
+            rel: [
+                r
+                for r in b[rel].get("dv", [])
+                if r not in set(a[rel].get("dv", []))
+            ]
             for rel in set(a) & set(b)
             if len(b[rel].get("dv", [])) > len(a[rel].get("dv", []))
-        ]
-        if dv_grew and not self.ignore_deletes:
+        }
+        if dv_grew and not (self.cdf or self.ignore_deletes):
             raise ValueError(
                 f"txntable stream over {self.path}: deletion vectors were "
-                f"added to already-streamed files (e.g. {dv_grew[0]}) — "
-                "deletes cannot be replayed as appends; set "
-                "ignoreDeletes=true to skip them"
+                f"added to already-streamed files (e.g. "
+                f"{sorted(dv_grew)[0]}) — deletes cannot be replayed as "
+                "appends; set ignoreDeletes=true to skip them, or "
+                "readChangeFeed=true to consume them as delete rows"
             )
         # New files stream WITHOUT dv filtering: positions deleted after
         # the file's epoch belong to later offsets by definition, and
         # append-only tables have none at first sight of the file.
-        return [
-            _FileSlice(self.path, rel, [], self.schema_json)
+        out: list[InputPartition] = [
+            _FileSlice(
+                self.path, rel, [], self.schema_json,
+                kind="insert" if self.cdf else "scan",
+            )
             for rel in sorted(set(b) - set(a))
         ]
+        if self.cdf:
+            # change feed: each file's NEWLY-added sidecars name exactly
+            # the rows this window deleted (delete_where computes on the
+            # dv-applied snapshot, so new sidecars never repeat an
+            # already-deleted position) — emitted as delete rows,
+            # join-free per partition.
+            out.extend(
+                _FileSlice(self.path, rel, refs, self.schema_json,
+                           kind="delete")
+                for rel, refs in sorted(dv_grew.items())
+            )
+        return out
 
     def read(self, partition: _FileSlice) -> Iterator:
         return _read_slice(partition)
@@ -502,7 +548,14 @@ class TxnTableDataSource(DataSource):
                 f"txn table {self.options['path']} predates manifest "
                 "schemas; recommit once to record one"
             )
-        return json.dumps(man["schema"])
+        schema = man["schema"]
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            schema = dict(schema)
+            schema["fields"] = list(schema["fields"]) + [
+                {"name": "_change_type", "type": "string",
+                 "nullable": False, "metadata": {}}
+            ]
+        return json.dumps(schema)
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self._schema_json()))

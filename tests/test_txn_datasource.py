@@ -294,3 +294,38 @@ def test_epoch_option_time_travels_batch_reads(registered, tmp_path):
     old = spark.read.format("txntable").option("epoch", "1").load(path)
     # pre-evolution epoch: old schema, old rows only
     assert old.count() == 1 and "extra" not in old.columns
+
+
+def test_stream_change_feed_emits_inserts_and_deletes(registered, tmp_path):
+    """readChangeFeed=true turns the epoch stream into a CDF: new files
+    arrive as _change_type='insert' rows, newly-added deletion-vector
+    positions as 'delete' rows CARRYING THE PREIMAGE VALUES (read from
+    the base file at those positions, join-free per partition). The
+    incremental contract still holds across checkpointed drains."""
+    spark, path, ck = registered, str(tmp_path / "t"), str(tmp_path / "ck")
+
+    def drain():
+        got: list[tuple] = []
+        q = (
+            spark.readStream.format("txntable")
+            .option("readChangeFeed", "true").load(path)
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        return sorted(got)
+
+    append_snapshot(_mk(spark, [("a", "g", 1), ("b", "g", 2)]),
+                    path, key="id", n_buckets=1)
+    assert drain() == [("a", "g", 1, "insert"), ("b", "g", 2, "insert")]
+    delete_where(spark, path, "id = 'a'")
+    append_snapshot(_mk(spark, [("c", "g", 3)]), path, key="id")
+    assert drain() == [("a", "g", 1, "delete"), ("c", "g", 3, "insert")]
+    assert drain() == []
+    # re-delete of an already-deleted row adds no dv → no spurious rows
+    delete_where(spark, path, "id = 'a'")
+    assert drain() == []
