@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from kinesis3_spark.sinks.txn import (
     append_snapshot,
     compact_table,
@@ -329,3 +331,71 @@ def test_stream_change_feed_emits_inserts_and_deletes(registered, tmp_path):
     # re-delete of an already-deleted row adds no dv → no spurious rows
     delete_where(spark, path, "id = 'a'")
     assert drain() == []
+
+
+def test_medallion_bronze_silver_end_to_end(registered, tmp_path):
+    """The composed lakehouse loop, every hop through the txn table:
+    BRONZE ingests a file stream exactly-once (append_manifest_stream);
+    SILVER readStreams bronze's epochs incrementally, transforms, and
+    writeStreams into its own table (each micro-batch a fenced epoch).
+    After more bronze arrives, re-draining the SAME checkpoints moves
+    only the delta — and silver must equal the batch transform of
+    bronze at every step."""
+    from kinesis3_spark.sinks.txn import append_manifest_stream
+    from kinesis3_spark.streaming.run import await_or_raise
+
+    spark = registered
+    landing = str(tmp_path / "landing")
+    bronze, silver = str(tmp_path / "bronze"), str(tmp_path / "silver")
+    ck_b, ck_s = str(tmp_path / "ck_b"), str(tmp_path / "ck_s")
+
+    def ingest(rows, n_files):
+        src = _mk(spark, rows)
+        src.repartition(n_files).write.mode("append").parquet(landing)
+        sdf = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1).parquet(landing)
+        )
+        await_or_raise(append_manifest_stream(
+            sdf, bronze, checkpoint=ck_b, app_id="bronze", key="id",
+        ))
+
+    def refine():
+        sdf = spark.readStream.format("txntable").load(bronze)
+        q = (
+            sdf.where("val % 2 = 0")
+            .withColumn("val", F.col("val") * 10)
+            .writeStream.format("txntable")
+            .option("path", silver).option("key", "id")
+            .option("app_id", "silver")
+            .option("checkpointLocation", ck_s)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    def silver_truth():
+        t = spark.read.format("txntable").load(bronze)
+        return sorted(
+            map(tuple, t.where("val % 2 = 0")
+                .withColumn("val", F.col("val") * 10).collect())
+        )
+
+    ingest([(f"k{i:02d}", "g", i) for i in range(20)], 2)
+    refine()
+    got = sorted(map(tuple,
+                     spark.read.format("txntable").load(silver).collect()))
+    assert got == silver_truth() and len(got) == 10
+    # second wave: only the delta flows through both hops
+    ingest([(f"m{i:02d}", "h", 100 + i) for i in range(6)], 1)
+    refine()
+    got = sorted(map(tuple,
+                     spark.read.format("txntable").load(silver).collect()))
+    assert got == silver_truth() and len(got) == 13
+    # idle drains move nothing: both app watermarks hold their epochs
+    from kinesis3_spark.sinks.txn import read_manifest
+
+    before = (read_manifest(bronze)["epoch"], read_manifest(silver)["epoch"])
+    refine()
+    after = (read_manifest(bronze)["epoch"], read_manifest(silver)["epoch"])
+    assert after == before
