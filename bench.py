@@ -108,6 +108,8 @@ HEADLINE = [
     "stream_txn_exactly_once",
     "seq_market_basket_pairs",
     "source_txntable_datasource",
+    "attr_multi_touch_revenue",
+    "sim_cosine_topk_filtered",
 ]
 
 

@@ -65,6 +65,7 @@ from . import llmprep  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import chunking  # noqa: E402,F401
 from . import funnel  # noqa: E402,F401
+from . import graphq  # noqa: E402,F401
 from . import pipelinex  # noqa: E402,F401
 from . import search  # noqa: E402,F401
 from . import dataquality  # noqa: E402,F401

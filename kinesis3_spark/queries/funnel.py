@@ -580,3 +580,102 @@ def seq_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(15)
     )
+
+
+@query(
+    "attr_multi_touch_revenue",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT p.pid, p.cents, t.event_type AS channel, t.ts, t.event_id
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY pid ORDER BY ts, event_id) AS rf,
+        row_number() OVER (PARTITION BY pid ORDER BY ts DESC, event_id DESC) AS rl,
+        count(*) OVER (PARTITION BY pid) AS n
+      FROM j)
+    SELECT channel,
+           CAST(sum(CASE WHEN rf = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS first_touch_cents,
+           CAST(sum(CASE WHEN rl = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS last_touch_cents,
+           CAST(sum(cents * 1000 // n) AS BIGINT) AS linear_millicents,
+           count(*)::BIGINT AS n_touches
+    FROM r GROUP BY channel ORDER BY channel
+    """,
+)
+def attr_multi_touch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution over the event stream: each
+    purchase's revenue is credited to the view/click touches of the SAME
+    user in the 7 days strictly before it, under the three standard
+    models at once — first-touch, last-touch, and linear (equal split).
+    Revenue is exact integer cents (floor(x*100+0.5) of the 2-decimal
+    double is bit-identical across engines, TESTING.md rule 3) and the
+    linear split is integer DIV into millicents — float shares would
+    split engines at half-ulp boundaries. Touch order ties break on
+    event_id both ways, so first/last are deterministic.
+
+    Scale: ONE shuffle keyed on user_id produces the purchase⋈touch
+    pairs (the 7-day predicate prunes pair fan-out; at 100 TB the join
+    runs per day-bucket like join_interval_bucketed_global so a year of
+    history never pairs against one purchase). The first/last/n windows
+    are keyed on purchase id — bounded by touches-per-purchase-window,
+    with the same hot-user guard discipline as the funnel (a bot user
+    inflates only its own purchase rows; capping touches per purchase
+    at the 99.9p is the production guard). The channel rollup is a
+    five-row aggregate."""
+    return multi_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+def multi_touch_attribution(ev: DataFrame) -> DataFrame:
+    """First/last/linear attribution over an events frame (event_id, ts,
+    user_id, event_type, value) — split out so planted-fixture tests can
+    drive it with a hand-built frame (tests/test_attribution.py)."""
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(t, "user_id").where(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.expr("pts - INTERVAL 7 DAYS"))
+    )
+    wf = Window.partitionBy("pid").orderBy("tts", "tid")
+    wl = Window.partitionBy("pid").orderBy(F.desc("tts"), F.desc("tid"))
+    wn = Window.partitionBy("pid")
+    r = (
+        j.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rl", F.row_number().over(wl))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    return (
+        r.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("rf") == 1, F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("first_touch_cents"),
+            F.sum(F.when(F.col("rl") == 1, F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("last_touch_cents"),
+            F.sum(F.expr("cents * 1000 DIV n")).cast("bigint").alias(
+                "linear_millicents"
+            ),
+            F.count("*").cast("bigint").alias("n_touches"),
+        )
+        .orderBy("channel")
+    )

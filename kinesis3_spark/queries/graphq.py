@@ -1,0 +1,294 @@
+"""Graph analytics over the co-purchase graph (SURVEY.md §2b "graph
+tier"). The reference's event collector feeds exactly this kind of
+downstream co-occurrence analysis (reference `src/kinesis3/core.clj:104-131`
+hands events to SQL consumers); here the graph primitives themselves are
+first-class distributed operators.
+
+Graph = parts as nodes, an edge (u < v) when two parts co-occur in at
+least one order (the same basket normalization as
+funnel.seq_market_basket_pairs — the items helper is SHARED, not copied).
+
+Triangle counting uses the classic distributed "ordered wedge" plan
+(Suri & Vassilvitskii, WWW'11 MapReduce triangle counting): store each
+undirected edge once as (u, v) with u < v, self-join edges on the middle
+node to enumerate ordered wedges u < v < w, then semi-join the closing
+edge (u, w). Every triangle is counted exactly once — no orientation
+double-count, no all-pairs step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import _t
+from . import query
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges, stored once with u < v.
+
+    Scale: the pair expansion is hash-partitioned by order key, so the
+    quadratic term is per-basket (sum of items_per_order²), never
+    corpus-global; the distinct collapses multiplicity map-side before
+    the edge shuffle. For open vocabularies the a-priori cap discipline
+    of seq_market_basket_pairs applies unchanged (cap items per basket,
+    drop below-min-support items first)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pid")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pid") < F.col("b.pid")))
+        .select(F.col("a.pid").alias("u"), F.col("b.pid").alias("v"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangle_census",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pid FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.pid AS u, b.pid AS v
+      FROM items a JOIN items b ON a.okey = b.okey AND a.pid < b.pid),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges) t
+      GROUP BY node),
+    agg AS (
+      SELECT
+        (SELECT count(*) FROM edges) AS n_edges,
+        (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        (SELECT count(*)
+         FROM edges e1
+         JOIN edges e2 ON e2.u = e1.v
+         JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles)
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT)
+             AS clustering_ppm
+    FROM agg
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle census of the co-purchase graph: edge count,
+    wedge count (open 2-paths, from the degree sequence — never
+    materialized as rows), triangle count via the ordered-wedge
+    self-join, and the global clustering coefficient 3*T/W in exact
+    integer parts-per-million (integer DIV on both engines, TESTING.md
+    rule 3).
+
+    Scale: edges are stored ONCE (u < v), so the wedge join enumerates
+    each candidate 2-path once — the skew-killer at 100 TB is ordering
+    edge endpoints by DEGREE instead of id (Suri-Vassilvitskii): a
+    celebrity node's wedge fan-out collapses from deg² to the count of
+    its higher-degree neighbors². Id-order is kept here because the
+    co-purchase degree distribution is near-uniform (parts appear in a
+    bounded number of orders) and id-order is what the SQL oracle can
+    replicate exactly; the degree-ordered variant changes only the edge
+    orientation expression. Wedge COUNT comes from the degree sequence
+    (sum d*(d-1)/2 — a two-row-group aggregate), not from counting the
+    wedge join's output. The closing-edge join is an equi-join on
+    (u, w) — Catalyst shuffle-hash-joins both sides on the same key; no
+    broadcast is attempted because both sides are edge-scale."""
+    return triangle_census(_part_edges(spark, sf_dir))
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """One-row census of an undirected graph given its (u < v) edge list:
+    n_edges, n_wedges (from the degree sequence), n_triangles (ordered
+    wedge join), clustering_ppm = 3T/W in integer ppm."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return (
+        n_edges.crossJoin(n_wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("CAST(3 * n_triangles * 1000000 DIV n_wedges AS BIGINT)").alias(
+                "clustering_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "graph_common_neighbor_linkpred",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pid FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.pid AS u, b.pid AS v
+      FROM items a JOIN items b ON a.okey = b.okey AND a.pid < b.pid),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    wedge AS (
+      SELECT a.v AS x, b.v AS y, count(*) AS common
+      FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.x, w.y, w.common
+      FROM wedge w LEFT JOIN edges e ON e.u = w.x AND e.v = w.y
+      WHERE e.u IS NULL)
+    SELECT CAST(x AS BIGINT) AS part_x, CAST(y AS BIGINT) AS part_y,
+           CAST(common AS BIGINT) AS n_common
+    FROM cand
+    ORDER BY n_common DESC, part_x, part_y
+    LIMIT 20
+    """,
+)
+def graph_common_neighbor_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count: the top part pairs that
+    are NOT yet co-purchased but share the most co-purchase neighbors —
+    the classic common-neighbors heuristic (Liben-Nowell & Kleinberg
+    2003) that recommender candidate generation runs at scale.
+
+    Scale: candidate pairs come from the wedge join keyed on the shared
+    neighbor — each wedge center contributes deg² candidate pairs, so
+    the production guard is capping the center's neighbor list at the
+    top-N strongest edges before the self-join (the same per-basket cap
+    discipline as the pair miner); the anti-join removing existing
+    edges is a shuffled LEFT ANTI on the pair key, and the final top-20
+    is a TakeOrderedAndProject — the full candidate set never sorts or
+    collects."""
+    return common_neighbor_candidates(_part_edges(spark, sf_dir), 20)
+
+
+def common_neighbor_candidates(edges: DataFrame, k: int) -> DataFrame:
+    """Top-k non-adjacent pairs by shared-neighbor count over a (u < v)
+    edge list — the common-neighbors link-prediction scorer."""
+    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    a, b = und.alias("a"), und.alias("b")
+    wedge = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")))
+        .groupBy(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count("*").alias("common"))
+    )
+    cand = wedge.join(
+        edges,
+        (F.col("u") == F.col("x")) & (F.col("v") == F.col("y")),
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("x").cast("bigint").alias("part_x"),
+            F.col("y").cast("bigint").alias("part_y"),
+            F.col("common").cast("bigint").alias("n_common"),
+        )
+        .orderBy(F.desc("n_common"), "part_x", "part_y")
+        .limit(k)
+    )
+
+
+PR_ITERATIONS = 3  # oracle below is unrolled to exactly this depth
+_PR_ORACLE = """
+    WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pid FROM lineitem),
+    edges AS (SELECT DISTINCT a.pid AS u, b.pid AS v
+              FROM items a JOIN items b ON a.okey = b.okey AND a.pid < b.pid),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    c1 AS (SELECT und.v AS node, CAST(sum(r0.r // deg.d) AS BIGINT) AS s
+           FROM und JOIN r0 ON r0.node = und.u JOIN deg ON deg.node = und.u
+           GROUP BY und.v),
+    r1 AS (SELECT deg.node,
+                  CAST(150000 + (850000 * COALESCE(c1.s, 0)) // 1000000 AS BIGINT) AS r
+           FROM deg LEFT JOIN c1 ON c1.node = deg.node),
+    c2 AS (SELECT und.v AS node, CAST(sum(r1.r // deg.d) AS BIGINT) AS s
+           FROM und JOIN r1 ON r1.node = und.u JOIN deg ON deg.node = und.u
+           GROUP BY und.v),
+    r2 AS (SELECT deg.node,
+                  CAST(150000 + (850000 * COALESCE(c2.s, 0)) // 1000000 AS BIGINT) AS r
+           FROM deg LEFT JOIN c2 ON c2.node = deg.node),
+    c3 AS (SELECT und.v AS node, CAST(sum(r2.r // deg.d) AS BIGINT) AS s
+           FROM und JOIN r2 ON r2.node = und.u JOIN deg ON deg.node = und.u
+           GROUP BY und.v),
+    r3 AS (SELECT deg.node,
+                  CAST(150000 + (850000 * COALESCE(c3.s, 0)) // 1000000 AS BIGINT) AS r
+           FROM deg LEFT JOIN c3 ON c3.node = deg.node)
+    SELECT CAST(node AS BIGINT) AS part_id, r AS rank_micro
+    FROM r3 ORDER BY rank_micro DESC, part_id LIMIT 20
+"""
+
+
+@query("graph_pagerank_top20", oracle=_PR_ORACLE)
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph — the iterative-algorithm
+    pattern on Spark: a driver-side Python loop that rebuilds the rank
+    DataFrame each superstep, with per-iteration materialization to
+    truncate lineage. Ranks are exact integer micro-units (initial rank
+    1e6 per node; damping 0.85 applied as `150000 + 850000*s DIV 1e6`,
+    per-edge contribution `r DIV deg`) so every engine computes the
+    bit-identical fixpoint prefix — the oracle unrolls the SAME
+    PR_ITERATIONS supersteps as chained CTEs. The co-purchase graph has
+    no dangling nodes by construction (every node in the edge list has
+    degree >= 1), so no dangling redistribution term is needed.
+
+    Scale: each superstep is ONE shuffle — contributions aggregate on
+    the destination key; the (node, deg, rank) state frame re-joins the
+    edge list on the source key, which at 100 TB is a bucketed/co-
+    partitioned join on node id reused across supersteps (the edge list
+    never moves; only the 1-row-per-node rank frame re-shuffles).
+    localCheckpoint after each superstep keeps the plan depth constant
+    instead of growing the lineage by one join+agg per iteration —
+    without it iteration 30's plan contains 30 copies of the edge scan
+    (the documented subtree-duplication behavior this build measured for
+    uncached shared subtrees)."""
+    ranks = pagerank(_part_edges(spark, sf_dir), PR_ITERATIONS)
+    return (
+        ranks.select(
+            F.col("node").cast("bigint").alias("part_id"),
+            F.col("r").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "part_id")
+        .limit(20)
+    )
+
+
+def pagerank(edges: DataFrame, iterations: int) -> DataFrame:
+    """Integer-deterministic PageRank supersteps over a (u < v) edge
+    list; returns (node, d, r) after `iterations` rounds. ONE definition
+    shared by the registry query and the planted-fixture tests."""
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    state = deg.withColumn("r", F.lit(1_000_000).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            und.join(state, und.u == state.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.expr("r DIV d")).cast("bigint").alias("s"))
+        )
+        state = (
+            deg.join(contrib, "node", "left")
+            .select(
+                "node",
+                "d",
+                F.expr(
+                    "CAST(150000 + (850000 * COALESCE(s, 0)) DIV 1000000 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state

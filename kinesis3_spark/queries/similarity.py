@@ -620,3 +620,48 @@ def embed_pq_reconstruction_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(diverse, 1).otherwise(0).alias("codes_diverse"),
         F.when(F.col("pq_err") < F.col("base_err"), 1).otherwise(0).alias("better_than_mean"),
     )
+
+
+_FILTER_LABELS = (2, 5, 7)
+
+_TOPK_FILTERED_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT * FROM e WHERE label IN {_FILTER_LABELS}),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+      FROM q JOIN c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, rnk, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+      FROM s
+    ) WHERE rnk <= {_K}
+"""
+
+
+@query("sim_cosine_topk_filtered", oracle=_TOPK_FILTERED_ORACLE)
+def topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (filtered) vector search: exact top-k restricted to corpus
+    vectors whose metadata satisfies a predicate (label IN (2,5,7)) —
+    the "vector search + WHERE clause" shape every production retrieval
+    stack needs (filtered search in FAISS/Milvus/Lance terms). This is
+    the PRE-FILTER strategy: the predicate is applied BEFORE scoring, so
+    results are exact for the filtered corpus and a query can never come
+    up short of k because candidates were discarded after ranking (the
+    post-filter failure mode when the predicate is selective).
+
+    Scale: the predicate lands in the parquet scan as a pushed filter
+    (tests/test_similarity.py pins `In(label, ...)` in PushedFilters), so
+    the brute kernel scores only the surviving fraction — pre-filter cost
+    is selectivity × corpus, the right regime for selective predicates.
+    For broad predicates the persisted IVF-PQ probe composes instead
+    (probe cells, post-filter candidates, over-probe to cover the
+    predicate miss rate) — same index, strategy chosen by selectivity,
+    exactly the pre/post-filter split production engines make."""
+    emb = _t(spark, sf_dir, "embeddings")
+    filtered = emb.where(F.col("label").isin(*_FILTER_LABELS))
+    out = S.cosine_topk_bruteforce(filtered, _query_set(spark, sf_dir), k=_K)
+    return out.withColumnRenamed("rank", "rnk")

@@ -207,3 +207,44 @@ def test_every_registered_query_has_an_oracle():
     from kinesis3_spark.queries import ORACLE
 
     assert sorted(QUERIES) == sorted(ORACLE)
+
+
+def test_filtered_topk_label_predicate_pushes_to_scan(spark, sf_dir):
+    # Hybrid search pre-filter strategy: the metadata predicate must land
+    # in the embeddings parquet scan, not evaluate post-scan — that is the
+    # selectivity*corpus cost claim of sim_cosine_topk_filtered.
+    df = QUERIES["sim_cosine_topk_filtered"](spark, sf_dir)
+    plan = _executed(df)
+    assert "In(label, [2,5,7])" in plan, plan[:2000]
+
+
+def test_filtered_topk_results_satisfy_predicate(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    labels = dict(
+        zip(
+            *[
+                pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+                .to_pandas()[c]
+                .tolist()
+                for c in ("vec_id", "label")
+            ]
+        )
+    )
+    out = QUERIES["sim_cosine_topk_filtered"](spark, sf_dir).collect()
+    assert len(out) > 0
+    assert all(labels[r.neighbor_id] in (2, 5, 7) for r in out)
+
+
+def test_graph_joins_are_hash_equi_joins(spark, sf_dir):
+    # Both graph queries must plan every join as an equi-join (hash or
+    # sort-merge) — a nested-loop/cartesian fallback over edge-scale
+    # inputs is the scale failure mode; wedge rows are aggregated with a
+    # map-side partial count, never collected.
+    for name in ("graph_triangle_census", "graph_common_neighbor_linkpred"):
+        plan = _executed(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "partial_count" in plan or "partial" in plan, name
+        # the only nested-loop allowed is the 1x1 scalar census stitch
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        assert bnlj <= (2 if name == "graph_triangle_census" else 0), name

@@ -31,6 +31,10 @@ ALLOWED_AMPLIFICATION = {
     # against the corpus — |Q|x|corpus| is this tier's definition; the
     # LSH/IVF tiers are the unbounded-|Q| path (operators/similarity.py).
     "sim_cosine_topk_brute": "bounded 10-vector query-set broadcast",
+    # filtered hybrid search, pre-filter strategy: same bounded query-set
+    # broadcast as the brute tier, over the predicate-selected fraction
+    # of the corpus (label pushdown asserted in tests/test_plan_guards.py).
+    "sim_cosine_topk_filtered": "bounded query-set broadcast x filtered corpus",
 }
 
 
