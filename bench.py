@@ -110,6 +110,7 @@ HEADLINE = [
     "source_txntable_datasource",
     "attr_multi_touch_revenue",
     "sim_cosine_topk_filtered",
+    "txn_bloom_skipping_read",
 ]
 
 

@@ -1135,8 +1135,9 @@ _TS_TABLE_CACHE: dict[str, str] = {}
 def _txn_timeseries_table(spark: SparkSession, sf_dir: str) -> str:
     """Append-mode manifest table built from six sequential 5-day ingest
     commits of `events` (sinks/txn.append_snapshot) with footer min/max
-    stats recorded for ts/value — the append-log + zone-map layout a
-    100 TB event archive uses for time-range reads."""
+    stats recorded for ts/value AND a bloom filter on user_id — the
+    append-log + zone-map + bloom-index layout a 100 TB event archive
+    uses for time-range AND point-probe reads."""
     path = _TS_TABLE_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
         from ..sinks.txn import append_snapshot
@@ -1153,6 +1154,7 @@ def _txn_timeseries_table(spark: SparkSession, sf_dir: str) -> str:
                 key="user_id",
                 n_buckets=4,
                 stats_cols=["ts", "value"],
+                bloom_cols=["user_id"],
             )
         _TS_TABLE_CACHE[sf_dir] = path = table
     return path
@@ -1201,6 +1203,54 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("value_cents_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "txn_bloom_skipping_read",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS value_cents_sum
+    FROM events
+    WHERE user_id = 7
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def txn_bloom_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point probe over the manifest txn table (Delta's bloom
+    filter index next to the r8 zone maps): the ingest commits of
+    _txn_timeseries_table also build a per-file bloom sidecar on user_id
+    — a high-cardinality column UNCORRELATED with the append layout, so
+    every file's [min, max] contains any probed id and zone maps prune
+    NOTHING for `user_id == 7`. The bloom filter answers "might this
+    file contain 7" with no false negatives; since the table is
+    hash-bucketed by user_id, a given user's rows land in one bucket per
+    commit and the probe opens ~1/n_buckets of the files (exact pruned
+    set pinned in tests/test_txn_bloom.py). At 100 TB this is the
+    needle-in-archive lookup (one user's history, one request id) priced
+    at opened-files ∝ hits instead of a full scan. Skipping is I/O-only:
+    the exact filter still runs, so a wrong prune surfaces against the
+    raw-events oracle."""
+    from ..sinks.txn import read_snapshot
+
+    t = read_snapshot(
+        spark,
+        _txn_timeseries_table(spark, sf_dir),
+        where=[("user_id", "==", 7)],
+    )
+    return (
+        t.where(F.col("user_id") == 7)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
             F.sum(
                 F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
             ).alias("value_cents_sum"),

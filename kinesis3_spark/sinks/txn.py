@@ -52,6 +52,7 @@ window.
 from __future__ import annotations
 
 import datetime as _dt
+import functools as _functools
 import json
 import os
 
@@ -184,6 +185,137 @@ def _file_may_match(stats: dict | None, col: str, op: str, *vals) -> bool:
     raise ValueError(f"unknown skipping op {op!r}")
 
 
+# ---- bloom-filter file skipping (Delta's bloom filter index) ----------
+#
+# Zone maps prune predicates CORRELATED with file layout (time ranges on
+# an append log, cluster keys after OPTIMIZE); an equality probe on a
+# high-cardinality, layout-uncorrelated column (user id, request id) hits
+# every file's [min, max] and zone maps prune nothing. A per-file bloom
+# filter answers "might this file contain value v" with no false
+# negatives, so a point lookup opens only the files whose filter fires —
+# the second half of the data-skipping story at 100 TB.
+
+_BLOOM_DIR = "_bloom"
+_BLOOM_BITS_PER_VALUE = 10  # ~1% fpp at k=7
+_BLOOM_K = 7
+
+
+def _bloom_key(v) -> bytes | None:
+    """Canonical hash-input bytes for a value, via the same type-tagged
+    encoding as the zone-map stats so int/ts/date values hash identically
+    on the write and probe sides. None = type not bloom-indexable."""
+    e = _encode_stat(v)
+    if e is None:
+        return None
+    return f"{e[0]}:{e[1]!r}".encode()
+
+
+def _bloom_positions(key: bytes, m: int, k: int) -> list[int]:
+    """k bit positions in [0, m) by double hashing the md5 halves —
+    deterministic across processes (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _harvest_bloom(
+    path: str, rel_paths: list[str], bloom_cols: list[str]
+) -> dict[str, dict[str, str]]:
+    """Build one bloom sidecar per (new file, bloom column) and return
+    {file_rel: {col: sidecar_rel}}. Sized at _BLOOM_BITS_PER_VALUE bits
+    per DISTINCT value (power-of-two m, floor 64). Like the footer-stats
+    harvest this is a driver loop over the JUST-WRITTEN files (columnar
+    single-column reads); on a real cluster the filter is accumulated in
+    the write tasks. Sidecar names embed the snap-dir nonce via the file
+    rel, so concurrent attempts never collide; a losing attempt's
+    sidecars are unreferenced garbage for vacuum."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, str]] = {}
+    os.makedirs(os.path.join(path, _BLOOM_DIR), exist_ok=True)
+    for rel in rel_paths:
+        pf = pq.ParquetFile(os.path.join(path, rel))
+        present = [c for c in bloom_cols if c in pf.schema_arrow.names]
+        if not present:
+            continue
+        tbl = pf.read(columns=present)
+        refs: dict[str, str] = {}
+        for col in present:
+            keys = set()
+            indexable = True
+            for v in tbl.column(col).to_pylist():
+                if v is None:
+                    continue
+                kb = _bloom_key(v)
+                if kb is None:  # unindexable type: no filter for this col
+                    indexable = False
+                    break
+                keys.add(kb)
+            if not indexable:
+                continue
+            m = 64
+            while m < len(keys) * _BLOOM_BITS_PER_VALUE:
+                m *= 2
+            bits = bytearray(m // 8)
+            for kb in keys:
+                for p in _bloom_positions(kb, m, _BLOOM_K):
+                    bits[p // 8] |= 1 << (p % 8)
+            sidecar_rel = os.path.join(
+                _BLOOM_DIR, rel.replace(os.sep, "__") + f".{col}.json"
+            )
+            with open(os.path.join(path, sidecar_rel), "w") as fh:
+                json.dump(
+                    {
+                        "m": m,
+                        "k": _BLOOM_K,
+                        "bits": base64.b64encode(bytes(bits)).decode(),
+                    },
+                    fh,
+                )
+            refs[col] = sidecar_rel
+        if refs:
+            out[rel] = refs
+    return out
+
+
+@_functools.lru_cache(maxsize=4096)
+def _load_bloom(abs_sidecar: str) -> tuple[int, int, bytes]:
+    """Sidecars are immutable and nonce-named, so caching on the absolute
+    path is safe across commits and vacuum/recreate cycles."""
+    import base64
+
+    with open(abs_sidecar) as fh:
+        d = json.load(fh)
+    return d["m"], d["k"], base64.b64decode(d["bits"])
+
+
+def _bloom_may_match(path: str, entry: dict, col: str, op: str, vals) -> bool:
+    """Bloom check for ONE predicate against ONE manifest entry. Only
+    equality probes are bloom-answerable; anything else (or a missing /
+    unreadable sidecar, or an unindexable probe value) conservatively
+    scans. No false negatives: a False here PROVES the value absent."""
+    if op != "==":
+        return True
+    ref = (entry.get("bloom") or {}).get(col)
+    if ref is None:
+        return True
+    kb = _bloom_key(vals[0])
+    if kb is None:
+        return True
+    try:
+        m, k, bits = _load_bloom(os.path.join(path, ref))
+    except (OSError, ValueError, KeyError):
+        return True  # reaped/corrupt sidecar: scan the file
+    return all(
+        bits[p // 8] >> (p % 8) & 1 for p in _bloom_positions(kb, m, k)
+    )
+
+
 def _manifest_path(path: str, epoch: int | None = None) -> str:
     if epoch is None:
         return os.path.join(path, MANIFEST)
@@ -300,6 +432,7 @@ def read_snapshot(
             for e in entries
             if all(
                 _file_may_match(e.get("stats"), p[0], p[1], *p[2:])
+                and _bloom_may_match(path, e, p[0], p[1], p[2:])
                 for p in where
             )
         ]
@@ -344,6 +477,7 @@ def commit_snapshot(
     n_buckets: int,
     carry: list[dict] | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     app_id: str | None = None,
     app_version: int | None = None,
 ) -> int:
@@ -403,6 +537,20 @@ def commit_snapshot(
         for e in new_entries:
             if e["path"] in fstats:
                 e["stats"] = fstats[e["path"]]
+    bloom_cols = list(
+        bloom_cols
+        if bloom_cols is not None
+        else (man.get("bloom_cols") or []) if man else []
+    )
+    if bloom_cols:
+        # bloom sidecars for the NEW files only; carried entries keep
+        # their existing sidecar refs (files and sidecars are immutable)
+        fbloom = _harvest_bloom(
+            path, [e["path"] for e in new_entries], bloom_cols
+        )
+        for e in new_entries:
+            if e["path"] in fbloom:
+                e["bloom"] = fbloom[e["path"]]
     files = sorted(
         list(carry or []) + new_entries, key=lambda e: (e["bucket"], e["path"])
     )
@@ -414,6 +562,7 @@ def commit_snapshot(
             "epoch": epoch,
             "n_buckets": n_buckets,
             "stats_cols": stats_cols,
+            "bloom_cols": bloom_cols,
             "schema": _evolved_schema(man, merged.drop(_BUCKET_COL).schema),
             "apps": apps,
             "constraints": dict((man.get("constraints") or {}) if man else {}),
@@ -482,6 +631,7 @@ def upsert_manifest_txn(
     mode: str = "replace",
     n_buckets: int = 8,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     max_retries: int = 5,
     app_id: str | None = None,
     app_version: int | None = None,
@@ -522,6 +672,7 @@ def upsert_manifest_txn(
             # layout + stats config are fixed at table creation
             n_buckets = man["n_buckets"]
             stats_cols = man.get("stats_cols") or None
+            bloom_cols = man.get("bloom_cols") or None
         _enforce_constraints(batch, man)
         touched = {
             int(r[0])
@@ -556,8 +707,8 @@ def upsert_manifest_txn(
         try:
             return commit_snapshot(
                 merged, path, key, n_buckets, carry=carry,
-                stats_cols=stats_cols, app_id=app_id,
-                app_version=app_version,
+                stats_cols=stats_cols, bloom_cols=bloom_cols,
+                app_id=app_id, app_version=app_version,
             )
         except CommitConflict as exc:
             last = exc
@@ -570,6 +721,7 @@ def append_snapshot(
     key: str = "id",
     n_buckets: int = 8,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     app_id: str | None = None,
     app_version: int | None = None,
 ) -> int:
@@ -607,13 +759,14 @@ def append_snapshot(
         if man is not None:
             n_buckets = man["n_buckets"]
             stats_cols = man.get("stats_cols") or None
+            bloom_cols = man.get("bloom_cols") or None
         _enforce_constraints(batch, man)
         carry = list(man["files"]) if man else []
         try:
             return commit_snapshot(
                 batch, path, key, n_buckets, carry=carry,
-                stats_cols=stats_cols, app_id=app_id,
-                app_version=app_version,
+                stats_cols=stats_cols, bloom_cols=bloom_cols,
+                app_id=app_id, app_version=app_version,
             )
         except CommitConflict as exc:
             last = exc
@@ -795,6 +948,7 @@ def restore_table(spark: SparkSession, path: str, epoch: int) -> int:
                 "epoch": new_epoch,
                 "n_buckets": old["n_buckets"],
                 "stats_cols": old.get("stats_cols") or [],
+                "bloom_cols": old.get("bloom_cols") or [],
                 "schema": old.get("schema"),
                 "apps": dict(cur.get("apps") or {}),
                 "constraints": old.get("constraints") or {},
@@ -884,6 +1038,7 @@ def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
             referenced.update(x["path"] for x in m["files"])
             for x in m["files"]:
                 referenced.update(x.get("dv", []))
+                referenced.update((x.get("bloom") or {}).values())
     deleted = []
     for root, _dirs, fs in os.walk(path, topdown=False):
         for f in fs:

@@ -188,14 +188,16 @@ class _TxnBatchReader(DataSourceReader):
         return filters  # skipping is I/O-only; Spark re-applies exactly
 
     def _may_match(self, entry: dict) -> bool:
-        from ..sinks.txn import _file_may_match
+        from ..sinks.txn import _bloom_may_match, _file_may_match
 
         stats = entry.get("stats")
         for col, kind, vals in self.pushed:
             s = (stats or {}).get(col)
             if kind == "in":
                 if not any(
-                    _file_may_match(stats, col, "==", v) for v in vals
+                    _file_may_match(stats, col, "==", v)
+                    and _bloom_may_match(self.path, entry, col, "==", (v,))
+                    for v in vals
                 ):
                     return False
             elif kind == "isnull":
@@ -208,6 +210,8 @@ class _TxnBatchReader(DataSourceReader):
                     return False
             else:
                 if not _file_may_match(stats, col, kind, *vals):
+                    return False
+                if not _bloom_may_match(self.path, entry, col, kind, vals):
                     return False
         return True
 

@@ -1,0 +1,151 @@
+"""Bloom-filter file skipping on the manifest txn table (sinks/txn.py):
+no false negatives, real pruning on layout-uncorrelated point probes,
+lifecycle composition (vacuum keeps referenced sidecars, compaction
+re-harvests, restore carries the config), and DS-reader partition
+pruning through the same sidecars."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis3_spark.sinks import txn as T
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Two append commits x 3 buckets, bloom on the id column: ids 0..59
+    in epoch 1, 1000..1059 in epoch 2."""
+    path = str(tmp_path / "tbl")
+    for base in (0, 1000):
+        batch = (
+            spark.range(base, base + 60)
+            .coalesce(1)  # one file per bucket dir per commit
+            .select(F.col("id"), (F.col("id") % 7).alias("grp"))
+        )
+        T.append_snapshot(
+            batch, path, key="id", n_buckets=3,
+            stats_cols=["id"], bloom_cols=["id"],
+        )
+    return path
+
+
+def _candidates(path, where):
+    man = T.read_manifest(path)
+    return [
+        e["path"]
+        for e in man["files"]
+        if all(
+            T._file_may_match(e.get("stats"), p[0], p[1], *p[2:])
+            and T._bloom_may_match(path, e, p[0], p[1], p[2:])
+            for p in where
+        )
+    ]
+
+
+def test_bloom_prunes_present_value_to_its_files(spark, table):
+    man = T.read_manifest(table)
+    n_files = len(man["files"])
+    assert n_files == 6  # 2 epochs x 3 buckets
+    cand = _candidates(table, [("id", "==", 17)])
+    # id 17 exists only in epoch 1, in exactly one hash bucket; stats
+    # can't prune sibling buckets (same [min,max] span) but bloom can.
+    assert len(cand) < n_files
+    # no false negative: the probe still returns the row
+    got = T.read_snapshot(spark, table, where=[("id", "==", 17)])
+    assert got.where(F.col("id") == 17).count() == 1
+
+
+def test_bloom_never_false_negative_for_any_present_id(spark, table):
+    man = T.read_manifest(table)
+    rel_by_file = {}
+    import pyarrow.parquet as pq
+
+    for e in man["files"]:
+        ids = set(
+            pq.read_table(os.path.join(table, e["path"]), columns=["id"])
+            .column("id")
+            .to_pylist()
+        )
+        rel_by_file[e["path"]] = ids
+    for e in man["files"]:
+        for v in rel_by_file[e["path"]]:
+            assert T._bloom_may_match(table, e, "id", "==", (v,)), (
+                e["path"], v)
+
+
+def test_bloom_absent_value_returns_empty_and_prunes(spark, table):
+    cand = _candidates(table, [("id", "==", 500)])
+    # 500 is in no file; zone maps already prove it outside both ranges,
+    # and bloom agrees — nothing survives.
+    assert cand == []
+    assert T.read_snapshot(spark, table, where=[("id", "==", 500)]) is None
+
+
+def test_bloom_is_equality_only_and_conservative(spark, table):
+    man = T.read_manifest(table)
+    e = man["files"][0]
+    # range ops never bloom-prune
+    assert T._bloom_may_match(table, e, "id", ">=", (0,))
+    # un-bloomed column: conservative
+    assert T._bloom_may_match(table, e, "grp", "==", (3,))
+    # unindexable probe value: conservative
+    assert T._bloom_may_match(table, e, "id", "==", (True,))
+    # reaped sidecar: conservative scan, not a crash
+    ref = next(iter(e["bloom"].values()))
+    e2 = dict(e, bloom={"id": ref + ".missing"})
+    assert T._bloom_may_match(table, e2, "id", "==", (17,))
+
+
+def test_vacuum_keeps_referenced_bloom_sidecars(spark, table):
+    deleted = T.vacuum_table(table, keep_epochs=1)
+    man = T.read_manifest(table)
+    refs = {r for e in man["files"] for r in (e.get("bloom") or {}).values()}
+    assert refs  # table still bloom-indexed
+    for r in refs:
+        assert os.path.exists(os.path.join(table, r)), r
+        assert r not in deleted
+    # pruning still works after vacuum
+    assert len(_candidates(table, [("id", "==", 17)])) < len(man["files"])
+
+
+def test_compaction_reharvests_blooms(spark, table):
+    T.compact_table(spark, table, key="id")
+    man = T.read_manifest(table)
+    assert man.get("bloom_cols") == ["id"]
+    assert all(e.get("bloom") for e in man["files"])
+    # both epochs' ids answer through the NEW files' sidecars
+    for probe in (17, 1017):
+        got = T.read_snapshot(spark, table, where=[("id", "==", probe)])
+        assert got.where(F.col("id") == probe).count() == 1
+
+
+def test_restore_carries_bloom_config(spark, table):
+    T.restore_table(spark, table, 1)
+    man = T.read_manifest(table)
+    assert man.get("bloom_cols") == ["id"]
+    # epoch-1 snapshot: id 1017 not yet ingested
+    assert T.read_snapshot(spark, table, where=[("id", "==", 1017)]) is None
+
+
+def test_datasource_reader_prunes_partitions_with_bloom(spark, table):
+    from kinesis3_spark.sources.txn_datasource import _TxnBatchReader
+
+    man = T.read_manifest(table)
+    schema_json = man["schema"]
+
+    class _Opts(dict):
+        pass
+
+    reader = _TxnBatchReader.__new__(_TxnBatchReader)
+    reader.path = table
+    reader.entries = man["files"]
+    reader.schema_json = schema_json
+    reader.pushed = [("id", "==", (17,))]
+    parts = reader.partitions()
+    assert 0 < len(parts) < len(man["files"])
+    reader.pushed = [("id", "in", (17, 1017))]
+    parts_in = reader.partitions()
+    assert len(parts) <= len(parts_in) < len(man["files"])
