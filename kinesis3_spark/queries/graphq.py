@@ -81,26 +81,29 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer parts-per-million (integer DIV on both engines, TESTING.md
     rule 3).
 
-    Scale: edges are stored ONCE (u < v), so the wedge join enumerates
-    each candidate 2-path once — the skew-killer at 100 TB is ordering
-    edge endpoints by DEGREE instead of id (Suri-Vassilvitskii): a
-    celebrity node's wedge fan-out collapses from deg² to the count of
-    its higher-degree neighbors². Id-order is kept here because the
-    co-purchase degree distribution is near-uniform (parts appear in a
-    bounded number of orders) and id-order is what the SQL oracle can
-    replicate exactly; the degree-ordered variant changes only the edge
-    orientation expression. Wedge COUNT comes from the degree sequence
-    (sum d*(d-1)/2 — a two-row-group aggregate), not from counting the
-    wedge join's output. The closing-edge join is an equi-join on
-    (u, w) — Catalyst shuffle-hash-joins both sides on the same key; no
-    broadcast is attempted because both sides are edge-scale."""
+    Scale: edges are stored ONCE and the triangle enumeration runs on
+    the DEGREE-ORDERED orientation (Suri-Vassilvitskii): each edge
+    points from its lower-(degree, id) endpoint to the higher, so a
+    celebrity node's wedge fan-out collapses from deg² to its
+    out-degree² — out-degrees under degree-ordering are O(sqrt(m))
+    even when raw degrees are power-law, which is THE bound that keeps
+    wedge enumeration alive on skewed 100 TB graphs. The triangle COUNT
+    is orientation-invariant (every triangle has exactly one source
+    node with both out-edges), so the SQL oracle keeps the simpler
+    id-ordered enumeration and the counts must agree exactly — the
+    orientation swap is plan-only, which is precisely why it is safe to
+    deploy. Wedge COUNT comes from the degree sequence (sum d*(d-1)/2 —
+    a two-row-group aggregate), not from counting the wedge join's
+    output. The closing-edge join is an equi-join on the (source, sink)
+    pair; no broadcast is attempted because both sides are edge-scale."""
     return triangle_census(_part_edges(spark, sf_dir))
 
 
 def triangle_census(edges: DataFrame) -> DataFrame:
     """One-row census of an undirected graph given its (u < v) edge list:
-    n_edges, n_wedges (from the degree sequence), n_triangles (ordered
-    wedge join), clustering_ppm = 3T/W in integer ppm."""
+    n_edges, n_wedges (from the degree sequence), n_triangles (wedge
+    join over the DEGREE-ORDERED orientation — the bounded-out-degree
+    enumeration), clustering_ppm = 3T/W in integer ppm."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -111,12 +114,27 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     n_wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges")
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # re-orient each edge from its lower-(degree, id) endpoint to the
+    # higher: out-degrees become O(sqrt(m)) regardless of raw-degree skew
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
         .join(
             e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
         )
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
