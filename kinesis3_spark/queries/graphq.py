@@ -34,6 +34,13 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge shuffle. For open vocabularies the a-priori cap discipline
     of seq_market_basket_pairs applies unchanged (cap items per basket,
     drop below-min-support items first)."""
+    return _part_edges_weighted(spark, sf_dir).select("u", "v")
+
+
+def _part_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, w) co-purchase edges with u < v, w = number of co-orders —
+    the strength the capped tier ranks neighbors by. The groupBy IS the
+    distinct of the unweighted form (same rows, one aggregate)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pid")
@@ -41,8 +48,8 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = items.alias("a"), items.alias("b")
     return (
         a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pid") < F.col("b.pid")))
-        .select(F.col("a.pid").alias("u"), F.col("b.pid").alias("v"))
-        .distinct()
+        .groupBy(F.col("a.pid").alias("u"), F.col("b.pid").alias("v"))
+        .agg(F.count("*").alias("w"))
     )
 
 
@@ -310,3 +317,93 @@ def pagerank(edges: DataFrame, iterations: int) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return state
+
+
+LINKPRED_CAP = 16  # strongest edges kept per wedge center
+
+
+@query(
+    "graph_linkpred_capped",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pid FROM lineitem),
+    edges AS (
+      SELECT a.pid AS u, b.pid AS v, count(*) AS w
+      FROM items a JOIN items b ON a.okey = b.okey AND a.pid < b.pid
+      GROUP BY 1, 2),
+    und AS (SELECT u, v, w FROM edges
+            UNION ALL SELECT v AS u, u AS v, w FROM edges),
+    capped AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rk
+        FROM und) WHERE rk <= {LINKPRED_CAP}),
+    wedge AS (
+      SELECT a.v AS x, b.v AS y, count(*) AS common
+      FROM capped a JOIN capped b ON a.u = b.u AND a.v < b.v
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.x, w.y, w.common
+      FROM wedge w LEFT JOIN edges e ON e.u = w.x AND e.v = w.y
+      WHERE e.u IS NULL)
+    SELECT CAST(x AS BIGINT) AS part_x, CAST(y AS BIGINT) AS part_y,
+           CAST(common AS BIGINT) AS n_common
+    FROM cand
+    ORDER BY n_common DESC, part_x, part_y
+    LIMIT 20
+    """,
+)
+def graph_linkpred_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction with the per-center cap APPLIED —
+    the declared open-web guard of graph_common_neighbor_linkpred made
+    real and oracle-pinned (the dedup_minhash_lsh_capped discipline: a
+    claimed cap is a tested code path, not a docstring promise). Each
+    wedge center keeps only its LINKPRED_CAP strongest edges (by
+    co-order count, ties on neighbor id), so the candidate expansion is
+    bounded at cap² per node — sum(min(deg, cap)²) total — no matter how
+    skewed the degree distribution; the anti-join still excludes ALL
+    existing edges, capped or not (a capped-away edge must not resurface
+    as a 'predicted' link). The cap changes results by design (weaker
+    wedges are dropped); both engines apply the identical deterministic
+    cap, so the top-20 is exact, and the capped candidate generation is
+    what a recommender actually ships."""
+    edges = _part_edges_weighted(spark, sf_dir)
+    return capped_common_neighbor_candidates(edges, k=20, cap=LINKPRED_CAP)
+
+
+def capped_common_neighbor_candidates(
+    weighted_edges: DataFrame, k: int, cap: int
+) -> DataFrame:
+    """Top-k non-adjacent pairs by shared-neighbor count over the capped
+    adjacency of a (u < v, w) edge list."""
+    from pyspark.sql import Window
+
+    e = weighted_edges
+    und = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    )
+    capped = (
+        und.withColumn("rk", rk).where(F.col("rk") <= cap).select("u", "v")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    wedge = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")))
+        .groupBy(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count("*").alias("common"))
+    )
+    cand = wedge.join(
+        e.select("u", "v"),
+        (F.col("u") == F.col("x")) & (F.col("v") == F.col("y")),
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("x").cast("bigint").alias("part_x"),
+            F.col("y").cast("bigint").alias("part_y"),
+            F.col("common").cast("bigint").alias("n_common"),
+        )
+        .orderBy(F.desc("n_common"), "part_x", "part_y")
+        .limit(k)
+    )

@@ -91,3 +91,39 @@ def test_pagerank_hub_outranks_leaves_on_registry_graph(spark, sf_dir):
     ranks = [r.rank_micro for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r > 0 for r in ranks)
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        [(int(u), int(v), int(w)) for u, v, w in triples], "u long, v long, w long"
+    )
+
+
+def test_capped_linkpred_drops_weak_wedges(spark):
+    # Hub 0 with neighbors 1 (w=9), 2 (w=8), 3 (w=1). cap=2 keeps edges to
+    # 1 and 2 only, so the only surviving candidate is (1,2); pairs through
+    # the dropped weak edge (1,3)/(2,3) disappear.
+    star = _wedges(spark, [(0, 1, 9), (0, 2, 8), (0, 3, 1)])
+    out = graphq.capped_common_neighbor_candidates(star, k=10, cap=2).collect()
+    got = {(r.part_x, r.part_y) for r in out}
+    assert got == {(1, 2)}
+    uncapped = graphq.capped_common_neighbor_candidates(star, k=10, cap=99).collect()
+    assert {(r.part_x, r.part_y) for r in uncapped} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_capped_linkpred_still_excludes_existing_edges(spark):
+    # Triangle 0-1-2 (all strong) + pendant 3: (1,2) is an edge and must
+    # stay excluded even though both capped adjacency lists contain it.
+    g = _wedges(spark, [(0, 1, 9), (0, 2, 9), (1, 2, 9), (0, 3, 9)])
+    out = graphq.capped_common_neighbor_candidates(g, k=10, cap=3).collect()
+    got = {(r.part_x, r.part_y) for r in out}
+    assert (1, 2) not in got
+    assert {(1, 3), (2, 3)} <= got
+
+
+def test_capped_linkpred_tie_breaks_on_neighbor_id(spark):
+    # Equal weights: cap=1 keeps the LOWEST neighbor id per center.
+    g = _wedges(spark, [(0, 5, 7), (0, 2, 7), (0, 9, 7)])
+    out = graphq.capped_common_neighbor_candidates(g, k=10, cap=2).collect()
+    # kept adjacency for center 0: neighbors 2 and 5 -> one candidate pair
+    assert {(r.part_x, r.part_y) for r in out} == {(2, 5)}
