@@ -182,6 +182,8 @@ def _file_may_match(stats: dict | None, col: str, op: str, *vals) -> bool:
         return mx >= v[0]
     if op == "between":
         return mx >= v[0] and mn <= v[1]
+    if op == "in":
+        return any(mn <= x <= mx for x in v)
     raise ValueError(f"unknown skipping op {op!r}")
 
 
@@ -299,6 +301,8 @@ def _bloom_may_match(path: str, entry: dict, col: str, op: str, vals) -> bool:
     equality probes are bloom-answerable; anything else (or a missing /
     unreadable sidecar, or an unindexable probe value) conservatively
     scans. No false negatives: a False here PROVES the value absent."""
+    if op == "in":
+        return any(_bloom_may_match(path, entry, col, "==", (x,)) for x in vals)
     if op != "==":
         return True
     ref = (entry.get("bloom") or {}).get(col)
@@ -402,8 +406,8 @@ def read_snapshot(
     the bounded-write-amplification contract. ``epoch`` time-travels to a
     retained historical version (immutable files + retained manifests
     make every old snapshot fully reconstructible until vacuumed).
-    ``where`` — ``[(col, op, v)...]`` with ops ``== < <= > >= between``
-    (conjunction) — DATA-SKIPS: files whose manifest min/max stats prove
+    ``where`` — ``[(col, op, v...)...]`` with ops ``== < <= > >= between
+    in`` (conjunction; ``in`` takes splatted values) — DATA-SKIPS: files whose manifest min/max stats prove
     the predicate unsatisfiable are dropped from the scan before Spark
     ever lists them (Delta/Iceberg zone-map pruning; at 100 TB this is
     what turns a point-in-time range query from a full-table scan into a

@@ -146,6 +146,18 @@ def test_datasource_reader_prunes_partitions_with_bloom(spark, table):
     reader.pushed = [("id", "==", (17,))]
     parts = reader.partitions()
     assert 0 < len(parts) < len(man["files"])
-    reader.pushed = [("id", "in", (17, 1017))]
+    reader.pushed = [("id", "in", (17, 1017))]  # DS-internal: vals as tuple
     parts_in = reader.partitions()
     assert len(parts) <= len(parts_in) < len(man["files"])
+
+
+def test_read_snapshot_in_list_prunes_with_stats_and_bloom(spark, table):
+    # IN-list: union of equality probes — stats prune by range union,
+    # bloom prunes to the files actually holding 17 or 1017.
+    cand = _candidates(table, [("id", "in", 17, 1017)])
+    man = T.read_manifest(table)
+    assert 0 < len(cand) < len(man["files"])
+    got = T.read_snapshot(spark, table, where=[("id", "in", 17, 1017)])
+    assert got.where(F.col("id").isin(17, 1017)).count() == 2
+    # all-absent IN-list: nothing survives
+    assert T.read_snapshot(spark, table, where=[("id", "in", 400, 500)]) is None

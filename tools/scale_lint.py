@@ -35,6 +35,9 @@ ALLOWED_AMPLIFICATION = {
     # broadcast as the brute tier, over the predicate-selected fraction
     # of the corpus (label pushdown asserted in tests/test_plan_guards.py).
     "sim_cosine_topk_filtered": "bounded query-set broadcast x filtered corpus",
+    # offline index-quality audit: the brute ground-truth pass is the
+    # audit's definition (sampled query set, not the serving path).
+    "sim_ivf_recall_band": "bounded query-set broadcast, offline recall audit",
 }
 
 
