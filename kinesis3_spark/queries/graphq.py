@@ -37,20 +37,43 @@ def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _part_edges_weighted(spark, sf_dir).select("u", "v")
 
 
+_EDGE_CACHE: dict[str, str] = {}  # sf_dir -> parquet path
+
+
 def _part_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u, v, w) co-purchase edges with u < v, w = number of co-orders —
     the strength the capped tier ranks neighbors by. The groupBy IS the
-    distinct of the unweighted form (same rows, one aggregate)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pid")
-    ).distinct()
-    a, b = items.alias("a"), items.alias("b")
-    return (
-        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pid") < F.col("b.pid")))
-        .groupBy(F.col("a.pid").alias("u"), F.col("b.pid").alias("v"))
-        .agg(F.count("*").alias("w"))
-    )
+    distinct of the unweighted form (same rows, one aggregate).
+
+    Materialized ONCE per (process, sf_dir) to a tmpdirs-reaped parquet
+    table and read back by every graph query — the production shape: the
+    edge list is a STORED table derived from the fact table, not a
+    per-query recomputation (the _txn_timeseries_table lifecycle; isdir
+    revalidation so a reaped scratch dir rebuilds)."""
+    import os
+
+    path = _EDGE_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from .. import tmpdirs
+
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        items = li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pid")
+        ).distinct()
+        a, b = items.alias("a"), items.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.okey") == F.col("b.okey"))
+                & (F.col("a.pid") < F.col("b.pid")),
+            )
+            .groupBy(F.col("a.pid").alias("u"), F.col("b.pid").alias("v"))
+            .agg(F.count("*").alias("w"))
+        )
+        path = tmpdirs.mkdtemp(prefix="k3s_graph_") + "/part_edges"
+        edges.write.mode("overwrite").parquet(path)
+        _EDGE_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 @query(
