@@ -5,8 +5,10 @@ hands events to SQL consumers); here the graph primitives themselves are
 first-class distributed operators.
 
 Graph = parts as nodes, an edge (u < v) when two parts co-occur in at
-least one order (the same basket normalization as
-funnel.seq_market_basket_pairs — the items helper is SHARED, not copied).
+least one order — the same (basket, item)-distinct normalization
+DISCIPLINE as funnel.seq_market_basket_pairs, at a different item
+granularity (part ids here, part brands there), so the implementations
+are deliberately separate.
 
 Triangle counting uses the classic distributed "ordered wedge" plan
 (Suri & Vassilvitskii, WWW'11 MapReduce triangle counting): store each

@@ -202,14 +202,22 @@ _BLOOM_BITS_PER_VALUE = 10  # ~1% fpp at k=7
 _BLOOM_K = 7
 
 
-def _bloom_key(v) -> bytes | None:
-    """Canonical hash-input bytes for a value, via the same type-tagged
-    encoding as the zone-map stats so int/ts/date values hash identically
-    on the write and probe sides. None = type not bloom-indexable."""
+def _bloom_key(v) -> tuple[str, bytes] | None:
+    """(type_tag, canonical hash-input bytes) for a value, via the same
+    type-tagged encoding as the zone-map stats so ts/date values hash
+    identically on the write and probe sides. The tag rides in the
+    sidecar and a probe whose tag differs from the stored one is NOT
+    bloom-answerable (int 7 vs float 7.0 hash differently but compare
+    equal in SQL — an untagged filter would false-negative, review r8).
+    None = type not bloom-indexable. Negative zero normalizes to 0.0
+    (repr differs, equality doesn't)."""
     e = _encode_stat(v)
     if e is None:
         return None
-    return f"{e[0]}:{e[1]!r}".encode()
+    tag, val = e
+    if tag == "float" and val == 0.0:
+        val = 0.0  # fold -0.0 into +0.0
+    return tag, f"{tag}:{val!r}".encode()
 
 
 def _bloom_positions(key: bytes, m: int, k: int) -> list[int]:
@@ -249,6 +257,7 @@ def _harvest_bloom(
         refs: dict[str, str] = {}
         for col in present:
             keys = set()
+            tags = set()
             indexable = True
             for v in tbl.column(col).to_pylist():
                 if v is None:
@@ -257,8 +266,11 @@ def _harvest_bloom(
                 if kb is None:  # unindexable type: no filter for this col
                     indexable = False
                     break
-                keys.add(kb)
-            if not indexable:
+                tags.add(kb[0])
+                keys.add(kb[1])
+            # a column must encode under ONE type tag — the tag gates
+            # probe answerability (a mixed-tag column can't be gated)
+            if not indexable or len(tags) > 1:
                 continue
             m = 64
             while m < len(keys) * _BLOOM_BITS_PER_VALUE:
@@ -273,6 +285,7 @@ def _harvest_bloom(
             with open(os.path.join(path, sidecar_rel), "w") as fh:
                 json.dump(
                     {
+                        "tag": next(iter(tags)) if tags else None,
                         "m": m,
                         "k": _BLOOM_K,
                         "bits": base64.b64encode(bytes(bits)).decode(),
@@ -286,21 +299,35 @@ def _harvest_bloom(
 
 
 @_functools.lru_cache(maxsize=4096)
-def _load_bloom(abs_sidecar: str) -> tuple[int, int, bytes]:
+def _load_bloom(abs_sidecar: str) -> tuple[str | None, int, int, bytes]:
     """Sidecars are immutable and nonce-named, so caching on the absolute
-    path is safe across commits and vacuum/recreate cycles."""
+    path is safe across commits and vacuum/recreate cycles. Validates the
+    payload's internal consistency (integer m/k, enough bits for m) so a
+    truncated-but-JSON-valid sidecar fails HERE as ValueError and the
+    caller degrades to a scan, never an IndexError mid-read (review r8)."""
     import base64
 
     with open(abs_sidecar) as fh:
         d = json.load(fh)
-    return d["m"], d["k"], base64.b64decode(d["bits"])
+    m, k, bits = d["m"], d["k"], base64.b64decode(d["bits"])
+    if (
+        not isinstance(m, int)
+        or not isinstance(k, int)
+        or m <= 0
+        or k <= 0
+        or len(bits) * 8 < m
+    ):
+        raise ValueError(f"inconsistent bloom sidecar {abs_sidecar}")
+    return d.get("tag"), m, k, bits
 
 
 def _bloom_may_match(path: str, entry: dict, col: str, op: str, vals) -> bool:
     """Bloom check for ONE predicate against ONE manifest entry. Only
-    equality probes are bloom-answerable; anything else (or a missing /
-    unreadable sidecar, or an unindexable probe value) conservatively
-    scans. No false negatives: a False here PROVES the value absent."""
+    equality probes are bloom-answerable; anything else (a missing /
+    unreadable / inconsistent sidecar, an unindexable probe value, or a
+    probe whose TYPE TAG differs from the column's — int 7 vs float 7.0
+    compare equal in SQL but hash apart) conservatively scans. No false
+    negatives: a False here PROVES the value absent."""
     if op == "in":
         return any(_bloom_may_match(path, entry, col, "==", (x,)) for x in vals)
     if op != "==":
@@ -311,12 +338,33 @@ def _bloom_may_match(path: str, entry: dict, col: str, op: str, vals) -> bool:
     kb = _bloom_key(vals[0])
     if kb is None:
         return True
+    probe_tag, key = kb
     try:
-        m, k, bits = _load_bloom(os.path.join(path, ref))
-    except (OSError, ValueError, KeyError):
+        tag, m, k, bits = _load_bloom(os.path.join(path, ref))
+    except (OSError, ValueError, KeyError, TypeError):
         return True  # reaped/corrupt sidecar: scan the file
+    if tag != probe_tag:
+        return True  # cross-type equality is not bloom-answerable
     return all(
-        bits[p // 8] >> (p % 8) & 1 for p in _bloom_positions(kb, m, k)
+        bits[p // 8] >> (p % 8) & 1 for p in _bloom_positions(key, m, k)
+    )
+
+
+def _entry_may_match(path: str, entry: dict, pred: tuple) -> bool:
+    """Full skipping decision (zone maps AND bloom) for one predicate.
+    An IN-list evaluates PER VALUE — some single value must pass both
+    checks; evaluating the two checks decoupled over the whole list is
+    strictly weaker (value A passes stats, value B passes bloom, no
+    value passes both — review r8; matches the DS reader's semantics)."""
+    col, op, vals = pred[0], pred[1], pred[2:]
+    if op == "in":
+        return any(
+            _file_may_match(entry.get("stats"), col, "==", x)
+            and _bloom_may_match(path, entry, col, "==", (x,))
+            for x in vals
+        )
+    return _file_may_match(entry.get("stats"), col, op, *vals) and _bloom_may_match(
+        path, entry, col, op, vals
     )
 
 
@@ -434,11 +482,7 @@ def read_snapshot(
         entries = [
             e
             for e in entries
-            if all(
-                _file_may_match(e.get("stats"), p[0], p[1], *p[2:])
-                and _bloom_may_match(path, e, p[0], p[1], p[2:])
-                for p in where
-            )
+            if all(_entry_may_match(path, e, p) for p in where)
         ]
     if not entries:
         return None

@@ -37,11 +37,7 @@ def _candidates(path, where):
     return [
         e["path"]
         for e in man["files"]
-        if all(
-            T._file_may_match(e.get("stats"), p[0], p[1], *p[2:])
-            and T._bloom_may_match(path, e, p[0], p[1], p[2:])
-            for p in where
-        )
+        if all(T._entry_may_match(path, e, p) for p in where)
     ]
 
 
@@ -161,3 +157,61 @@ def test_read_snapshot_in_list_prunes_with_stats_and_bloom(spark, table):
     assert got.where(F.col("id").isin(17, 1017)).count() == 2
     # all-absent IN-list: nothing survives
     assert T.read_snapshot(spark, table, where=[("id", "in", 400, 500)]) is None
+
+
+def test_bloom_cross_type_probe_is_conservative(spark, tmp_path):
+    # int 7 == float 7.0 in SQL; the bloom must NOT prune across the type
+    # tag boundary (review r8: untagged filters false-negative here).
+    path = str(tmp_path / "ft")
+    batch = spark.range(0, 20).coalesce(1).select(
+        (F.col("id") + F.lit(0.0)).alias("fval")
+    )
+    T.append_snapshot(batch, path, key="fval", n_buckets=1, bloom_cols=["fval"])
+    man = T.read_manifest(path)
+    e = man["files"][0]
+    # float probe on the float column: answerable both ways
+    assert T._bloom_may_match(path, e, "fval", "==", (7.0,))
+    assert not T._bloom_may_match(path, e, "fval", "==", (777.5,))
+    # int probe on a float-tagged column: conservative scan, never pruned
+    assert T._bloom_may_match(path, e, "fval", "==", (7,))
+    assert T._bloom_may_match(path, e, "fval", "==", (777,))
+    # the read itself keeps the file for the cross-type probe
+    got = T.read_snapshot(spark, path, where=[("fval", "==", 7)])
+    assert got is not None and got.where(F.col("fval") == 7).count() == 1
+
+
+def test_bloom_negative_zero_folds_to_zero(spark, tmp_path):
+    path = str(tmp_path / "nz")
+    batch = spark.createDataFrame([(-0.0,), (3.5,)], "x double").coalesce(1)
+    T.append_snapshot(batch, path, key="x", n_buckets=1, bloom_cols=["x"])
+    e = T.read_manifest(path)["files"][0]
+    assert T._bloom_may_match(path, e, "x", "==", (0.0,))  # 0.0 == -0.0
+
+
+def test_truncated_sidecar_degrades_to_scan(spark, table):
+    import base64, json as _json
+
+    man = T.read_manifest(table)
+    e = man["files"][0]
+    ref = e["bloom"]["id"]
+    side = os.path.join(table, ref)
+    d = _json.load(open(side))
+    # JSON-valid but internally inconsistent: bits shorter than m/8
+    d["bits"] = base64.b64encode(b"\x00").decode()
+    with open(side, "w") as fh:
+        _json.dump(d, fh)
+    T._load_bloom.cache_clear()
+    # conservative scan, not IndexError
+    assert T._bloom_may_match(table, e, "id", "==", (17,))
+
+
+def test_in_list_requires_one_value_passing_both_checks(spark, table):
+    # Per-value conjunction: (17 passes stats+bloom on its file) OK, but a
+    # file where value A passes only stats and value B passes only bloom
+    # must NOT survive. Construct: probe (1017, absent-500) against the
+    # epoch-1 files — 1017 fails stats there, 500 fails everywhere.
+    man = T.read_manifest(table)
+    epoch1 = [e for e in man["files"] if e["path"].startswith("snap-000001")]
+    assert epoch1
+    for e in epoch1:
+        assert not T._entry_may_match(table, e, ("id", "in", 1017, 500))
