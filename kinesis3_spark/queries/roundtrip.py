@@ -1259,6 +1259,71 @@ def txn_bloom_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COLMAP_TABLE_CACHE: dict[str, str] = {}
+
+
+def _txn_colmap_table(spark: SparkSession, sf_dir: str) -> str:
+    """Events ingested once, then metadata-only schema surgery: `value`
+    RENAMED to amount_usd, `props` DROPPED — zero files rewritten
+    (sinks/txn column mapping)."""
+    path = _COLMAP_TABLE_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from ..sinks.txn import append_snapshot, drop_column, rename_column
+
+        table = tmpdirs.mkdtemp(prefix="k3s_colmap_txn_") + "/events_renamed"
+        append_snapshot(
+            load_table(spark, sf_dir, "events"), table, key="user_id",
+            n_buckets=4, stats_cols=["ts"],
+        )
+        rename_column(table, "value", "amount_usd")
+        drop_column(table, "props")
+        _COLMAP_TABLE_CACHE[sf_dir] = path = table
+    return path
+
+
+@query(
+    "txn_column_rename_read",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS amount_cents_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def txn_column_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through column mapping (Delta's RENAME/DROP COLUMN without
+    rewrite): the txn table ingested `events` once, then renamed `value`
+    to `amount_usd` and dropped `props` as METADATA-ONLY commits — the
+    parquet files and the manifest's physical schema still say `value`,
+    and not one byte was rewritten (file-set identity pinned in
+    tests/test_txn_colmap.py). The scan reads physical names and
+    presents logical ones at the end; the oracle reads the RAW events
+    under the old name and the sums must agree cent-for-cent — a
+    translation bug (wrong column surfaced, dropped column leaking,
+    stale mapping) breaks the hash. At 100 TB a rename that rewrites is
+    a full-table migration; a rename that re-points a manifest entry is
+    an O(1) commit — this is the entire point of the mapping layer.
+    Time travel presents each epoch under its own names; writers
+    translate incoming logical batches back to physical (both pinned in
+    the tests)."""
+    from ..sinks.txn import read_snapshot
+
+    t = read_snapshot(spark, _txn_colmap_table(spark, sf_dir))
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("amount_usd") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("amount_cents_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "upsert_manifest_txn",
     oracle="""

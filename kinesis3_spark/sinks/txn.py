@@ -368,6 +368,59 @@ def _entry_may_match(path: str, entry: dict, pred: tuple) -> bool:
     )
 
 
+# ---- column mapping (Delta's rename/drop without rewrite) -------------
+#
+# The manifest "schema" and every data file keep PHYSICAL column names,
+# forever. "column_mapping" = {logical: physical} records renames;
+# "dropped_cols" lists physical columns no longer presented. Readers
+# translate physical -> logical at the end of the scan; writers translate
+# incoming logical batches -> physical before a byte is written. A rename
+# or drop is therefore a METADATA-ONLY commit: zero files rewritten,
+# history (time travel / CDF) presents each epoch under the names that
+# epoch had.
+
+
+def _mapping(man: dict | None) -> dict[str, str]:
+    return dict((man or {}).get("column_mapping") or {})
+
+
+def _dropped(man: dict | None) -> list[str]:
+    return list((man or {}).get("dropped_cols") or [])
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    for logical, phys in mapping.items():
+        if logical in df.columns:
+            df = df.withColumnRenamed(logical, phys)
+    return df
+
+
+def _present_logical(df: DataFrame, man: dict, keep: list[str] = ()) -> DataFrame:
+    """Physical scan -> logical presentation: dropped columns vanish,
+    renamed columns surface under their logical names. ``keep`` preserves
+    internal metadata columns (__rel/__pos) untouched."""
+    mapping, drop = _mapping(man), set(_dropped(man))
+    if not mapping and not drop:
+        return df
+    inv = {p: l for l, p in mapping.items()}
+    cols = [
+        F.col(c).alias(inv.get(c, c))
+        for c in df.columns
+        if c not in drop or c in keep
+    ]
+    return df.select(*cols)
+
+
+def _logical_names(man: dict) -> list[str]:
+    mapping, drop = _mapping(man), set(_dropped(man))
+    inv = {p: l for l, p in mapping.items()}
+    return [
+        inv.get(f["name"], f["name"])
+        for f in (man.get("schema") or {"fields": []})["fields"]
+        if f["name"] not in drop
+    ]
+
+
 def _manifest_path(path: str, epoch: int | None = None) -> str:
     if epoch is None:
         return os.path.join(path, MANIFEST)
@@ -479,6 +532,10 @@ def read_snapshot(
     if buckets is not None:
         entries = [e for e in entries if e["bucket"] in buckets]
     if where is not None:
+        # predicates arrive in LOGICAL names; stats/bloom are keyed by
+        # the files' physical names
+        cmap = _mapping(man)
+        where = [(cmap.get(p[0], p[0]), *p[1:]) for p in where]
         entries = [
             e
             for e in entries
@@ -498,7 +555,8 @@ def read_snapshot(
     df = reader.parquet(*(os.path.join(path, e["path"]) for e in entries))
     dv_refs = sorted({r for e in entries for r in e.get("dv", [])})
     if not dv_refs and not _with_pos:
-        return df
+        return _present_logical(df, man)
+    df = _present_logical(df, man)
     cols = df.columns
     # rel path = the trailing snap-dir/bucket-dir/file triple of the scan
     # URI — exactly the manifest's entry["path"], resolvable per row
@@ -551,6 +609,17 @@ def commit_snapshot(
     import uuid
 
     man = read_manifest(path)
+    # data lands under PHYSICAL names; callers speak logical throughout
+    cmap = _mapping(man)
+    merged = _to_physical(merged, cmap)
+    key = cmap.get(key, key)
+    reused = set(merged.columns) & set(_dropped(man))
+    if reused:
+        raise ValueError(
+            f"column name(s) {sorted(reused)} were DROPPED from this table; "
+            "re-adding a dropped physical name would resurrect old files' "
+            "data under it (needs a full rewrite/vacuum of history first)"
+        )
     epoch = (man["epoch"] if man else 0) + 1
     snap = f"snap-{epoch:06d}-{uuid.uuid4().hex[:8]}"
     snap_dir = os.path.join(path, snap)
@@ -614,6 +683,8 @@ def commit_snapshot(
             "schema": _evolved_schema(man, merged.drop(_BUCKET_COL).schema),
             "apps": apps,
             "constraints": dict((man.get("constraints") or {}) if man else {}),
+            "column_mapping": cmap,
+            "dropped_cols": _dropped(man),
             "files": files,
         },
         indent=1,
@@ -997,6 +1068,8 @@ def restore_table(spark: SparkSession, path: str, epoch: int) -> int:
                 "n_buckets": old["n_buckets"],
                 "stats_cols": old.get("stats_cols") or [],
                 "bloom_cols": old.get("bloom_cols") or [],
+                "column_mapping": _mapping(old),
+                "dropped_cols": _dropped(old),
                 "schema": old.get("schema"),
                 "apps": dict(cur.get("apps") or {}),
                 "constraints": old.get("constraints") or {},
@@ -1007,6 +1080,86 @@ def restore_table(spark: SparkSession, path: str, epoch: int) -> int:
         try:
             _publish_manifest(path, new_epoch, payload)
             return new_epoch
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN as a metadata-only commit (Delta column
+    mapping): the files and the manifest's physical schema never change —
+    the new epoch's ``column_mapping`` presents the physical column under
+    the new logical name. Time travel to a pre-rename epoch presents the
+    OLD name (each epoch reads under its own mapping). Refused while a
+    CHECK constraint references the old name (constraints are stored as
+    logical SQL text and would silently stop binding — drop/re-add the
+    constraint around the rename, Delta's rule)."""
+    import re as _re
+
+    last: CommitConflict | None = None
+    for _attempt in range(5):
+        man = read_manifest(path)
+        assert man is not None, f"no committed table at {path}"
+        logical = _logical_names(man)
+        if old not in logical:
+            raise ValueError(f"no column {old!r} to rename (have {logical})")
+        if new in logical:
+            raise ValueError(f"column {new!r} already exists")
+        for cname, cond in (man.get("constraints") or {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", cond):
+                raise ValueError(
+                    f"constraint {cname!r} references {old!r}; drop it "
+                    "before renaming"
+                )
+        cmap = _mapping(man)
+        phys = cmap.pop(old, old)
+        if new != phys:  # rename back to the physical name = identity
+            cmap[new] = phys
+        payload = json.dumps(
+            {**{k: man[k] for k in man if k != "epoch"},
+             "column_mapping": cmap, "epoch": man["epoch"] + 1},
+            indent=1,
+        )
+        try:
+            _publish_manifest(path, man["epoch"] + 1, payload)
+            return man["epoch"] + 1
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def drop_column(path: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN as a metadata-only commit: the physical
+    column stays in every file (and in pre-drop epochs for time travel);
+    the new epoch's reads stop presenting it. Re-adding the same physical
+    name later is REFUSED at commit (it would resurrect the old files'
+    data under the new column) — Delta's column-mapping drop semantics.
+    Refused while a CHECK constraint references the column."""
+    import re as _re
+
+    last: CommitConflict | None = None
+    for _attempt in range(5):
+        man = read_manifest(path)
+        assert man is not None, f"no committed table at {path}"
+        if col not in _logical_names(man):
+            raise ValueError(f"no column {col!r} to drop")
+        for cname, cond in (man.get("constraints") or {}).items():
+            if _re.search(rf"\b{_re.escape(col)}\b", cond):
+                raise ValueError(
+                    f"constraint {cname!r} references {col!r}; drop it first"
+                )
+        cmap = _mapping(man)
+        phys = cmap.pop(col, col)
+        dropped = _dropped(man) + [phys]
+        payload = json.dumps(
+            {**{k: man[k] for k in man if k != "epoch"},
+             "column_mapping": cmap, "dropped_cols": dropped,
+             "epoch": man["epoch"] + 1},
+            indent=1,
+        )
+        try:
+            _publish_manifest(path, man["epoch"] + 1, payload)
+            return man["epoch"] + 1
         except CommitConflict as exc:
             last = exc
     raise last

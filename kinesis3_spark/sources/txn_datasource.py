@@ -153,6 +153,16 @@ class _TxnBatchReader(DataSourceReader):
         self.schema_json = schema_json
         ep = options.get("epoch")
         man = read_manifest(self.path, int(ep) if ep is not None else None)
+        if man and (man.get("column_mapping") or man.get("dropped_cols")):
+            # logical<->physical translation is not wired through this
+            # scan engine yet; failing loudly beats presenting physical
+            # names (or resurrected dropped columns) as if they were the
+            # table. read_snapshot is the mapping-aware reader.
+            raise ValueError(
+                "txntable data source does not support column-mapped "
+                f"tables yet (renamed/dropped columns at {self.path}); "
+                "read via sinks.txn.read_snapshot"
+            )
         self.entries = man["files"] if man else []
         self.pushed: list[tuple] = []  # (col, kind, values)
 
