@@ -1374,6 +1374,133 @@ def upsert_manifest_txn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERGE_TABLE_CACHE: dict[str, str] = {}
+
+
+def _txn_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """A partial customer dimension (custkey % 3 <> 0, integer-cent
+    balances) merged once with the per-customer order rollup through the
+    full clause matrix (sinks/txn.merge_into); the POST-merge table is
+    what's cached, so re-running the query never re-applies the merge."""
+    path = _MERGE_TABLE_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from ..sinks.txn import append_snapshot, merge_into
+
+        table = tmpdirs.mkdtemp(prefix="k3s_merge_txn_") + "/cust_merged"
+        cust = load_table(spark, sf_dir, "customer")
+        tgt = cust.where(F.col("c_custkey") % 3 != 0).select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        )
+        append_snapshot(tgt, table, key="c_custkey", n_buckets=8)
+        src = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).alias("total_cents"),
+            )
+        )
+        merge_into(
+            spark, table, src, key="c_custkey",
+            matched=[
+                {"condition": "acctbal_cents < 0", "delete": True},
+                {"condition": "src_n_orders >= 20",
+                 "update": {"acctbal_cents":
+                            "acctbal_cents + 2*src_total_cents"}},
+                {"update": {"acctbal_cents":
+                            "acctbal_cents + src_total_cents"}},
+            ],
+            not_matched=[
+                {"condition": "src_total_cents > 10000000",
+                 "insert": {"c_custkey": "src_c_custkey",
+                            "acctbal_cents": "src_total_cents"}},
+            ],
+            not_matched_by_source=[
+                {"condition": "acctbal_cents < 0", "delete": True},
+            ],
+        )
+        _MERGE_TABLE_CACHE[sf_dir] = path = table
+    return path
+
+
+@query(
+    "txn_merge_clauses_read",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey,
+             c_mktsegment AS mktsegment,
+             CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents
+      FROM customer WHERE c_custkey % 3 <> 0
+    ), src AS (
+      SELECT o_custkey AS c_custkey,
+             count(*)::BIGINT AS n_orders,
+             SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+               AS total_cents
+      FROM orders GROUP BY 1
+    ), merged AS (
+      SELECT t.mktsegment,
+             CASE WHEN s.c_custkey IS NULL THEN t.acctbal_cents
+                  WHEN s.n_orders >= 20
+                    THEN t.acctbal_cents + 2*s.total_cents
+                  ELSE t.acctbal_cents + s.total_cents
+             END AS acctbal_cents
+      FROM tgt t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+      WHERE t.acctbal_cents >= 0
+      UNION ALL
+      SELECT NULL AS mktsegment, s.total_cents AS acctbal_cents
+      FROM src s LEFT JOIN tgt t ON t.c_custkey = s.c_custkey
+      WHERE t.c_custkey IS NULL AND s.total_cents > 10000000
+    )
+    SELECT coalesce(mktsegment, '(inserted)') AS segment,
+           count(*)::BIGINT AS n_rows,
+           SUM(acctbal_cents)::BIGINT AS bal_cents_sum
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def txn_merge_clauses_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with the full ordered clause matrix (Delta MERGE on the
+    manifest table, sinks/txn.merge_into): a partial customer dimension
+    merged with the per-customer order rollup — WHEN MATCHED AND negative
+    DELETE, WHEN MATCHED AND >=20 orders UPDATE at double credit, WHEN
+    MATCHED UPDATE, WHEN NOT MATCHED AND big spender INSERT (NULL
+    segment), WHEN NOT MATCHED BY SOURCE AND negative DELETE. The oracle
+    replays the identical decision table in SQL (LEFT JOIN + CASE +
+    anti-join UNION) over the raw tables; clause-ordering bugs (a delete
+    examined after an update), wrong-branch credits, resurrected
+    negatives, or lost inserts all break the cent-exact hash. The
+    clause engine itself is pinned in tests/test_txn_merge.py (ordering,
+    update-all/insert-all, dup-source refusal, bucket carry, constraint
+    gating, replay fence, column-mapping interop).
+
+    Scale: one full-outer hash join between the touched buckets' files
+    and the source, CASE projections JVM-side, untouched files carried by
+    reference — except the not-matched-by-source clause, which (as in
+    Delta) must examine every target row and rewrites all buckets."""
+    from ..sinks.txn import read_snapshot
+
+    t = read_snapshot(spark, _txn_merge_table(spark, sf_dir))
+    return (
+        t.groupBy(
+            F.coalesce(F.col("mktsegment"), F.lit("(inserted)")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("acctbal_cents").alias("bal_cents_sum"),
+        )
+        .orderBy("segment")
+    )
+
+
 _DV_CACHE: dict[str, str] = {}
 
 

@@ -892,6 +892,196 @@ def append_snapshot(
     raise last
 
 
+def _logical_struct(man: dict):
+    """The table's LOGICAL schema as a StructType: manifest (physical)
+    fields minus dropped columns, renamed through the column mapping."""
+    from pyspark.sql.types import StructField, StructType
+
+    phys = StructType.fromJson(man["schema"])
+    inv = {p: l for l, p in _mapping(man).items()}
+    drop = set(_dropped(man))
+    return StructType(
+        [
+            StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+            for f in phys.fields
+            if f.name not in drop
+        ]
+    )
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str = "id",
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    max_retries: int = 5,
+    app_id: str | None = None,
+    app_version: int | None = None,
+) -> int:
+    """MERGE INTO with ordered conditional clauses (Delta's full MERGE
+    surface, on the manifest table): join ``source`` to the target on
+    ``key``, then apply the FIRST satisfied clause per row — later
+    clauses never see a row an earlier clause claimed, exactly Delta's
+    clause-ordering rule.
+
+    Clause namespaces: conditions and SET/VALUES expressions are SQL
+    strings where target columns appear under their own (logical) names
+    and source columns under ``src_<name>``. Clause shapes::
+
+        matched               = [{"condition": sql|None,
+                                  "update": {col: sql} | "all"}      # or
+                                 {"condition": sql|None, "delete": True}]
+        not_matched           = [{"condition": sql|None,
+                                  "insert": {col: sql} | "all"}]
+        not_matched_by_source = [{"condition": sql|None,
+                                  "update": ...} | {"delete": True}]
+
+    ``"all"`` = Delta's UPDATE */INSERT *: every target column that has a
+    same-named source column. Unset columns keep the target value on
+    update and are NULL on insert. A matched row claimed by no clause is
+    kept unchanged; an unmatched source row claimed by no clause is
+    ignored; a target row not matched by source is kept unless a
+    not_matched_by_source clause deletes/updates it. NULL conditions
+    count as not-satisfied (SQL WHERE).
+
+    Physical plan: ONE full-outer hash join between the touched buckets'
+    committed files and the source, followed by CASE projections —
+    entirely JVM-side, no per-clause passes. Write amplification stays
+    bucket-bounded: only the source keys' hash buckets are rewritten and
+    every untouched file is carried by reference — UNLESS a
+    not_matched_by_source clause is present, which (as in Delta) must
+    examine every target row and therefore rewrites all buckets.
+
+    Safety: if any duplicate source key matches an existing target row
+    the merge raises (Delta's "multiple source rows matched" error —
+    applying two clauses to one target row is nondeterministic); CHECK
+    constraints are validated on the FULL rewritten output (updates can
+    violate, not just inserts) before anything publishes; replayed
+    micro-batches are fenced by the ``app_id``/``app_version`` watermark;
+    a lost OCC race re-runs the whole merge from the winner's snapshot.
+    Insert clauses must populate ``key`` (use ``"all"`` or set it
+    explicitly) — a NULL merge key is legal but almost always a bug.
+    Returns the committed epoch."""
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    not_matched_by_source = list(not_matched_by_source or [])
+    assert matched or not_matched or not_matched_by_source, "no clauses"
+    src = source.select(
+        [F.col(c).alias(f"src_{c}") for c in source.columns]
+    ).withColumn("__s", F.lit(True))
+
+    last: CommitConflict | None = None
+    for _attempt in range(max_retries):
+        man = read_manifest(path)
+        assert man is not None, f"no committed table at {path}"
+        if (
+            app_id is not None
+            and (man.get("apps") or {}).get(app_id, -1) >= app_version
+        ):
+            return man["epoch"]  # replayed batch: already merged
+        n_buckets = man["n_buckets"]
+        tcols = [f.name for f in _logical_struct(man).fields]
+        bad = [c for c in tcols if c.startswith(("src_", "__"))]
+        assert not bad, f"target columns collide with merge namespace: {bad}"
+
+        if not_matched_by_source:
+            touched = set(range(n_buckets))
+        else:
+            touched = {
+                int(r[0])
+                for r in source.select(
+                    _bucket_expr(key, n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+        current = read_snapshot(spark, path, buckets=touched)
+        if current is None:  # no committed files in the touched buckets
+            current = spark.createDataFrame([], _logical_struct(man))
+        if matched:
+            # Delta's ambiguity rule: a target row claimed by two source
+            # rows would apply two clauses nondeterministically. Dup keys
+            # are fine while they miss the target (multi-row inserts are
+            # append-like), so the probe is dup-keys SEMI JOIN target.
+            dup = (
+                src.groupBy(f"src_{key}")
+                .count()
+                .filter("count > 1")
+                .join(
+                    current.select(F.col(key).alias(f"src_{key}")),
+                    f"src_{key}",
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE: multiple source rows match the same target "
+                    f"row on {key!r}; aggregate the source first"
+                )
+        tgt = current.withColumn("__t", F.lit(True))
+        j = tgt.join(
+            src, F.col(key) == F.col(f"src_{key}"), "full_outer"
+        )
+        is_t = F.coalesce(F.col("__t"), F.lit(False))
+        is_s = F.coalesce(F.col("__s"), F.lit(False))
+
+        vals: dict = {c: F.col(c) for c in tcols}
+        survive = is_t  # inserts opt in; target rows opt out via delete
+
+        def _walk(mask, clauses, inserting=False):
+            nonlocal survive
+            remaining = mask
+            for cl in clauses:
+                cond = (
+                    F.coalesce(F.expr(cl["condition"]), F.lit(False))
+                    if cl.get("condition")
+                    else F.lit(True)
+                )
+                hit = remaining & cond
+                if cl.get("delete"):
+                    survive = survive & ~hit
+                else:
+                    setmap = cl["insert" if inserting else "update"]
+                    if setmap == "all":
+                        setmap = {
+                            c: f"src_{c}"
+                            for c in tcols
+                            if f"src_{c}" in j.columns
+                        }
+                    for c, ex in setmap.items():
+                        assert c in vals, f"unknown target column {c!r}"
+                        vals[c] = F.when(hit, F.expr(ex)).otherwise(vals[c])
+                    if inserting:
+                        survive = survive | hit
+                remaining = remaining & ~hit
+
+        _walk(is_t & is_s, matched)
+        _walk(~is_t & is_s, not_matched, inserting=True)
+        _walk(is_t & ~is_s, not_matched_by_source)
+
+        dtypes = {f.name: f.dataType for f in _logical_struct(man).fields}
+        out = j.filter(survive).select(
+            [vals[c].cast(dtypes[c]).alias(c) for c in tcols]
+        )
+        _enforce_constraints(out, man)
+        carry = [e for e in man["files"] if e["bucket"] not in touched]
+        try:
+            return commit_snapshot(
+                out, path, key, n_buckets, carry=carry,
+                stats_cols=man.get("stats_cols") or None,
+                bloom_cols=man.get("bloom_cols") or None,
+                app_id=app_id, app_version=app_version,
+            )
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
 def delete_where(
     spark: SparkSession, path: str, condition, max_retries: int = 5
 ) -> tuple[int, int]:
