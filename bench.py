@@ -111,6 +111,13 @@ HEADLINE = [
     "attr_multi_touch_revenue",
     "sim_cosine_topk_filtered",
     "txn_bloom_skipping_read",
+    # round 8d: the full MERGE clause matrix (one outer join + CASE) and
+    # the column-mapped read (metadata-only rename/drop)
+    "txn_merge_clauses_read",
+    "txn_column_rename_read",
+    # round 8d: the graph tier's heaviest member (degree-ordered triangle
+    # enumeration) guards the wedge-join shuffle budget
+    "graph_triangle_census",
 ]
 
 

@@ -1141,7 +1141,11 @@ def delete_where(
         files = []
         for e in man["files"]:
             e = dict(e)
-            if e["path"] in affected:
+            # match on the trailing snap/bucket/file triple — identical
+            # to e["path"] for locally-written files, and what a shallow
+            # clone's inherited "../src/..." references end with (the
+            # scan's __rel is always the trailing triple)
+            if "/".join(e["path"].split("/")[-3:]) in affected:
                 e["dv"] = list(e.get("dv", [])) + dv_files
             files.append(e)
         payload = json.dumps(
@@ -1353,6 +1357,47 @@ def drop_column(path: str, col: str) -> int:
         except CommitConflict as exc:
             last = exc
     raise last
+
+
+def clone_table(src: str, dst: str, epoch: int | None = None) -> int:
+    """Shallow CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): ``dst``
+    becomes a fully independent table whose first epoch REFERENCES the
+    source's immutable data files (and dv/bloom sidecars) by relative
+    path — zero bytes copied, O(manifest) time, at any retained source
+    ``epoch``. Writes to either table never touch the other: the clone's
+    commits land under its own directory and simply stop carrying (or
+    DV-mask) inherited references; compaction fully detaches it. Layout,
+    schema, constraints, and column mapping are inherited; writer-app
+    watermarks are NOT (a replayed micro-batch is new work for the
+    clone — Delta's rule). The clone's vacuum walks only its own
+    directory, so inherited files are physically safe from it; the one
+    operational hazard is Delta's own: VACUUM ON THE SOURCE can reap
+    files the clone still references (track clones before vacuuming, or
+    compact the clone first)."""
+    man = read_manifest(src, epoch)
+    assert man is not None, f"no committed table at {src}"
+    assert read_manifest(dst) is None, f"destination {dst} already exists"
+    os.makedirs(dst, exist_ok=True)
+    rel = os.path.relpath(os.path.abspath(src), os.path.abspath(dst))
+
+    def _r(p: str) -> str:
+        return os.path.normpath(os.path.join(rel, p))
+
+    files = []
+    for e in man["files"]:
+        e = dict(e, path=_r(e["path"]))
+        if e.get("dv"):
+            e["dv"] = [_r(r) for r in e["dv"]]
+        if e.get("bloom"):
+            e["bloom"] = {c: _r(r) for c, r in e["bloom"].items()}
+        files.append(e)
+    payload = json.dumps(
+        {**{k: man[k] for k in man if k not in ("epoch", "files", "apps")},
+         "epoch": 1, "apps": {}, "files": files},
+        indent=1,
+    )
+    _publish_manifest(dst, 1, payload)
+    return 1
 
 
 def add_constraint(path: str, name: str, condition: str) -> int:
