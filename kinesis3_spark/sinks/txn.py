@@ -389,24 +389,27 @@ def _dropped(man: dict | None) -> list[str]:
 
 
 def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
-    for logical, phys in mapping.items():
-        if logical in df.columns:
-            df = df.withColumnRenamed(logical, phys)
-    return df
+    # ONE select, never sequential withColumnRenamed: chained renames can
+    # legally make one entry's logical name equal another entry's
+    # physical name (rename b->c then a->b gives {c: b, b: a}), and a
+    # sequential walk would collide mid-flight (review r8 #1)
+    if not mapping or not any(c in mapping for c in df.columns):
+        return df
+    return df.select(
+        [F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
 
 
-def _present_logical(df: DataFrame, man: dict, keep: list[str] = ()) -> DataFrame:
+def _present_logical(df: DataFrame, man: dict) -> DataFrame:
     """Physical scan -> logical presentation: dropped columns vanish,
-    renamed columns surface under their logical names. ``keep`` preserves
-    internal metadata columns (__rel/__pos) untouched."""
+    renamed columns surface under their logical names (one select — the
+    inverse of _to_physical, same swap-safety argument)."""
     mapping, drop = _mapping(man), set(_dropped(man))
     if not mapping and not drop:
         return df
     inv = {p: l for l, p in mapping.items()}
     cols = [
-        F.col(c).alias(inv.get(c, c))
-        for c in df.columns
-        if c not in drop or c in keep
+        F.col(c).alias(inv.get(c, c)) for c in df.columns if c not in drop
     ]
     return df.select(*cols)
 
@@ -553,10 +556,10 @@ def read_snapshot(
 
         reader = reader.schema(StructType.fromJson(man["schema"]))
     df = reader.parquet(*(os.path.join(path, e["path"]) for e in entries))
+    df = _present_logical(df, man)
     dv_refs = sorted({r for e in entries for r in e.get("dv", [])})
     if not dv_refs and not _with_pos:
-        return _present_logical(df, man)
-    df = _present_logical(df, man)
+        return df
     cols = df.columns
     # rel path = the trailing snap-dir/bucket-dir/file triple of the scan
     # URI — exactly the manifest's entry["path"], resolvable per row
@@ -611,6 +614,14 @@ def commit_snapshot(
     man = read_manifest(path)
     # data lands under PHYSICAL names; callers speak logical throughout
     cmap = _mapping(man)
+    hijack = (set(merged.columns) - set(cmap)) & set(cmap.values())
+    if hijack:
+        raise ValueError(
+            f"column name(s) {sorted(hijack)} are the PHYSICAL storage of "
+            "renamed columns; a new logical column under a renamed-away "
+            "name would silently alias onto the renamed column's data "
+            "(pick another name, or rename the column back first)"
+        )
     merged = _to_physical(merged, cmap)
     key = cmap.get(key, key)
     reused = set(merged.columns) & set(_dropped(man))
@@ -1541,6 +1552,24 @@ def table_changes(
     a = read_snapshot(spark, path, epoch=from_epoch)
     b = read_snapshot(spark, path, epoch=to_epoch)
     assert a is not None and b is not None, (from_epoch, to_epoch)
+    # the feed is presented under the TO epoch's schema (Delta CDF under
+    # the latest column mapping): translate the FROM side's names through
+    # PHYSICAL identity, so a metadata-only RENAME between the epochs is
+    # the no-op it is (not a full table of spurious value->NULL updates,
+    # review r8 #5), and a column the TO epoch DROPPED vanishes from the
+    # feed rather than retracting every row
+    man_a = read_manifest(path, from_epoch)
+    man_b = read_manifest(path, to_epoch)
+    amap, bmap = _mapping(man_a), _mapping(man_b)
+    binv = {p: l for l, p in bmap.items()}
+    b_drop = set(_dropped(man_b))
+    keepcols = []
+    for c in a.columns:
+        phys = amap.get(c, c)
+        if phys in b_drop:
+            continue
+        keepcols.append(F.col(c).alias(binv.get(phys, phys)))
+    a = a.select(*keepcols)
     # schema may have widened between the epochs (additive evolution):
     # NULL-pad each side to the union so the struct compare is total —
     # a row whose only change is a newly-added column's value correctly

@@ -287,6 +287,20 @@ class _TxnStreamReader(DataSourceStreamReader):
         return {e["path"]: e for e in man["files"]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if end["epoch"]:
+            man = read_manifest(self.path, end["epoch"])
+            if man and (
+                man.get("column_mapping") or man.get("dropped_cols")
+            ):
+                # same contract as the batch reader: never present
+                # physical names (or resurrected dropped columns) as if
+                # they were the table — a mid-stream rename fails the
+                # next micro-batch loudly instead
+                raise ValueError(
+                    "txntable stream does not support column-mapped "
+                    f"tables yet (renamed/dropped columns at {self.path})"
+                    "; read via sinks.txn.read_snapshot"
+                )
         a = self._entries(start["epoch"])
         b = self._entries(end["epoch"])
         removed = sorted(set(a) - set(b))
@@ -394,6 +408,19 @@ class _TxnWriter(DataSourceWriter):
                 f"({sorted(man['constraints'])}) on {self.path}; write "
                 "through append_snapshot/upsert_manifest_txn instead"
             )
+        if man is not None and (
+            man.get("column_mapping") or man.get("dropped_cols")
+        ):
+            # the writer speaks the table's logical names but stages
+            # files under the incoming schema verbatim; without the
+            # logical->physical translation a write would fork renamed
+            # columns into phantom physical twins — refuse loudly
+            # (read path: the same guard on _TxnBatchReader)
+            raise ValueError(
+                f"txntable writer does not support column-mapped tables "
+                f"yet (renamed/dropped columns at {self.path}); write "
+                "through append_snapshot/upsert_manifest_txn instead"
+            )
         if man is not None:
             self.n_buckets = man["n_buckets"]
             self.stats_cols = man.get("stats_cols") or []
@@ -453,6 +480,7 @@ class _TxnWriter(DataSourceWriter):
         from ..sinks.txn import (
             CommitConflict,
             _evolved_schema,
+            _harvest_bloom,
             _harvest_file_stats,
             _publish_manifest,
         )
@@ -479,6 +507,17 @@ class _TxnWriter(DataSourceWriter):
                 if apps.get(app_id, -1) >= app_version:
                     return  # replay lost a race to itself: already in
                 apps[app_id] = app_version
+            # table config the writer must CARRY, never silently reset —
+            # dropping bloom_cols (or mapping metadata) from the next
+            # manifest would strip the table's declared layout forever
+            bloom_cols = list((man.get("bloom_cols") or []) if man else [])
+            if bloom_cols and new_entries and "bloom" not in new_entries[0]:
+                fbloom = _harvest_bloom(
+                    self.path, [e["path"] for e in new_entries], bloom_cols
+                )
+                for e in new_entries:
+                    if e["path"] in fbloom:
+                        e["bloom"] = fbloom[e["path"]]
             carry = (
                 [] if self.overwrite else (list(man["files"]) if man else [])
             )
@@ -491,10 +530,17 @@ class _TxnWriter(DataSourceWriter):
                     "epoch": epoch,
                     "n_buckets": self.n_buckets,
                     "stats_cols": self.stats_cols,
+                    "bloom_cols": bloom_cols,
                     "schema": _evolved_schema(man, written),
                     "apps": apps,
                     "constraints": dict(
                         (man.get("constraints") or {}) if man else {}
+                    ),
+                    "column_mapping": dict(
+                        (man.get("column_mapping") or {}) if man else {}
+                    ),
+                    "dropped_cols": list(
+                        (man.get("dropped_cols") or []) if man else []
                     ),
                     "files": files,
                 },

@@ -141,3 +141,75 @@ def test_delete_where_uses_logical_names(spark, table):
     got = T.read_snapshot(spark, table)
     assert got.count() == 20
     assert got.agg(F.max("amount")).first()[0] == 38
+
+
+def test_swap_shaped_mapping_writes_correctly(spark, table):
+    # rename val->tmp then grp->val: mapping {tmp: val, val: grp} — one
+    # entry's logical name equals another's physical name. The write
+    # translation must be ONE projection; a sequential rename walk would
+    # collide mid-flight and duplicate columns.
+    T.rename_column(table, "val", "tmp")
+    T.rename_column(table, "grp", "val")
+    batch = spark.createDataFrame([(200, 777, 5)], "id long, tmp long, val long")
+    T.append_snapshot(batch, table, key="id")
+    got = T.read_snapshot(spark, table)
+    row = got.where(F.col("id") == 200).first()
+    assert row["tmp"] == 777 and row["val"] == 5
+    # physical layout: tmp's data lives in 'val', val's in 'grp'
+    phys = {f["name"] for f in T.read_manifest(table)["schema"]["fields"]}
+    assert phys == {"id", "val", "grp"}
+
+
+def test_new_column_under_renamed_away_physical_name_refused(spark, table):
+    T.rename_column(table, "val", "amount")
+    # 'val' is now the PHYSICAL storage of 'amount'; a NEW logical column
+    # named 'val' would silently alias onto amount's data
+    bad = spark.createDataFrame(
+        [(300, 1, 0, 9)], "id long, amount long, grp long, val long"
+    )
+    with pytest.raises(ValueError, match="PHYSICAL storage"):
+        T.append_snapshot(bad, table, key="id")
+    with pytest.raises(ValueError, match="PHYSICAL storage"):
+        T.upsert_manifest_txn(spark, bad, table, key="id")
+
+
+def test_cdf_across_rename_epoch_is_empty(spark, table):
+    # a metadata-only RENAME changes no data: the change feed across the
+    # rename epoch must be EMPTY (presented under the TO epoch's names),
+    # not a full table of value->NULL retraction storms
+    ep0 = T.read_manifest(table)["epoch"]
+    ep1 = T.rename_column(table, "val", "amount")
+    assert T.table_changes(spark, table, ep0, ep1, key="id").count() == 0
+    # and a real change AFTER the rename reports under the new name
+    T.upsert_manifest_txn(
+        spark,
+        spark.createDataFrame([(0, 555, 0)], "id long, amount long, grp long"),
+        table, key="id",
+    )
+    ch = T.table_changes(
+        spark, table, ep0, T.read_manifest(table)["epoch"], key="id"
+    )
+    rows = ch.collect()
+    assert [r["_change_type"] for r in rows] == ["update_postimage"]
+    assert rows[0]["amount"] == 555
+
+
+def test_cdf_across_drop_epoch_is_empty(spark, table):
+    ep0 = T.read_manifest(table)["epoch"]
+    ep1 = T.drop_column(table, "grp")
+    assert T.table_changes(spark, table, ep0, ep1, key="id").count() == 0
+
+
+def test_ds_writer_and_stream_refuse_mapped_tables(spark, table):
+    T.rename_column(table, "val", "amount")
+    from kinesis3_spark.sources.txn_datasource import (
+        _TxnStreamReader,
+        _TxnWriter,
+    )
+    from pyspark.sql.types import StructType
+
+    with pytest.raises(ValueError, match="column-mapped"):
+        _TxnWriter({"path": table}, StructType([]), overwrite=False)
+    sr = _TxnStreamReader({"path": table}, "{}")
+    with pytest.raises(ValueError, match="column-mapped"):
+        sr.partitions({"epoch": 0}, sr.latestOffset())

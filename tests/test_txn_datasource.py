@@ -399,3 +399,35 @@ def test_medallion_bronze_silver_end_to_end(registered, tmp_path):
     refine()
     after = (read_manifest(bronze)["epoch"], read_manifest(silver)["epoch"])
     assert after == before
+
+
+def test_ds_writer_carries_bloom_and_mapping_metadata(registered, tmp_path):
+    """A DataSource append to a bloom-indexed table must CARRY the
+    table's declared layout (bloom_cols) into the next manifest and
+    build sidecars for its own files — silently resetting table config
+    on write is metadata erasure."""
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.sinks import txn as T
+
+    spark, path = registered, str(tmp_path / "t")
+    base = spark.range(0, 20).coalesce(1).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+    T.append_snapshot(base, path, key="id", n_buckets=2, bloom_cols=["id"])
+    (
+        spark.range(100, 110)
+        .select(F.col("id"), (F.col("id") * 2).alias("val"))
+        .write.format("txntable")
+        .option("key", "id")
+        .mode("append")
+        .save(path)
+    )
+    man = T.read_manifest(path)
+    assert man.get("bloom_cols") == ["id"]
+    assert man.get("column_mapping") == {} and man.get("dropped_cols") == []
+    # every file (pre-existing AND writer-staged) carries an id sidecar
+    assert all((e.get("bloom") or {}).get("id") for e in man["files"])
+    # and the bloom prune still finds writer-written rows
+    got = T.read_snapshot(spark, path, where=[("id", "==", 105)])
+    assert got.where(F.col("id") == 105).count() == 1
