@@ -1020,6 +1020,32 @@ def _txn_upsert_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_EVO_CACHE: dict[str, str] = {}
+
+
+def _txn_evolution_table(spark: SparkSession, sf_dir: str) -> str:
+    """Events upserted in two epochs — the second WITH a new value_cents
+    column (additive evolution) — materialized once per (process, sf_dir)
+    like every other txn round-trip table."""
+    path = _EVO_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from ..sinks.txn import upsert_manifest_txn
+
+        base = tmpdirs.mkdtemp(prefix="k3s_txn_evo_") + "/events_evo"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        b1 = ev.where(F.dayofmonth("ts") < 16)
+        b2 = ev.where(F.dayofmonth("ts") >= 16).withColumn(
+            "value_cents",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        )
+        upsert_manifest_txn(spark, b1, base, key="event_id", order_col="ts")
+        upsert_manifest_txn(spark, b2, base, key="event_id", order_col="ts")
+        _EVO_CACHE[sf_dir] = path = base
+    return path
+
+
 @query(
     "txn_schema_evolution_read",
     oracle="""
@@ -1047,20 +1073,9 @@ def txn_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the 100 TB archive evolves additively for free — old files
     are immutable, the manifest's schema row is the only write."""
-    from ..sinks.txn import read_snapshot, upsert_manifest_txn
+    from ..sinks.txn import read_snapshot
 
-    base = tmpdirs.mkdtemp(prefix="k3s_txn_evo_") + "/events_evo"
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    b1 = ev.where(F.dayofmonth("ts") < 16)
-    b2 = ev.where(F.dayofmonth("ts") >= 16).withColumn(
-        "value_cents",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
-    )
-    upsert_manifest_txn(spark, b1, base, key="event_id", order_col="ts")
-    upsert_manifest_txn(spark, b2, base, key="event_id", order_col="ts")
-    t = read_snapshot(spark, base)
+    t = read_snapshot(spark, _txn_evolution_table(spark, sf_dir))
     return t.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("value_cents").alias("n_with_cents"),
