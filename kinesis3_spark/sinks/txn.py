@@ -589,6 +589,7 @@ def commit_snapshot(
     bloom_cols: list[str] | None = None,
     app_id: str | None = None,
     app_version: int | None = None,
+    op: dict | None = None,
 ) -> int:
     """Publish `merged` as the rewritten-buckets portion of the next
     snapshot: files land in ``snap-<epoch>-<nonce>/__bucket=<b>/``, then
@@ -700,17 +701,33 @@ def commit_snapshot(
         },
         indent=1,
     )
-    _publish_manifest(path, epoch, payload)
+    _publish_manifest(path, epoch, payload, op=op or {"name": "COMMIT"})
     return epoch
 
 
-def _publish_manifest(path: str, epoch: int, payload: str) -> None:
+def _publish_manifest(
+    path: str, epoch: int, payload: str, op: dict | None = None
+) -> None:
     """The commit protocol shared by every epoch publisher (data commits
     and metadata-only commits like row deletes): claim the epoch by
     EXCLUSIVE CREATE of the versioned manifest, fsync it (time-travel
     history first), re-check the current pointer, then atomically swap
     ``_MANIFEST.json``. Raises CommitConflict with nothing visible when
-    another writer won the epoch."""
+    another writer won the epoch.
+
+    ``op`` stamps the commit with its operation record (Delta's
+    DESCRIBE HISTORY row): ``{"name": ..., **params}`` plus a UTC
+    timestamp — injected last, so a payload that copied the previous
+    manifest's keys never carries a stale operation forward."""
+    if op is not None:
+        d = json.loads(payload)
+        d["op"] = {
+            **op,
+            "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+        }
+        payload = json.dumps(d, indent=1)
     # COMMIT POINT: exclusive create of the versioned manifest claims the
     # epoch — exactly one concurrent writer wins; the loser's data files
     # stay unreferenced (vacuum's problem) and it retries from the
@@ -839,6 +856,7 @@ def upsert_manifest_txn(
                 merged, path, key, n_buckets, carry=carry,
                 stats_cols=stats_cols, bloom_cols=bloom_cols,
                 app_id=app_id, app_version=app_version,
+                op={"name": "UPSERT", "key": key, "mode": mode},
             )
         except CommitConflict as exc:
             last = exc
@@ -897,6 +915,7 @@ def append_snapshot(
                 batch, path, key, n_buckets, carry=carry,
                 stats_cols=stats_cols, bloom_cols=bloom_cols,
                 app_id=app_id, app_version=app_version,
+                op={"name": "APPEND", "key": key},
             )
         except CommitConflict as exc:
             last = exc
@@ -1087,6 +1106,15 @@ def merge_into(
                 stats_cols=man.get("stats_cols") or None,
                 bloom_cols=man.get("bloom_cols") or None,
                 app_id=app_id, app_version=app_version,
+                op={
+                    "name": "MERGE",
+                    "key": key,
+                    "clauses": {
+                        "matched": len(matched),
+                        "not_matched": len(not_matched),
+                        "not_matched_by_source": len(not_matched_by_source),
+                    },
+                },
             )
         except CommitConflict as exc:
             last = exc
@@ -1165,7 +1193,11 @@ def delete_where(
             indent=1,
         )
         try:
-            _publish_manifest(path, epoch, payload)
+            _publish_manifest(
+                path, epoch, payload,
+                op={"name": "DELETE", "predicate": str(condition),
+                    "n_deleted": n_deleted},
+            )
             return epoch, n_deleted
         except CommitConflict as exc:
             last = exc  # sidecar of the losing attempt is vacuum garbage
@@ -1242,7 +1274,12 @@ def compact_table(
             "spark.sql.files.maxRecordsPerFile", str(max_records_per_file)
         )
     try:
-        return commit_snapshot(merged, path, key, n_buckets, carry=[])
+        return commit_snapshot(
+            merged, path, key, n_buckets, carry=[],
+            op={"name": "OPTIMIZE",
+                "zorder": list(zorder) if zorder else None,
+                "cluster_by": list(cluster_by) if cluster_by else None},
+        )
     finally:
         if max_records_per_file is not None:
             spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
@@ -1283,7 +1320,10 @@ def restore_table(spark: SparkSession, path: str, epoch: int) -> int:
             indent=1,
         )
         try:
-            _publish_manifest(path, new_epoch, payload)
+            _publish_manifest(
+                path, new_epoch, payload,
+                op={"name": "RESTORE", "to_epoch": epoch},
+            )
             return new_epoch
         except CommitConflict as exc:
             last = exc
@@ -1326,7 +1366,10 @@ def rename_column(path: str, old: str, new: str) -> int:
             indent=1,
         )
         try:
-            _publish_manifest(path, man["epoch"] + 1, payload)
+            _publish_manifest(
+                path, man["epoch"] + 1, payload,
+                op={"name": "RENAME COLUMN", "from": old, "to": new},
+            )
             return man["epoch"] + 1
         except CommitConflict as exc:
             last = exc
@@ -1363,7 +1406,10 @@ def drop_column(path: str, col: str) -> int:
             indent=1,
         )
         try:
-            _publish_manifest(path, man["epoch"] + 1, payload)
+            _publish_manifest(
+                path, man["epoch"] + 1, payload,
+                op={"name": "DROP COLUMN", "column": col},
+            )
             return man["epoch"] + 1
         except CommitConflict as exc:
             last = exc
@@ -1407,8 +1453,43 @@ def clone_table(src: str, dst: str, epoch: int | None = None) -> int:
          "epoch": 1, "apps": {}, "files": files},
         indent=1,
     )
-    _publish_manifest(dst, 1, payload)
+    _publish_manifest(
+        dst, 1, payload,
+        op={"name": "CLONE", "source": src, "source_epoch": man["epoch"]},
+    )
     return 1
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one record per RETAINED epoch, newest first —
+    ``{"epoch", "operation", "params", "ts", "n_files"}``. Every epoch
+    publisher stamps its commit with an operation record (APPEND /
+    UPSERT / MERGE / DELETE / OPTIMIZE / RESTORE / RENAME COLUMN /
+    DROP COLUMN / ADD CONSTRAINT / CLONE / WRITE), so the table explains
+    its own lineage without external logging — Delta's DESCRIBE HISTORY
+    on the manifest log. Pure driver metadata (O(retained epochs)
+    manifest reads); history older than the vacuum retention window is
+    gone with its manifests, exactly like Delta."""
+    cur = read_manifest(path)
+    if cur is None:
+        return []
+    out = []
+    for ep in range(cur["epoch"], 0, -1):
+        try:
+            m = cur if ep == cur["epoch"] else read_manifest(path, ep)
+        except ValueError:
+            break  # vacuumed below this epoch — history ends here
+        op = dict(m.get("op") or {})
+        out.append(
+            {
+                "epoch": ep,
+                "operation": op.pop("name", "UNKNOWN"),
+                "ts": op.pop("ts", None),
+                "params": op,
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
 
 
 def add_constraint(path: str, name: str, condition: str) -> int:
@@ -1432,7 +1513,10 @@ def add_constraint(path: str, name: str, condition: str) -> int:
             indent=1,
         )
         try:
-            _publish_manifest(path, man["epoch"] + 1, payload)
+            _publish_manifest(
+                path, man["epoch"] + 1, payload,
+                op={"name": "ADD CONSTRAINT", "constraint": name},
+            )
             return man["epoch"] + 1
         except CommitConflict as exc:
             last = exc

@@ -547,7 +547,11 @@ class _TxnWriter(DataSourceWriter):
                 indent=1,
             )
             try:
-                _publish_manifest(self.path, epoch, payload)
+                _publish_manifest(
+                    self.path, epoch, payload,
+                    op={"name": "WRITE",
+                        "mode": "overwrite" if self.overwrite else "append"},
+                )
                 return
             except CommitConflict as exc:
                 last = exc  # append never conflicts on data: re-carry

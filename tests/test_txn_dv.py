@@ -195,7 +195,7 @@ def test_delete_recomputes_after_losing_commit_race(spark, tmp_path, monkeypatch
     real_publish = txn_mod._publish_manifest
     fired = {"n": 0}
 
-    def racing_publish(p, epoch, payload):
+    def racing_publish(p, epoch, payload, **kw):
         if fired["n"] == 0 and '"dv"' in payload:
             fired["n"] += 1
             # the competing writer lands FIRST: a new 'odd' row the
@@ -204,7 +204,7 @@ def test_delete_recomputes_after_losing_commit_race(spark, tmp_path, monkeypatch
                 spark, _mk(spark, [("k999", "odd", 999)]), path,
                 key="id", order_col="val",
             )
-        return real_publish(p, epoch, payload)
+        return real_publish(p, epoch, payload, **kw)
 
     monkeypatch.setattr(txn_mod, "_publish_manifest", racing_publish)
     epoch, n = txn_mod.delete_where(spark, path, "grp = 'odd'")

@@ -1,0 +1,98 @@
+"""DESCRIBE HISTORY on the manifest txn table (sinks/txn.table_history):
+every epoch publisher stamps its commit with an operation record, so the
+table explains its own lineage — newest first, params preserved, history
+truncating at the vacuum retention boundary exactly like Delta."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis3_spark.sinks import txn as T
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "a")],
+        "id bigint, val bigint, seg string",
+    )
+    T.append_snapshot(batch, path, key="id", n_buckets=2)
+    return path
+
+
+def test_history_records_every_operation_newest_first(spark, table):
+    T.upsert_manifest_txn(
+        spark,
+        spark.createDataFrame([(1, 11, "a")], "id bigint, val bigint, seg string"),
+        table, key="id",
+    )
+    T.delete_where(spark, table, "val >= 30")
+    T.rename_column(table, "val", "amount")
+    T.add_constraint(table, "amt_pos", "amount > 0")
+    T.merge_into(
+        spark, table,
+        spark.createDataFrame([(2, 5)], "id bigint, amt bigint"),
+        key="id",
+        matched=[{"update": {"amount": "amount + src_amt"}}],
+    )
+    T.compact_table(spark, table, key="id")
+    T.restore_table(spark, table, epoch=1)
+    h = T.table_history(table)
+    assert [r["operation"] for r in h] == [
+        "RESTORE", "OPTIMIZE", "MERGE", "ADD CONSTRAINT", "RENAME COLUMN",
+        "DELETE", "UPSERT", "APPEND",
+    ]
+    assert [r["epoch"] for r in h] == list(range(8, 0, -1))
+    # params survive: the delete knows its predicate and count, the
+    # rename its endpoints, the merge its clause shape
+    by_op = {r["operation"]: r for r in h}
+    assert by_op["DELETE"]["params"]["n_deleted"] == 1
+    assert "val >= 30" in by_op["DELETE"]["params"]["predicate"]
+    assert by_op["RENAME COLUMN"]["params"] == {"from": "val", "to": "amount"}
+    assert by_op["MERGE"]["params"]["clauses"]["matched"] == 1
+    assert by_op["RESTORE"]["params"]["to_epoch"] == 1
+    assert all(r["ts"] for r in h)  # every commit is timestamped
+
+
+def test_metadata_commits_never_carry_stale_operations(spark, table):
+    # rename/constraint payloads copy the previous manifest's keys; the
+    # op record must be THIS commit's, not the copied-forward one
+    T.rename_column(table, "val", "amount")
+    T.add_constraint(table, "amt_pos", "amount > 0")
+    h = T.table_history(table)
+    assert h[0]["operation"] == "ADD CONSTRAINT"
+    assert h[1]["operation"] == "RENAME COLUMN"
+
+
+def test_history_truncates_at_vacuum_retention(spark, table):
+    for i in range(3):
+        T.append_snapshot(
+            spark.createDataFrame([(100 + i, 1, "z")],
+                                  "id bigint, val bigint, seg string"),
+            table, key="id",
+        )
+    T.vacuum_table(table, keep_epochs=2)
+    h = T.table_history(table)
+    assert [r["epoch"] for r in h] == [4, 3]  # older manifests reaped
+    assert all(r["operation"] == "APPEND" for r in h)
+
+
+def test_clone_and_ds_write_are_recorded(spark, table, tmp_path):
+    dst = str(tmp_path / "c")
+    T.clone_table(table, dst)
+    h = T.table_history(dst)
+    assert h[0]["operation"] == "CLONE"
+    assert h[0]["params"]["source"] == table
+    from kinesis3_spark.sources.txn_datasource import TxnTableDataSource
+
+    spark.dataSource.register(TxnTableDataSource)
+    (
+        spark.createDataFrame([(9, 9, "x")], "id bigint, val bigint, seg string")
+        .write.format("txntable").option("key", "id")
+        .mode("append").save(dst)
+    )
+    h = T.table_history(dst)
+    assert h[0]["operation"] == "WRITE"
+    assert h[0]["params"]["mode"] == "append"
