@@ -1389,6 +1389,77 @@ def upsert_manifest_txn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEN_TABLE_CACHE: dict[str, str] = {}
+
+
+def _txn_generated_table(spark: SparkSession, sf_dir: str) -> str:
+    """Events appended in two commits into a table with two GENERATED
+    ALWAYS AS columns — event_date (CAST(ts AS DATE)) and value_cents —
+    that the batches never supply: the table computes them at commit
+    (sinks/txn._apply_generated)."""
+    path = _GEN_TABLE_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from ..sinks.txn import append_snapshot
+
+        table = tmpdirs.mkdtemp(prefix="k3s_gen_txn_") + "/events_gen"
+        ev = load_table(spark, sf_dir, "events")
+        gen = {
+            "event_date": "CAST(ts AS DATE)",
+            "value_cents": "CAST(floor(value * 100 + 0.5) AS BIGINT)",
+        }
+        append_snapshot(
+            ev.where(F.dayofmonth("ts") < 16), table, key="user_id",
+            n_buckets=4, stats_cols=["event_date"], generated_cols=gen,
+        )
+        append_snapshot(
+            ev.where(F.dayofmonth("ts") >= 16), table, key="user_id",
+        )
+        _GEN_TABLE_CACHE[sf_dir] = path = table
+    return path
+
+
+@query(
+    "txn_generated_column_read",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*)::BIGINT AS n_events,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS cents_sum
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def txn_generated_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns (Delta generated columns on the
+    manifest table): the txn table declares event_date and value_cents as
+    expressions at creation; two append commits supply NEITHER, and the
+    table computes them at commit — a batch that supplies one is
+    validated row-for-row instead (one combined aggregate), with nothing
+    published on mismatch (pinned in tests/test_txn_generated.py). This
+    query aggregates BY the generated date straight from storage; the
+    oracle re-derives both expressions from the raw events, so a
+    wrong/missing computation on either commit breaks the cent-exact
+    hash.
+
+    Scale: generated columns are the derived-predicate story at 100 TB —
+    event_date is declared in stats_cols, so every commit's zone maps
+    carry date min/max and a date-range probe prunes files without the
+    table ever being partitioned by date (ingest stays append-ordered);
+    the computation itself is a codegen projection folded into the
+    commit's write, zero extra passes."""
+    from ..sinks.txn import read_snapshot
+
+    t = read_snapshot(spark, _txn_generated_table(spark, sf_dir))
+    return (
+        t.groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("cents_sum"),
+        )
+        .orderBy("event_date")
+    )
+
+
 _MERGE_TABLE_CACHE: dict[str, str] = {}
 
 

@@ -388,6 +388,42 @@ def _dropped(man: dict | None) -> list[str]:
     return list((man or {}).get("dropped_cols") or [])
 
 
+def _generated(man: dict | None) -> dict[str, str]:
+    return dict((man or {}).get("generated_cols") or {})
+
+
+def _apply_generated(merged: DataFrame, gcols: dict[str, str]) -> DataFrame:
+    """Delta generated columns at write time: a batch MISSING a generated
+    column gets it computed (`GENERATED ALWAYS AS (expr)`); a batch that
+    SUPPLIES one is validated — every row must equal the expression
+    (NULL-safe), one combined distributed aggregate for all supplied
+    columns, nothing published on mismatch."""
+    if not gcols:
+        return merged
+    supplied = {n: x for n, x in gcols.items() if n in merged.columns}
+    if supplied:
+        checks = [
+            F.sum(
+                F.when(
+                    ~F.col(n).eqNullSafe(F.expr(x)), 1
+                ).otherwise(0)
+            ).alias(n)
+            for n, x in supplied.items()
+        ]
+        bad = merged.agg(*checks).first().asDict()
+        broken = {k: v for k, v in bad.items() if v}
+        if broken:
+            detail = ", ".join(
+                f"{k} (GENERATED AS {gcols[k]!r}: {v} rows)"
+                for k, v in sorted(broken.items())
+            )
+            raise ValueError(f"generated-column violation: {detail}")
+    for n, x in gcols.items():
+        if n not in merged.columns:
+            merged = merged.withColumn(n, F.expr(x))
+    return merged
+
+
 def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     # ONE select, never sequential withColumnRenamed: chained renames can
     # legally make one entry's logical name equal another entry's
@@ -590,6 +626,7 @@ def commit_snapshot(
     app_id: str | None = None,
     app_version: int | None = None,
     op: dict | None = None,
+    generated_cols: dict[str, str] | None = None,
 ) -> int:
     """Publish `merged` as the rewritten-buckets portion of the next
     snapshot: files land in ``snap-<epoch>-<nonce>/__bucket=<b>/``, then
@@ -613,6 +650,11 @@ def commit_snapshot(
     import uuid
 
     man = read_manifest(path)
+    # GENERATED ALWAYS AS: fixed at table creation (Delta's rule — a
+    # generated column added later would disagree with existing rows);
+    # computed when absent, validated when supplied, logical namespace
+    gcols = _generated(man) if man is not None else dict(generated_cols or {})
+    merged = _apply_generated(merged, gcols)
     # data lands under PHYSICAL names; callers speak logical throughout
     cmap = _mapping(man)
     hijack = (set(merged.columns) - set(cmap)) & set(cmap.values())
@@ -697,6 +739,7 @@ def commit_snapshot(
             "constraints": dict((man.get("constraints") or {}) if man else {}),
             "column_mapping": cmap,
             "dropped_cols": _dropped(man),
+            "generated_cols": gcols,
             "files": files,
         },
         indent=1,
@@ -782,6 +825,7 @@ def upsert_manifest_txn(
     max_retries: int = 5,
     app_id: str | None = None,
     app_version: int | None = None,
+    generated_cols: dict[str, str] | None = None,
 ) -> int:
     """One transactional merge of `batch` into the manifest table —
     upsert_parquet's exact merge semantics (first- or last-writer-wins by
@@ -827,7 +871,13 @@ def upsert_manifest_txn(
             .distinct()
             .collect()
         }
-        new = batch.withColumn("__is_new", F.lit(1))
+        # generated columns must exist on the batch BEFORE the union —
+        # otherwise allowMissingColumns would NULL-pad them on the new
+        # rows and the commit-time validation would (rightly) refuse
+        new = _apply_generated(
+            batch,
+            _generated(man) if man is not None else dict(generated_cols or {}),
+        ).withColumn("__is_new", F.lit(1))
         current = read_snapshot(spark, path, buckets=touched)
         if current is None:
             merged = _dedup_last(
@@ -857,6 +907,7 @@ def upsert_manifest_txn(
                 stats_cols=stats_cols, bloom_cols=bloom_cols,
                 app_id=app_id, app_version=app_version,
                 op={"name": "UPSERT", "key": key, "mode": mode},
+                generated_cols=generated_cols,
             )
         except CommitConflict as exc:
             last = exc
@@ -872,6 +923,7 @@ def append_snapshot(
     bloom_cols: list[str] | None = None,
     app_id: str | None = None,
     app_version: int | None = None,
+    generated_cols: dict[str, str] | None = None,
 ) -> int:
     """Blind-append commit: the batch's files PLUS every current file
     carried by reference — zero read amplification (no merge, no key
@@ -916,6 +968,7 @@ def append_snapshot(
                 stats_cols=stats_cols, bloom_cols=bloom_cols,
                 app_id=app_id, app_version=app_version,
                 op={"name": "APPEND", "key": key},
+                generated_cols=generated_cols,
             )
         except CommitConflict as exc:
             last = exc
@@ -1014,6 +1067,7 @@ def merge_into(
             return man["epoch"]  # replayed batch: already merged
         n_buckets = man["n_buckets"]
         tcols = [f.name for f in _logical_struct(man).fields]
+        gset = set(_generated(man))
         bad = [c for c in tcols if c.startswith(("src_", "__"))]
         assert not bad, f"target columns collide with merge namespace: {bad}"
 
@@ -1081,10 +1135,16 @@ def merge_into(
                         setmap = {
                             c: f"src_{c}"
                             for c in tcols
-                            if f"src_{c}" in j.columns
+                            if f"src_{c}" in j.columns and c not in gset
                         }
                     for c, ex in setmap.items():
                         assert c in vals, f"unknown target column {c!r}"
+                        if c in gset:
+                            raise ValueError(
+                                f"column {c!r} is GENERATED ALWAYS AS — "
+                                "it is computed at commit, never assigned "
+                                "by a merge clause"
+                            )
                         vals[c] = F.when(hit, F.expr(ex)).otherwise(vals[c])
                     if inserting:
                         survive = survive | hit
@@ -1095,8 +1155,11 @@ def merge_into(
         _walk(is_t & ~is_s, not_matched_by_source)
 
         dtypes = {f.name: f.dataType for f in _logical_struct(man).fields}
+        # generated columns are excluded from the projection and
+        # recomputed fresh at commit (inserted rows would otherwise carry
+        # NULL where the expression has a value)
         out = j.filter(survive).select(
-            [vals[c].cast(dtypes[c]).alias(c) for c in tcols]
+            [vals[c].cast(dtypes[c]).alias(c) for c in tcols if c not in gset]
         )
         _enforce_constraints(out, man)
         carry = [e for e in man["files"] if e["bucket"] not in touched]
@@ -1312,6 +1375,7 @@ def restore_table(spark: SparkSession, path: str, epoch: int) -> int:
                 "bloom_cols": old.get("bloom_cols") or [],
                 "column_mapping": _mapping(old),
                 "dropped_cols": _dropped(old),
+                "generated_cols": _generated(old),
                 "schema": old.get("schema"),
                 "apps": dict(cur.get("apps") or {}),
                 "constraints": old.get("constraints") or {},
@@ -1356,6 +1420,12 @@ def rename_column(path: str, old: str, new: str) -> int:
                     f"constraint {cname!r} references {old!r}; drop it "
                     "before renaming"
                 )
+        for gname, gexpr in _generated(man).items():
+            if gname == old or _re.search(rf"\b{_re.escape(old)}\b", gexpr):
+                raise ValueError(
+                    f"generated column {gname!r} (AS {gexpr!r}) involves "
+                    f"{old!r}; generated bindings are fixed at creation"
+                )
         cmap = _mapping(man)
         phys = cmap.pop(old, old)
         if new != phys:  # rename back to the physical name = identity
@@ -1395,6 +1465,12 @@ def drop_column(path: str, col: str) -> int:
             if _re.search(rf"\b{_re.escape(col)}\b", cond):
                 raise ValueError(
                     f"constraint {cname!r} references {col!r}; drop it first"
+                )
+        for gname, gexpr in _generated(man).items():
+            if gname == col or _re.search(rf"\b{_re.escape(col)}\b", gexpr):
+                raise ValueError(
+                    f"generated column {gname!r} (AS {gexpr!r}) involves "
+                    f"{col!r}; generated bindings are fixed at creation"
                 )
         cmap = _mapping(man)
         phys = cmap.pop(col, col)

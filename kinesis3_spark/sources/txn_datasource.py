@@ -421,6 +421,16 @@ class _TxnWriter(DataSourceWriter):
                 f"yet (renamed/dropped columns at {self.path}); write "
                 "through append_snapshot/upsert_manifest_txn instead"
             )
+        if man is not None and (man.get("generated_cols") or {}):
+            # generated columns are computed/validated with distributed
+            # SQL expressions at commit; the DS writer stages raw rows
+            # with no session — refusing beats publishing files whose
+            # generated values were never computed or checked
+            raise ValueError(
+                f"txntable writer cannot compute generated columns "
+                f"({sorted(man['generated_cols'])}) on {self.path}; "
+                "write through append_snapshot/upsert_manifest_txn instead"
+            )
         if man is not None:
             self.n_buckets = man["n_buckets"]
             self.stats_cols = man.get("stats_cols") or []
@@ -541,6 +551,9 @@ class _TxnWriter(DataSourceWriter):
                     ),
                     "dropped_cols": list(
                         (man.get("dropped_cols") or []) if man else []
+                    ),
+                    "generated_cols": dict(
+                        (man.get("generated_cols") or {}) if man else {}
                     ),
                     "files": files,
                 },
