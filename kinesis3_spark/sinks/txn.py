@@ -1536,6 +1536,38 @@ def clone_table(src: str, dst: str, epoch: int | None = None) -> int:
     return 1
 
 
+def drop_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing a
+    named CHECK constraint — the release valve the rename/drop guards
+    point at ("drop the constraint, rename, re-add under the new
+    name"). Raises for an unknown name (a typo silently 'succeeding'
+    would leave the real constraint enforced)."""
+    last: CommitConflict | None = None
+    for _attempt in range(5):
+        man = read_manifest(path)
+        assert man is not None, f"no committed table at {path}"
+        cons = dict(man.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {path} (have {sorted(cons)})"
+            )
+        del cons[name]
+        payload = json.dumps(
+            {**{k: man[k] for k in man if k != "epoch"},
+             "constraints": cons, "epoch": man["epoch"] + 1},
+            indent=1,
+        )
+        try:
+            _publish_manifest(
+                path, man["epoch"] + 1, payload,
+                op={"name": "DROP CONSTRAINT", "constraint": name},
+            )
+            return man["epoch"] + 1
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
 def table_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY: one record per RETAINED epoch, newest first —
     ``{"epoch", "operation", "params", "ts", "n_files"}``. Every epoch

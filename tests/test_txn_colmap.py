@@ -213,3 +213,24 @@ def test_ds_writer_and_stream_refuse_mapped_tables(spark, table):
     sr = _TxnStreamReader({"path": table}, "{}")
     with pytest.raises(ValueError, match="column-mapped"):
         sr.partitions({"epoch": 0}, sr.latestOffset())
+
+
+def test_drop_constraint_unblocks_rename(spark, table):
+    T.add_constraint(table, "val_nonneg", "val >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        T.rename_column(table, "val", "amount")
+    with pytest.raises(ValueError, match="no constraint"):
+        T.drop_constraint(table, "typo_name")
+    T.drop_constraint(table, "val_nonneg")
+    T.rename_column(table, "val", "amount")  # now legal
+    T.add_constraint(table, "amt_nonneg", "amount >= 0")
+    # the re-added constraint binds under the NEW name: a violating
+    # batch is refused
+    bad = spark.createDataFrame([(500, -1, 0)], "id long, amount long, grp long")
+    with pytest.raises(ValueError, match="amt_nonneg"):
+        T.append_snapshot(bad, table, key="id")
+    h = T.table_history(table)  # newest first
+    assert h[0]["operation"] == "ADD CONSTRAINT"
+    assert h[1]["operation"] == "RENAME COLUMN"
+    assert h[2]["operation"] == "DROP CONSTRAINT"
+    assert h[2]["params"] == {"constraint": "val_nonneg"}
