@@ -74,12 +74,16 @@ class _FileSlice(InputPartition):
         dv: list[str],
         schema_json: str,
         kind: str = "scan",
+        l2p: dict[str, str] | None = None,
     ):
         self.root = root
         self.rel = rel
         self.dv = dv
         self.schema_json = schema_json
         self.kind = kind
+        # column mapping: files store PHYSICAL names; the target schema
+        # (and every consumer) speaks logical
+        self.l2p = l2p or {}
 
 
 def _read_slice(part: _FileSlice | None):
@@ -132,8 +136,8 @@ def _read_slice(part: _FileSlice | None):
                     type=field.type,
                 )
             )
-        elif field.name in tbl.column_names:
-            cols.append(tbl[field.name])
+        elif part.l2p.get(field.name, field.name) in tbl.column_names:
+            cols.append(tbl[part.l2p.get(field.name, field.name)])
         else:
             cols.append(pa.nulls(tbl.num_rows, type=field.type))
     out = pa.table(cols, names=[f.name for f in target]).cast(target)
@@ -158,17 +162,11 @@ class _TxnBatchReader(DataSourceReader):
         self.schema_json = schema_json
         ep = options.get("epoch")
         man = read_manifest(self.path, int(ep) if ep is not None else None)
-        if man and (man.get("column_mapping") or man.get("dropped_cols")):
-            # logical<->physical translation is not wired through this
-            # scan engine yet; failing loudly beats presenting physical
-            # names (or resurrected dropped columns) as if they were the
-            # table. read_snapshot is the mapping-aware reader.
-            raise ValueError(
-                "txntable data source does not support column-mapped "
-                f"tables yet (renamed/dropped columns at {self.path}); "
-                "read via sinks.txn.read_snapshot"
-            )
         self.entries = man["files"] if man else []
+        # column mapping: Catalyst pushes predicates in LOGICAL names;
+        # file stats/bloom sidecars are keyed by PHYSICAL names, and the
+        # executor-side read translates physical -> logical per batch
+        self.l2p = dict((man or {}).get("column_mapping") or {})
         self.pushed: list[tuple] = []  # (col, kind, values)
 
     def _push_filters(self, filters):
@@ -207,6 +205,7 @@ class _TxnBatchReader(DataSourceReader):
 
         stats = entry.get("stats")
         for col, kind, vals in self.pushed:
+            col = self.l2p.get(col, col)  # stats keyed by physical name
             s = (stats or {}).get(col)
             if kind == "in":
                 if not any(
@@ -232,7 +231,10 @@ class _TxnBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         return [
-            _FileSlice(self.path, e["path"], e.get("dv", []), self.schema_json)
+            _FileSlice(
+                self.path, e["path"], e.get("dv", []), self.schema_json,
+                l2p=self.l2p,
+            )
             for e in self.entries
             if self._may_match(e)
         ]
@@ -630,7 +632,14 @@ class TxnTableDataSource(DataSource):
                 f"txn table {self.options['path']} predates manifest "
                 "schemas; recommit once to record one"
             )
-        schema = man["schema"]
+        if man.get("column_mapping") or man.get("dropped_cols"):
+            # present the LOGICAL view: dropped columns gone, renamed
+            # columns under their logical names (read side of mapping)
+            from ..sinks.txn import _logical_struct
+
+            schema = json.loads(_logical_struct(man).json())
+        else:
+            schema = man["schema"]
         if str(self.options.get("readchangefeed", "false")).lower() == "true":
             schema = dict(schema)
             schema["fields"] = list(schema["fields"]) + [

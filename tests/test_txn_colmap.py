@@ -126,12 +126,23 @@ def test_restore_carries_mapping(spark, table):
     assert "amount" in got.columns and "price" not in got.columns
 
 
-def test_datasource_refuses_mapped_tables(spark, table):
+def test_datasource_batch_read_presents_logical_names(spark, table):
+    """The Python DataSource batch scan is mapping-aware: logical schema,
+    physical files, dropped columns gone — row-for-row with
+    read_snapshot, including pre-rename time travel."""
     T.rename_column(table, "val", "amount")
-    from kinesis3_spark.sources.txn_datasource import _TxnBatchReader
+    T.drop_column(table, "grp")
+    from kinesis3_spark.sources.txn_datasource import TxnTableDataSource
 
-    with pytest.raises(ValueError, match="column-mapped"):
-        _TxnBatchReader({"path": table}, "{}")
+    spark.dataSource.register(TxnTableDataSource)
+    ds = spark.read.format("txntable").load(table)
+    assert set(ds.columns) == {"id", "amount"}
+    assert sorted(map(tuple, ds.collect())) == sorted(
+        map(tuple, T.read_snapshot(spark, table).collect())
+    )
+    # epoch option presents THAT epoch's names (pre-rename view)
+    old = spark.read.format("txntable").option("epoch", 1).load(table)
+    assert set(old.columns) == {"id", "val", "grp"}
 
 
 def test_delete_where_uses_logical_names(spark, table):
@@ -234,3 +245,32 @@ def test_drop_constraint_unblocks_rename(spark, table):
     assert h[1]["operation"] == "RENAME COLUMN"
     assert h[2]["operation"] == "DROP CONSTRAINT"
     assert h[2]["params"] == {"constraint": "val_nonneg"}
+
+
+def test_datasource_pushdown_translates_logical_predicates(spark, tmp_path):
+    """Catalyst pushes predicates in LOGICAL names; file stats are keyed
+    by PHYSICAL names — the reader translates before the skip walk, so
+    renaming a column never turns off its data skipping."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from kinesis3_spark.sources.txn_datasource import (
+        _TxnBatchReader,
+        _TxnBatchReaderPushdown,
+    )
+
+    path = str(tmp_path / "t")
+    lo = spark.range(0, 20).coalesce(1).select(
+        F.col("id"), F.col("id").alias("val")
+    )
+    hi = spark.range(1000, 1020).coalesce(1).select(
+        F.col("id"), F.col("id").alias("val")
+    )
+    T.append_snapshot(lo, path, key="id", n_buckets=1, stats_cols=["val"])
+    T.append_snapshot(hi, path, key="id")
+    T.rename_column(path, "val", "amount")
+
+    schema = '{"type":"struct","fields":[]}'  # unused by partitions()
+    assert len(_TxnBatchReader({"path": path}, schema).partitions()) == 2
+    r = _TxnBatchReaderPushdown({"path": path}, schema)
+    r._push_filters([GreaterThanOrEqual(("amount",), 500)])
+    assert len(r.partitions()) == 1  # the lo commit pruned via 'val' stats
