@@ -289,19 +289,33 @@ class _TxnStreamReader(DataSourceStreamReader):
         return {e["path"]: e for e in man["files"]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        l2p: dict[str, str] = {}
         if end["epoch"]:
-            man = read_manifest(self.path, end["epoch"])
-            if man and (
-                man.get("column_mapping") or man.get("dropped_cols")
-            ):
-                # same contract as the batch reader: never present
-                # physical names (or resurrected dropped columns) as if
-                # they were the table — a mid-stream rename fails the
-                # next micro-batch loudly instead
+            man_b = read_manifest(self.path, end["epoch"])
+            l2p = dict((man_b or {}).get("column_mapping") or {})
+            key_b = (
+                l2p,
+                sorted((man_b or {}).get("dropped_cols") or []),
+            )
+            if start["epoch"]:
+                man_a = read_manifest(self.path, start["epoch"])
+                key_a = (
+                    dict((man_a or {}).get("column_mapping") or {}),
+                    sorted((man_a or {}).get("dropped_cols") or []),
+                )
+            else:
+                key_a = key_b  # stream starts at this epoch's view
+            if key_a != key_b:
+                # a rename/drop INSIDE the streamed range would change
+                # the presented schema mid-stream — the one case the
+                # fixed streaming schema genuinely cannot absorb; a
+                # mapping constant across the range (renamed before the
+                # stream started) is translated per batch below
                 raise ValueError(
-                    "txntable stream does not support column-mapped "
-                    f"tables yet (renamed/dropped columns at {self.path})"
-                    "; read via sinks.txn.read_snapshot"
+                    "txntable stream: column mapping changed between "
+                    f"epochs {start['epoch']} and {end['epoch']} of "
+                    f"{self.path}; restart the stream to adopt the new "
+                    "schema"
                 )
         a = self._entries(start["epoch"])
         b = self._entries(end["epoch"])
@@ -337,7 +351,7 @@ class _TxnStreamReader(DataSourceStreamReader):
         out: list[InputPartition] = [
             _FileSlice(
                 self.path, rel, [], self.schema_json,
-                kind="insert" if self.cdf else "scan",
+                kind="insert" if self.cdf else "scan", l2p=l2p,
             )
             for rel in sorted(set(b) - set(a))
         ]
@@ -349,7 +363,7 @@ class _TxnStreamReader(DataSourceStreamReader):
             # join-free per partition.
             out.extend(
                 _FileSlice(self.path, rel, refs, self.schema_json,
-                           kind="delete")
+                           kind="delete", l2p=l2p)
                 for rel, refs in sorted(dv_grew.items())
             )
         return out

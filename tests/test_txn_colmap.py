@@ -211,7 +211,7 @@ def test_cdf_across_drop_epoch_is_empty(spark, table):
     assert T.table_changes(spark, table, ep0, ep1, key="id").count() == 0
 
 
-def test_ds_writer_and_stream_refuse_mapped_tables(spark, table):
+def test_ds_writer_refuses_and_stream_handles_mapped_tables(spark, table):
     T.rename_column(table, "val", "amount")
     from kinesis3_spark.sources.txn_datasource import (
         _TxnStreamReader,
@@ -221,9 +221,17 @@ def test_ds_writer_and_stream_refuse_mapped_tables(spark, table):
 
     with pytest.raises(ValueError, match="column-mapped"):
         _TxnWriter({"path": table}, StructType([]), overwrite=False)
+    # a mapping CONSTANT across the streamed range is fine (renamed
+    # before the stream started) — per-batch translation applies
     sr = _TxnStreamReader({"path": table}, "{}")
-    with pytest.raises(ValueError, match="column-mapped"):
-        sr.partitions({"epoch": 0}, sr.latestOffset())
+    parts = sr.partitions({"epoch": 0}, sr.latestOffset())
+    assert parts and all(p.l2p == {"amount": "val"} for p in parts)
+    # a rename INSIDE the streamed range changes the presented schema
+    # mid-stream: the next micro-batch fails loudly
+    pre = T.read_manifest(table)["epoch"]
+    T.rename_column(table, "amount", "price")
+    with pytest.raises(ValueError, match="mapping changed"):
+        sr.partitions({"epoch": pre}, sr.latestOffset())
 
 
 def test_drop_constraint_unblocks_rename(spark, table):

@@ -431,3 +431,28 @@ def test_ds_writer_carries_bloom_and_mapping_metadata(registered, tmp_path):
     # and the bloom prune still finds writer-written rows
     got = T.read_snapshot(spark, path, where=[("id", "==", 105)])
     assert got.where(F.col("id") == 105).count() == 1
+
+
+def test_stream_over_pre_renamed_table_presents_logical_names(
+    registered, tmp_path
+):
+    """A table renamed BEFORE the stream starts streams under its
+    logical names (mapping constant across the range → per-batch Arrow
+    translation); the schema the stream reports is the logical one."""
+    from kinesis3_spark.sinks.txn import rename_column
+
+    spark, path, ck = registered, str(tmp_path / "t"), str(tmp_path / "ck")
+    append_snapshot(_mk(spark, [("a", "g", 1), ("b", "h", 2)]),
+                    path, key="id", n_buckets=1)
+    rename_column(path, "grp", "segment")
+    sdf = spark.readStream.format("txntable").load(path)
+    assert "segment" in sdf.columns and "grp" not in sdf.columns
+    q = (sdf.writeStream.format("memory").queryName("colmap_stream")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r["id"], r["segment"], r["val"])
+        for r in spark.sql("SELECT * FROM colmap_stream").collect()
+    )
+    assert got == [("a", "g", 1), ("b", "h", 2)]
