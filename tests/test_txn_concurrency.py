@@ -104,3 +104,44 @@ def test_conflict_raises_after_max_retries(spark, tmp_path, monkeypatch):
             )
     finally:
         monkeypatch.undo()
+
+
+def test_two_writers_interleaved_merges_converge(spark, tmp_path):
+    """Racing merge_into commits: each loser re-runs its WHOLE merge from
+    the winner's snapshot, so increments compose additively no matter the
+    interleaving — lost-update is exactly the bug OCC must prevent."""
+    from kinesis3_spark.sinks.txn import append_snapshot, merge_into
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "id bigint, total bigint"
+    )
+    append_snapshot(base, path, key="id", n_buckets=2)
+    rounds, errors = 3, []
+
+    def writer(amount: int):
+        try:
+            src = spark.createDataFrame(
+                [(i, amount) for i in range(10)], "id bigint, amt bigint"
+            )
+            for _ in range(rounds):
+                merge_into(
+                    spark, path, src, key="id",
+                    matched=[{"update": {"total": "total + src_amt"}}],
+                    max_retries=12,
+                )
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(a,)) for a in (1, 100)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    man = read_manifest(path)
+    assert man["epoch"] == 1 + 2 * rounds  # every merge exactly one epoch
+    snap = {r["id"]: r["total"] for r in read_snapshot(spark, path).collect()}
+    # additive composition: 3 rounds of +1 and 3 of +100 per key, no
+    # increment lost to a stale-snapshot overwrite
+    assert snap == {i: 303 for i in range(10)}
