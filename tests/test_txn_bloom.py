@@ -139,6 +139,7 @@ def test_datasource_reader_prunes_partitions_with_bloom(spark, table):
     reader.path = table
     reader.entries = man["files"]
     reader.schema_json = schema_json
+    reader.l2p = {}
     reader.pushed = [("id", "==", (17,))]
     parts = reader.partitions()
     assert 0 < len(parts) < len(man["files"])
