@@ -1653,7 +1653,12 @@ def _enforce_constraints(batch: DataFrame, man: dict | None) -> None:
         raise ValueError(f"CHECK constraint violation: {detail}")
 
 
-def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
+def vacuum_table(
+    path: str,
+    keep_epochs: int = 1,
+    retain_after: str | None = None,
+    dry_run: bool = False,
+) -> list[str]:
     """Reap files unreachable from the RETAINED manifests: keep the
     current manifest plus the ``keep_epochs - 1`` versions before it,
     delete every older versioned manifest and every data file no retained
@@ -1662,11 +1667,33 @@ def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
     Delta's VACUUM contract. Driver-side listing is O(|files|) metadata,
     the same walk the commit itself does; at real scale the deletes fan
     out to the object store's batch-delete API. Returns the deleted
-    paths (tests pin the exact set)."""
+    paths (tests pin the exact set).
+
+    ``retain_after`` (ISO-8601 UTC string) ADDITIONALLY retains every
+    epoch committed at or after that instant — Delta's ``RETAIN n
+    HOURS``, read from the commits' own operation timestamps, so a
+    count-based policy can never reap history a time-based SLA still
+    owes (the effective window is the union of both). ``dry_run=True``
+    reports exactly what a real run would delete and touches nothing —
+    the audit step before an irreversible reap."""
     man = read_manifest(path)
     if man is None:
         return []
     keep_from = man["epoch"] - max(keep_epochs, 1) + 1
+    if retain_after is not None:
+        # widen retention backwards while commits are younger than the
+        # cutoff; epochs without a timestamp (pre-history commits) count
+        # as old. Contiguous walk: the first too-old epoch ends it.
+        for v in range(keep_from - 1, 0, -1):
+            try:
+                m = read_manifest(path, v)
+            except ValueError:
+                break
+            ts = ((m or {}).get("op") or {}).get("ts")
+            if ts is not None and ts >= retain_after:
+                keep_from = v
+            else:
+                break
     referenced: set[str] = set()
     for e in range(keep_from, man["epoch"] + 1):
         try:
@@ -1687,7 +1714,8 @@ def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
                 continue
             if f.endswith(".tmp"):
                 # stale temp manifests from torn commits (review r8 #6)
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(rel)
                 continue
             if f.startswith("_MANIFEST.v"):
@@ -1695,7 +1723,8 @@ def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
                 # below retention, or uncommitted residue ABOVE the
                 # current pointer (crash between version copy and swap)
                 if v < keep_from or v > man["epoch"]:
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(rel)
                 continue
             top = rel.split(os.sep, 1)[0]
@@ -1708,9 +1737,10 @@ def vacuum_table(path: str, keep_epochs: int = 1) -> list[str]:
             # (dir formats: snap-<epoch> pre-r8, snap-<epoch>-<nonce>,
             # dv-<epoch>-<nonce> deletion-vector sidecars)
             if f.endswith(".parquet") or int(top.split("-")[1]) < keep_from:
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(rel)
-        if not os.listdir(root) and root != path:
+        if not dry_run and not os.listdir(root) and root != path:
             os.rmdir(root)
     return sorted(deleted)
 

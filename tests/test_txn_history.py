@@ -96,3 +96,49 @@ def test_clone_and_ds_write_are_recorded(spark, table, tmp_path):
     h = T.table_history(dst)
     assert h[0]["operation"] == "WRITE"
     assert h[0]["params"]["mode"] == "append"
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, table):
+    for i in range(3):
+        T.append_snapshot(
+            spark.createDataFrame([(100 + i, 1, "z")],
+                                  "id bigint, val bigint, seg string"),
+            table, key="id",
+        )
+    import os
+
+    def _all_files(p):
+        return sorted(
+            os.path.relpath(os.path.join(r, f), p)
+            for r, _d, fs in os.walk(p) for f in fs
+        )
+
+    before = _all_files(table)
+    would = T.vacuum_table(table, keep_epochs=1, dry_run=True)
+    assert would  # there IS reapable history
+    assert _all_files(table) == before  # nothing touched
+    assert T.table_history(table)[-1]["epoch"] == 1  # travel intact
+    real = T.vacuum_table(table, keep_epochs=1)
+    assert real == would  # the dry run predicted the reap exactly
+
+
+def test_vacuum_time_retention_overrides_count(spark, table):
+    for i in range(3):
+        T.append_snapshot(
+            spark.createDataFrame([(100 + i, 1, "z")],
+                                  "id bigint, val bigint, seg string"),
+            table, key="id",
+        )
+    # everything here was committed "just now": a cutoff in the past
+    # retains ALL epochs even though keep_epochs=1 would reap three
+    assert (
+        T.vacuum_table(table, keep_epochs=1, retain_after="2020-01-01")
+        == []
+    )
+    assert [h["epoch"] for h in T.table_history(table)] == [4, 3, 2, 1]
+    # a cutoff in the future adds nothing beyond the count policy
+    deleted = T.vacuum_table(
+        table, keep_epochs=1, retain_after="2099-01-01"
+    )
+    assert deleted
+    assert [h["epoch"] for h in T.table_history(table)] == [4]
