@@ -392,6 +392,33 @@ def _generated(man: dict | None) -> dict[str, str]:
     return dict((man or {}).get("generated_cols") or {})
 
 
+def _plain_constraints(man: dict | None) -> dict | None:
+    """The manifest with constraints REFERENCING generated columns
+    removed: those can only bind after the commit computes the generated
+    values (_apply_generated), so batch-level enforcement evaluates the
+    rest and commit_snapshot enforces the generated-referencing ones on
+    the computed frame — a constraint on a generated column neither
+    crashes a raw batch nor goes unenforced."""
+    import re as _re
+
+    gnames = _generated(man)
+    cons = (man or {}).get("constraints") or {}
+    if not gnames or not cons:
+        return man
+    plain = {
+        k: v
+        for k, v in cons.items()
+        if not any(_re.search(rf"\b{_re.escape(g)}\b", v) for g in gnames)
+    }
+    return {**man, "constraints": plain}
+
+
+def _gen_constraints(man: dict | None) -> dict:
+    cons = (man or {}).get("constraints") or {}
+    plain = (_plain_constraints(man) or {}).get("constraints") or {}
+    return {k: v for k, v in cons.items() if k not in plain}
+
+
 def _apply_generated(merged: DataFrame, gcols: dict[str, str]) -> DataFrame:
     """Delta generated columns at write time: a batch MISSING a generated
     column gets it computed (`GENERATED ALWAYS AS (expr)`); a batch that
@@ -418,9 +445,19 @@ def _apply_generated(merged: DataFrame, gcols: dict[str, str]) -> DataFrame:
                 for k, v in sorted(broken.items())
             )
             raise ValueError(f"generated-column violation: {detail}")
+    from pyspark.errors import AnalysisException
+
     for n, x in gcols.items():
         if n not in merged.columns:
-            merged = merged.withColumn(n, F.expr(x))
+            try:
+                merged = merged.withColumn(n, F.expr(x))
+            except AnalysisException as exc:
+                raise ValueError(
+                    f"generated column {n!r} (AS {x!r}) references "
+                    "columns the batch does not carry; supply them "
+                    "(NULL values are fine — the expression computes "
+                    "over them)"
+                ) from exc
     return merged
 
 
@@ -655,6 +692,11 @@ def commit_snapshot(
     # computed when absent, validated when supplied, logical namespace
     gcols = _generated(man) if man is not None else dict(generated_cols or {})
     merged = _apply_generated(merged, gcols)
+    gcons = _gen_constraints(man)
+    if gcons:
+        # constraints REFERENCING generated columns can only bind here,
+        # after the compute — batch-level enforcement handled the rest
+        _enforce_constraints(merged, {"constraints": gcons})
     # data lands under PHYSICAL names; callers speak logical throughout
     cmap = _mapping(man)
     hijack = (set(merged.columns) - set(cmap)) & set(cmap.values())
@@ -864,21 +906,31 @@ def upsert_manifest_txn(
             n_buckets = man["n_buckets"]
             stats_cols = man.get("stats_cols") or None
             bloom_cols = man.get("bloom_cols") or None
-        _enforce_constraints(batch, man)
+        _enforce_constraints(batch, _plain_constraints(man))
         touched = {
             int(r[0])
             for r in batch.select(_bucket_expr(key, n_buckets).alias("b"))
             .distinct()
             .collect()
         }
-        # generated columns must exist on the batch BEFORE the union —
-        # otherwise allowMissingColumns would NULL-pad them on the new
-        # rows and the commit-time validation would (rightly) refuse
-        new = _apply_generated(
-            batch,
-            _generated(man) if man is not None else dict(generated_cols or {}),
-        ).withColumn("__is_new", F.lit(1))
+        # generated columns are RECOMPUTED at commit: when the batch does
+        # not supply one, drop it from the current side too, so the union
+        # never NULL-pads it into a supplied-with-NULLs state that the
+        # commit validation would (rightly) refuse — and trusted stored
+        # values are not re-validated with an extra aggregate. A
+        # batch-SUPPLIED generated column stays on both sides and the
+        # commit validates every merged row.
+        gcols = (
+            _generated(man) if man is not None else dict(generated_cols or {})
+        )
+        gdrop = [
+            c for c in gcols
+            if c not in batch.columns and c not in (key, order)
+        ]
+        new = batch.withColumn("__is_new", F.lit(1))
         current = read_snapshot(spark, path, buckets=touched)
+        if current is not None and gdrop:
+            current = current.drop(*gdrop)
         if current is None:
             merged = _dedup_last(
                 new, key, order, prefer="new" if mode == "replace" else "old"
@@ -960,7 +1012,7 @@ def append_snapshot(
             n_buckets = man["n_buckets"]
             stats_cols = man.get("stats_cols") or None
             bloom_cols = man.get("bloom_cols") or None
-        _enforce_constraints(batch, man)
+        _enforce_constraints(batch, _plain_constraints(man))
         carry = list(man["files"]) if man else []
         try:
             return commit_snapshot(
@@ -1161,7 +1213,7 @@ def merge_into(
         out = j.filter(survive).select(
             [vals[c].cast(dtypes[c]).alias(c) for c in tcols if c not in gset]
         )
-        _enforce_constraints(out, man)
+        _enforce_constraints(out, _plain_constraints(man))
         carry = [e for e in man["files"] if e["bucket"] not in touched]
         try:
             return commit_snapshot(
@@ -1305,6 +1357,17 @@ def compact_table(
     assert man is not None, f"no committed table at {path}"
     n_buckets = man["n_buckets"]
     cur = read_snapshot(spark, path)
+    # generated columns: recompute at commit instead of re-validating
+    # the (correct-by-construction) stored values with an extra full
+    # scan — unless the layout clusters BY the generated column, which
+    # needs it materialized through the sort (the commit then validates)
+    keep_for_sort = set(cluster_by or []) | set(zorder or ())
+    gdrop = [
+        c for c in _generated(man)
+        if c in cur.columns and c not in keep_for_sort
+    ]
+    if gdrop:
+        cur = cur.drop(*gdrop)
     b = _bucket_expr(key, n_buckets)
     merged = cur.repartition(n_buckets, b)
     sort_cols: list = []
@@ -1681,6 +1744,12 @@ def vacuum_table(
         return []
     keep_from = man["epoch"] - max(keep_epochs, 1) + 1
     if retain_after is not None:
+        # compare INSTANTS, never ISO strings — a 'Z' suffix or non-UTC
+        # offset in the cutoff would misorder lexicographically against
+        # the stored '+00:00' timestamps and reap inside the SLA
+        cutoff = _dt.datetime.fromisoformat(retain_after.replace("Z", "+00:00"))
+        if cutoff.tzinfo is None:
+            cutoff = cutoff.replace(tzinfo=_dt.timezone.utc)
         # widen retention backwards while commits are younger than the
         # cutoff; epochs without a timestamp (pre-history commits) count
         # as old. Contiguous walk: the first too-old epoch ends it.
@@ -1690,7 +1759,7 @@ def vacuum_table(
             except ValueError:
                 break
             ts = ((m or {}).get("op") or {}).get("ts")
-            if ts is not None and ts >= retain_after:
+            if ts is not None and _dt.datetime.fromisoformat(ts) >= cutoff:
                 keep_from = v
             else:
                 break

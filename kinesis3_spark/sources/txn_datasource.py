@@ -160,6 +160,15 @@ class _TxnBatchReader(DataSourceReader):
     def __init__(self, options: dict, schema_json: str):
         self.path = _norm_path(options)
         self.schema_json = schema_json
+        if str(options.get("readchangefeed", "false")).lower() == "true":
+            # the change feed is a STREAMING read (epoch-diff offsets);
+            # a batch scan has no epoch range to diff, and silently
+            # labeling live rows with a change type would be wrong data
+            raise ValueError(
+                "txntable: readChangeFeed requires readStream (a batch "
+                "read has no epoch range to diff); use "
+                "spark.readStream.format('txntable')"
+            )
         ep = options.get("epoch")
         man = read_manifest(self.path, int(ep) if ep is not None else None)
         self.entries = man["files"] if man else []
@@ -282,43 +291,45 @@ class _TxnStreamReader(DataSourceStreamReader):
         man = read_manifest(self.path)
         return {"epoch": man["epoch"] if man else 0}
 
-    def _entries(self, epoch: int) -> dict[str, dict]:
-        if epoch == 0:
-            return {}
-        man = read_manifest(self.path, epoch)
-        return {e["path"]: e for e in man["files"]}
-
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        l2p: dict[str, str] = {}
-        if end["epoch"]:
-            man_b = read_manifest(self.path, end["epoch"])
-            l2p = dict((man_b or {}).get("column_mapping") or {})
-            key_b = (
-                l2p,
-                sorted((man_b or {}).get("dropped_cols") or []),
-            )
-            if start["epoch"]:
-                man_a = read_manifest(self.path, start["epoch"])
-                key_a = (
-                    dict((man_a or {}).get("column_mapping") or {}),
-                    sorted((man_a or {}).get("dropped_cols") or []),
+        man_a = (
+            read_manifest(self.path, start["epoch"])
+            if start["epoch"]
+            else None
+        )
+        man_b = (
+            read_manifest(self.path, end["epoch"]) if end["epoch"] else None
+        )
+        l2p = dict((man_b or {}).get("column_mapping") or {})
+        if man_b is not None:
+            key_b = (l2p, sorted(man_b.get("dropped_cols") or []))
+            key_a = (
+                (
+                    dict(man_a.get("column_mapping") or {}),
+                    sorted(man_a.get("dropped_cols") or []),
                 )
-            else:
-                key_a = key_b  # stream starts at this epoch's view
+                if man_a is not None
+                else key_b  # stream starts at this epoch's view
+            )
             if key_a != key_b:
                 # a rename/drop INSIDE the streamed range would change
                 # the presented schema mid-stream — the one case the
                 # fixed streaming schema genuinely cannot absorb; a
                 # mapping constant across the range (renamed before the
-                # stream started) is translated per batch below
+                # stream started) is translated per batch below. A plain
+                # restart replays the SAME checkpointed range and hits
+                # this again — adopting the new schema needs a fresh
+                # checkpoint (full reprocess), exactly Delta's rule for
+                # column-mapping changes under a stream.
                 raise ValueError(
                     "txntable stream: column mapping changed between "
                     f"epochs {start['epoch']} and {end['epoch']} of "
-                    f"{self.path}; restart the stream to adopt the new "
-                    "schema"
+                    f"{self.path}; a restart from this checkpoint will "
+                    "always replay this range — start a NEW checkpoint "
+                    "(full reprocess) to adopt the new schema"
                 )
-        a = self._entries(start["epoch"])
-        b = self._entries(end["epoch"])
+        a = {e["path"]: e for e in man_a["files"]} if man_a else {}
+        b = {e["path"]: e for e in man_b["files"]} if man_b else {}
         removed = sorted(set(a) - set(b))
         if removed and not self.ignore_changes:
             raise ValueError(

@@ -456,3 +456,13 @@ def test_stream_over_pre_renamed_table_presents_logical_names(
         for r in spark.sql("SELECT * FROM colmap_stream").collect()
     )
     assert got == [("a", "g", 1), ("b", "h", 2)]
+
+
+def test_batch_read_refuses_change_feed_option(registered, tmp_path):
+    """readChangeFeed is a streaming contract (epoch-diff offsets); a
+    batch scan would silently label every live row a delete."""
+    spark, path = registered, str(tmp_path / "t")
+    append_snapshot(_mk(spark, [("a", "g", 1)]), path, key="id")
+    with pytest.raises(Exception, match="readChangeFeed requires readStream"):
+        (spark.read.format("txntable")
+         .option("readChangeFeed", "true").load(path).collect())

@@ -142,3 +142,19 @@ def test_vacuum_time_retention_overrides_count(spark, table):
     )
     assert deleted
     assert [h["epoch"] for h in T.table_history(table)] == [4]
+
+
+def test_vacuum_time_cutoff_compares_instants_not_strings(spark, table):
+    T.append_snapshot(
+        spark.createDataFrame([(100, 1, "z")],
+                              "id bigint, val bigint, seg string"),
+        table, key="id",
+    )
+    # 'Z'-suffixed and non-UTC-offset cutoffs must order correctly
+    # against the stored '+00:00' timestamps (lexicographic comparison
+    # would misorder both and reap inside the SLA)
+    assert T.vacuum_table(table, keep_epochs=1,
+                          retain_after="2020-01-01T00:00:00Z") == []
+    assert T.vacuum_table(table, keep_epochs=1,
+                          retain_after="2020-01-01T05:00:00+02:00") == []
+    assert len(T.table_history(table)) == 2  # everything retained
