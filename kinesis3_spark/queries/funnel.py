@@ -538,39 +538,48 @@ def seq_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     association rules): top co-occurring part-brand pairs within an
     order, with support in exact integer parts-per-million (integer DIV
     on both engines — float-ratio rounding splits engines at half-ulp
-    boundaries, TESTING.md rule 3). Items
-    normalize to (basket, item) DISTINCT rows; pairs come from a
-    self-equi-join ON THE BASKET KEY with `brand_a < brand_b` so each
-    unordered pair counts once — never an all-pairs cross join.
+    boundaries, TESTING.md rule 3). Items normalize to each basket's
+    sorted DISTINCT brand set (one aggregate); unordered pairs are i<j
+    ARRAY COMBINATIONS generated inside the row, so each pair counts
+    once — never an all-pairs cross join, and no self-join at all.
 
-    Scale: the self-join is hash-partitioned by basket key, so the
-    quadratic blowup is PER BASKET: cost ~ sum(items_per_basket²). With
-    a bounded item vocabulary (25 brands) a basket contributes ≤ 300
-    pairs; for open vocabularies the standard guard is capping items per
-    basket before the join (top-N by frequency — same cap discipline as
+    Scale: the quadratic blowup is PER BASKET: cost ~
+    sum(items_per_basket²), generated by codegen higher-order functions
+    with the (basket, item) rows shuffled exactly once. With a bounded
+    item vocabulary (25 brands) a basket contributes ≤ 300 pairs; for
+    open vocabularies the standard guard is capping items per basket
+    before pair generation (top-N by frequency — same cap discipline as
     dedup_minhash_lsh_capped) and filtering items below min-support
     FIRST (the a-priori property: an infrequent item can't be in a
     frequent pair). The basket count for support is a scalar broadcast,
     and the final top-k is a TakeOrderedAndProject, never a full sort."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    items = (
+    # one basket-keyed aggregate builds each basket's sorted distinct
+    # brand set; pairs are generated as ARRAY COMBINATIONS inside the
+    # row (higher-order functions, whole-stage codegen) — the previous
+    # basket-key self-join expressed the same thing but evaluated the
+    # distinct subtree once per join alias (Spark re-executes
+    # non-materialized subtrees per alias) and shuffled the expanded
+    # pair rows; this shape shuffles (basket, brand) rows exactly once
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    nb = items.select("okey").distinct().count()  # scalar driver metadata
-    a = items.alias("a")
-    b = items.alias("b")
+    nb = baskets.count()  # scalar driver metadata
+    pairs = F.expr(
+        """
+        flatten(transform(brands, (x, i) ->
+          transform(slice(brands, i + 2, size(brands)), y ->
+            struct(x AS brand_a, y AS brand_b))))
+        """
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
+        baskets.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
         )
         .agg(F.count("*").alias("n_orders"))
         .withColumn(
