@@ -170,10 +170,14 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     deploy. Wedge COUNT comes from the degree sequence (sum d*(d-1)/2 —
     a two-row-group aggregate), not from counting the wedge join's
     output. The closing-edge join is an equi-join on the (source, sink)
-    pair; no broadcast is attempted because both sides are edge-scale.
-    The oriented edge list is read from its STORED per-sf table — the
-    census references it through three aliases and Spark re-executes a
-    non-materialized subtree per alias (the deg join would run 3x)."""
+    pair. Join strategy is left to AQE on purpose: at bench SF the
+    oriented edge list is small enough that runtime stats pick broadcast
+    joins (measured: plan_audit shows the broadcast), and at 100 TB the
+    same plan compiles to sort-merge when the edge list outgrows the
+    threshold — no hint to outgrow. The oriented edge list is read from
+    its STORED per-sf table — the census references it through three
+    aliases and Spark re-executes a non-materialized subtree per alias
+    (the deg join would run 3x)."""
     return triangle_census(
         _part_edges(spark, sf_dir),
         oriented=_oriented_part_edges(spark, sf_dir),
