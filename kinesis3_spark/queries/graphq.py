@@ -170,14 +170,17 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     deploy. Wedge COUNT comes from the degree sequence (sum d*(d-1)/2 —
     a two-row-group aggregate), not from counting the wedge join's
     output. The closing-edge join is an equi-join on the (source, sink)
-    pair. Join strategy is left to AQE on purpose: at bench SF the
-    oriented edge list is small enough that runtime stats pick broadcast
-    joins (measured: plan_audit shows the broadcast), and at 100 TB the
-    same plan compiles to sort-merge when the edge list outgrows the
-    threshold — no hint to outgrow. The oriented edge list is read from
-    its STORED per-sf table — the census references it through three
-    aliases and Spark re-executes a non-materialized subtree per alias
-    (the deg join would run 3x)."""
+    pair. The joins carry a SHUFFLE_HASH hint: measured on the stored
+    orientation, AQE's own pick was a 218 MB broadcast of the edge list
+    (7.8-8.6 s — a large broadcast is driver-memory-bound and buys
+    nothing in one JVM), sort-merge 4-6.8 s, shuffle-hash 2.1-2.4 s.
+    Shuffle-hash is also the SCALE-correct strategy for an edge⋈edge
+    equi-join: both sides hash-partition on the key (no sort, no
+    broadcast to outgrow), per-partition build sides stay bounded by the
+    partition count. The oriented edge list is read from its STORED
+    per-sf table — the census references it through three aliases and
+    Spark re-executes a non-materialized subtree per alias (the deg
+    join would run 3x)."""
     return triangle_census(
         _part_edges(spark, sf_dir),
         oriented=_oriented_part_edges(spark, sf_dir),
@@ -220,6 +223,10 @@ def triangle_census(
                 F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
             )
         )
+    # shuffle-hash beats both AQE's broadcast pick (218 MB edge-list
+    # broadcast, measured 3.5x slower in-JVM) and sort-merge (pointless
+    # sort) — and is the strategy that survives 100x edges
+    oriented = oriented.hint("shuffle_hash")
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
