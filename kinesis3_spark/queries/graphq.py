@@ -294,6 +294,10 @@ def common_neighbor_candidates(edges: DataFrame, k: int) -> DataFrame:
     """Top-k non-adjacent pairs by shared-neighbor count over a (u < v)
     edge list — the common-neighbors link-prediction scorer."""
     und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # shuffle-hash for the center-keyed wedge join: AQE's broadcast pick
+    # (the 35 MB doubled edge list) measured ~40% slower in-JVM, and a
+    # broadcast is the one strategy a growing edge list outgrows
+    und = und.hint("shuffle_hash")
     a, b = und.alias("a"), und.alias("b")
     wedge = (
         a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")))
