@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # outranks exploration), then greens whose source/oracle hash changed
 # since their last official check (QUERY_HASHES.json — a rewrite voids
 # the old green), then never-officially-checked queries, then green
-# queries oldest-check-first. The registry far exceeds one window (159 vs
-# 50); every query stays covered every round by
+# queries oldest-check-first. The registry far exceeds one window
+# (len(QUERIES) > 200 vs 50); every query stays covered every round by
 # tests/test_oracle_parity.py regardless of window position.
 # _PRIORITY breaks ties within each class — the round-4 rotation order
 # (VERDICT r3 "Next round" #2): TPC-H Q4-Q22, llm_*, stream_*/metrics_*,

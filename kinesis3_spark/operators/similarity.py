@@ -556,6 +556,58 @@ def cosine_topk_ivfpq(
     return _topk_from_scores(scored, k)
 
 
+def cosine_topk_ivfpq_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    fetch_r: int = 64,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[np.ndarray, np.ndarray] | None = None,
+    enc: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank — the standard production recall
+    lift over a compressed index (FAISS's refine/`k_factor`, Milvus's
+    reorder): stage 1 over-fetches the top ``fetch_r`` (>> k) candidates
+    per query from the IVF-PQ index by ADC score (compressed rows only,
+    raw vectors untouched); stage 2 exact-scores ONLY those |Q| x
+    fetch_r survivors with raw vectors and returns the exact-cosine
+    top-k. Re-ranking cancels the PQ quantization error entirely — any
+    true neighbor the probed cells contain is recovered as long as ADC
+    ranks it inside fetch_r. What it cannot recover is a neighbor in an
+    UNPROBED cell, so the production pairing is over-probe + re-rank:
+    nprobe buys cell coverage, fetch_r buys quantization forgiveness,
+    and exact scoring is paid on a candidate set that is O(|Q| *
+    fetch_r), not O(N).
+
+    Scale: stage 1 is the plain probe (cell-pruned index files, ADC in
+    Arrow batches). The candidate id set is bounded driver metadata in
+    spirit but never collected — it stays a DataFrame and BROADCASTS
+    into an equi-join against the corpus by id, so the raw-vector fetch
+    is one map-side hash join over the corpus scan (at real scale the
+    corpus is bucketed by id and this join is the point-lookup tier).
+    Exact scoring is a JVM-side expression over |Q| x fetch_r rows."""
+    cand = cosine_topk_ivfpq(
+        emb, queries, k=fetch_r, nprobe=nprobe, n_centroids=n_centroids,
+        id_col=id_col, vec_col=vec_col, index=index, enc=enc,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        e.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", cosine_similarity("qv", "nv"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_scores(scored, k)
+
+
 def persist_ivfpq_index(enc: DataFrame, path: str) -> None:
     """Write the encoded IVF-PQ corpus CLUSTERED BY CELL: one parquet
     partition directory per cell (`cell=<n>/part-*.parquet`), the on-disk

@@ -657,6 +657,8 @@ def commit_snapshot(
     path: str,
     key: str,
     n_buckets: int,
+    *,
+    base_man: dict | None,
     carry: list[dict] | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
@@ -683,10 +685,22 @@ def commit_snapshot(
     manifest remembers the highest version each named application has
     applied, which is what lets a replayed streaming micro-batch be
     recognized and skipped (see append_snapshot) — the exactly-once half
-    of the foreachBatch contract."""
+    of the foreachBatch contract.
+
+    ``base_man`` (REQUIRED) is the manifest ``merged``/``carry`` were
+    computed FROM — the one the caller read at the top of its retry
+    loop, or None for a first commit. The claimed epoch is exactly
+    ``base_man.epoch + 1`` and this function never re-reads the
+    manifest: a writer that committed between the caller's read and
+    this claim makes the exclusive create FAIL (CommitConflict) and the
+    caller re-merges from the winner's snapshot. Re-reading here was
+    the round-8 lost-update race — the re-read claimed the RACING
+    WINNER's epoch + 1 for output computed against the older snapshot,
+    silently erasing the interleaved commit (pinned by
+    tests/test_txn_concurrency.py::test_interleaved_commit_conflicts)."""
     import uuid
 
-    man = read_manifest(path)
+    man = base_man
     # GENERATED ALWAYS AS: fixed at table creation (Delta's rule — a
     # generated column added later would disagree with existing rows);
     # computed when absent, validated when supplied, logical namespace
@@ -825,6 +839,13 @@ def _publish_manifest(
     try:
         vfd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
     except FileExistsError:
+        # The claimed epoch may be a LIVE competing writer (about to swap
+        # the pointer) — or RESIDUE of a writer that crashed between its
+        # O_EXCL create and its pointer swap. Residue would wedge the
+        # table: every retry recomputes the same epoch, hits this branch,
+        # and exhausts as a phantom CommitConflict. Repair before
+        # conflicting (tests/test_txn_concurrency pins both repairs).
+        _repair_claim_residue(path, epoch, vpath)
         raise CommitConflict(
             f"epoch {epoch} of {path} was committed by another writer"
         ) from None
@@ -833,15 +854,32 @@ def _publish_manifest(
         os.fsync(vfd)
     finally:
         os.close(vfd)
-    # shrink the vacuum-reopened-epoch window: if the current pointer
-    # moved past epoch-1 while we merged, our claim is stale residue
+    # Epochs are claimed CONSECUTIVELY (every publisher computes cur+1
+    # and must win the O_EXCL on it), and we hold v<epoch> — so at this
+    # point the pointer names either epoch-1 (normal: swap it) or
+    # >= epoch, which is only reachable THROUGH our own claim: a peer's
+    # residue repair rolled our durable commit forward while we stalled.
+    # That is success — swapping again would be a no-op, removing vpath
+    # would delete the history copy of a LIVE epoch, and raising would
+    # make the caller re-apply an already-published merge (double
+    # increment).
     cur = read_manifest(path)
-    if (cur["epoch"] if cur else 0) != epoch - 1:
-        os.remove(vpath)
-        raise CommitConflict(
-            f"table {path} advanced past epoch {epoch - 1} during merge"
-        )
-    tmp = os.path.join(path, f".{MANIFEST}.{epoch}.tmp")
+    if (cur["epoch"] if cur else 0) >= epoch:
+        return
+    _swap_pointer(path, payload, epoch)
+
+
+def _swap_pointer(path: str, payload: str, epoch: int) -> None:
+    """Atomically publish ``payload`` as the current-manifest pointer:
+    unique tmp, fsync, rename over ``_MANIFEST.json``, fsync the
+    directory — durable, not merely atomic. The tmp name carries a NONCE
+    beyond the epoch: a peer rolling a slow writer's commit forward
+    swaps the SAME epoch concurrently with the writer's own swap, and a
+    shared tmp name would make one replace see the other's already-
+    renamed (vanished) tmp."""
+    import uuid
+
+    tmp = os.path.join(path, f".{MANIFEST}.{epoch}.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
         fh.write(payload)
         fh.flush()
@@ -852,6 +890,55 @@ def _publish_manifest(
         os.fsync(dfd)
     finally:
         os.close(dfd)
+
+
+# residue younger than this is assumed to be a LIVE writer between its
+# claim and its pointer swap (a window of milliseconds); older, a
+# crashed writer's leavings, safe to repair
+_RESIDUE_GRACE_SECONDS = 10.0
+
+
+def _repair_claim_residue(path: str, epoch: int, vpath: str) -> None:
+    """A versioned manifest exists for ``epoch`` but the pointer still
+    names ``epoch - 1``: either a live writer between its claim and its
+    swap, or a crashed writer's residue. Residue younger than the grace
+    window is ALWAYS left alone — the caller raises CommitConflict and
+    the retry loop re-reads, by which time a live writer has swapped.
+    Past the grace window the owner is dead, and two repairs apply,
+    both idempotent:
+
+    - payload COMPLETE (parses, epoch matches) → ROLL FORWARD: perform
+      the pointer swap on its behalf. The claim was fsynced before the
+      pointer ever moves, so the commit is durable and publishing it
+      loses nothing. If the owner is merely STALLED (not dead), its own
+      post-claim check reads a pointer at-or-past its epoch — reachable
+      only through its own claim — and returns success without retrying
+      (re-applying a published merge would double-increment).
+    - payload TORN (unparseable) → RECLAIM: remove it so the next
+      retry's O_EXCL can succeed. A live writer is never this slow
+      between create and fsync; a crashed one never finishes."""
+    try:
+        import time
+
+        if time.time() - os.path.getmtime(vpath) <= _RESIDUE_GRACE_SECONDS:
+            return  # plausibly a live writer mid-swap: just conflict
+        with open(vpath) as fh:
+            raw = fh.read()
+    except OSError:
+        return  # vanished: the owner (or a peer's repair) handled it
+    try:
+        claimed = json.loads(raw)
+    except ValueError:
+        claimed = None
+    if isinstance(claimed, dict) and claimed.get("epoch") == epoch:
+        cur = read_manifest(path)
+        if (cur["epoch"] if cur else 0) == epoch - 1:
+            _swap_pointer(path, raw, epoch)
+        return
+    try:
+        os.remove(vpath)  # torn claim of a dead writer
+    except OSError:
+        pass
 
 
 def upsert_manifest_txn(
@@ -955,7 +1042,7 @@ def upsert_manifest_txn(
         ]
         try:
             return commit_snapshot(
-                merged, path, key, n_buckets, carry=carry,
+                merged, path, key, n_buckets, base_man=man, carry=carry,
                 stats_cols=stats_cols, bloom_cols=bloom_cols,
                 app_id=app_id, app_version=app_version,
                 op={"name": "UPSERT", "key": key, "mode": mode},
@@ -1016,7 +1103,7 @@ def append_snapshot(
         carry = list(man["files"]) if man else []
         try:
             return commit_snapshot(
-                batch, path, key, n_buckets, carry=carry,
+                batch, path, key, n_buckets, base_man=man, carry=carry,
                 stats_cols=stats_cols, bloom_cols=bloom_cols,
                 app_id=app_id, app_version=app_version,
                 op={"name": "APPEND", "key": key},
@@ -1217,7 +1304,7 @@ def merge_into(
         carry = [e for e in man["files"] if e["bucket"] not in touched]
         try:
             return commit_snapshot(
-                out, path, key, n_buckets, carry=carry,
+                out, path, key, n_buckets, base_man=man, carry=carry,
                 stats_cols=man.get("stats_cols") or None,
                 bloom_cols=man.get("bloom_cols") or None,
                 app_id=app_id, app_version=app_version,
@@ -1401,7 +1488,7 @@ def compact_table(
         )
     try:
         return commit_snapshot(
-            merged, path, key, n_buckets, carry=[],
+            merged, path, key, n_buckets, base_man=man, carry=[],
             op={"name": "OPTIMIZE",
                 "zorder": list(zorder) if zorder else None,
                 "cluster_by": list(cluster_by) if cluster_by else None},
@@ -1797,6 +1884,17 @@ def vacuum_table(
                     deleted.append(rel)
                 continue
             top = rel.split(os.sep, 1)[0]
+            if top == _BLOOM_DIR:
+                # bloom sidecars: losing OCC attempts and sidecars of
+                # vacuumed files are referenced by no retained manifest —
+                # exactly the reap rule for data files (a reaped sidecar
+                # mid-commit only degrades the probe to a scan:
+                # _bloom_may_match treats a missing sidecar as may-match)
+                if rel not in referenced:
+                    if not dry_run:
+                        os.remove(full)
+                    deleted.append(rel)
+                continue
             if not top.startswith(("snap-", "dv-")):
                 continue
             if rel in referenced:

@@ -106,8 +106,15 @@ def upsert_parquet(
     merged = merged.localCheckpoint(eager=True)
     writer = merged.write
     if partition_cols:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        writer = writer.mode("overwrite").partitionBy(*partition_cols)
+        # scoped conf change, restored after the write — a lingering
+        # "dynamic" would silently change every later caller's INSERT
+        # OVERWRITE semantics in this session
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(mode_key)
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            writer.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        finally:
+            spark.conf.set(mode_key, old_mode)
     else:
-        writer = writer.mode("overwrite")
-    writer.parquet(path)
+        writer.mode("overwrite").parquet(path)

@@ -157,7 +157,9 @@ class _TxnBatchReader(DataSourceReader):
     catch — never invent them. An `epoch` option time-travels the whole
     scan (schema included) to a retained version."""
 
-    def __init__(self, options: dict, schema_json: str):
+    def __init__(
+        self, options: dict, schema_json: str, man: dict | None = None
+    ):
         self.path = _norm_path(options)
         self.schema_json = schema_json
         if str(options.get("readchangefeed", "false")).lower() == "true":
@@ -169,8 +171,12 @@ class _TxnBatchReader(DataSourceReader):
                 "read has no epoch range to diff); use "
                 "spark.readStream.format('txntable')"
             )
-        ep = options.get("epoch")
-        man = read_manifest(self.path, int(ep) if ep is not None else None)
+        if man is None:
+            # standalone construction (tests): one read, self-consistent
+            ep = options.get("epoch")
+            man = read_manifest(
+                self.path, int(ep) if ep is not None else None
+            )
         self.entries = man["files"] if man else []
         # column mapping: Catalyst pushes predicates in LOGICAL names;
         # file stats/bloom sidecars are keyed by PHYSICAL names, and the
@@ -356,12 +362,17 @@ class _TxnStreamReader(DataSourceStreamReader):
                 "appends; set ignoreDeletes=true to skip them, or "
                 "readChangeFeed=true to consume them as delete rows"
             )
-        # New files stream WITHOUT dv filtering: positions deleted after
-        # the file's epoch belong to later offsets by definition, and
-        # append-only tables have none at first sight of the file.
+        # New files stream with the dv refs they ALREADY CARRY applied
+        # (initial-snapshot semantics): a file first seen with deletion
+        # vectors — a fresh stream from epoch 0 over a table with
+        # delete_where history, or a catch-up range spanning the add AND
+        # the delete — was deleted-from at or before the end offset, so
+        # emitting those positions would replay dead rows as live/insert
+        # rows (ADVICE r8). Positions deleted AFTER this window land in
+        # later offsets' dv_grew diffs as before.
         out: list[InputPartition] = [
             _FileSlice(
-                self.path, rel, [], self.schema_json,
+                self.path, rel, b[rel].get("dv", []), self.schema_json,
                 kind="insert" if self.cdf else "scan", l2p=l2p,
             )
             for rel in sorted(set(b) - set(a))
@@ -628,9 +639,21 @@ class _TxnStreamWriter(_TxnWriter, DataSourceStreamWriter):
         self._publish(messages, app_id=self.app_id, app_version=batchId)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
-        import shutil
-
-        shutil.rmtree(os.path.join(self.path, self.snap), ignore_errors=True)
+        # The staging dir is SHARED across the run's micro-batches (the
+        # writer is pickled once at stream start, before any batchId
+        # exists), so earlier batches' COMMITTED files live under it —
+        # rmtree here would corrupt every epoch they published (ADVICE
+        # r8, high). Remove only the files THIS batch's tasks reported;
+        # files of tasks that died before reporting (messages carry
+        # None) are unreferenced garbage vacuum reaps.
+        for m in messages:
+            if m is None:
+                continue
+            for rel, _b, _n in m.files:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except OSError:
+                    pass
 
 
 class TxnTableDataSource(DataSource):
@@ -643,11 +666,22 @@ class TxnTableDataSource(DataSource):
     def name(cls) -> str:
         return "txntable"
 
+    def _manifest(self) -> dict | None:
+        """The manifest read ONCE per DataSource instance and reused by
+        schema() AND reader(): Spark calls the two separately, and a
+        commit landing between two independent reads would pair one
+        epoch's schema/column-mapping with another epoch's file list —
+        a torn read the manifest design otherwise rules out (ADVICE r8).
+        Memoizing pins every consumer of this instance to one epoch."""
+        if not hasattr(self, "_man_cache"):
+            ep = self.options.get("epoch")
+            self._man_cache = read_manifest(
+                _norm_path(self.options), int(ep) if ep is not None else None
+            )
+        return self._man_cache
+
     def _schema_json(self) -> str:
-        ep = self.options.get("epoch")
-        man = read_manifest(
-            _norm_path(self.options), int(ep) if ep is not None else None
-        )
+        man = self._manifest()
         if man is None:
             raise ValueError(
                 f"no committed txn table at {self.options.get('path')}"
@@ -678,9 +712,13 @@ class TxnTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         opts = dict(self.options)
+        # schema and file entries from the SAME memoized manifest read —
+        # never one epoch's mapping over another epoch's files
         if str(opts.get("pushdown", "false")).lower() == "true":
-            return _TxnBatchReaderPushdown(opts, self._schema_json())
-        return _TxnBatchReader(opts, self._schema_json())
+            return _TxnBatchReaderPushdown(
+                opts, self._schema_json(), man=self._manifest()
+            )
+        return _TxnBatchReader(opts, self._schema_json(), man=self._manifest())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TxnStreamReader(dict(self.options), self._schema_json())

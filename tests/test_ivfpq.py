@@ -173,3 +173,51 @@ def test_ivfpq_training_is_deterministic(spark, sf_dir):
     C1, b1 = S.train_ivfpq(emb, n_centroids=8, m=8, k=16, iters=4)
     C2, b2 = S.train_ivfpq(emb, n_centroids=8, m=8, k=16, iters=4)
     assert np.array_equal(C1, C2) and np.array_equal(b1, b2)
+
+
+def test_rerank_recovers_exact_topk_and_never_loses_to_adc(
+    spark, clustered_dir
+):
+    """Retrieve-then-rerank on the planted clusters: with every cell
+    probed and fetch_r covering the cluster, the exact re-rank must
+    reproduce the brute-force top-k EXACTLY (quantization error fully
+    cancelled — PQ codes only shortlist, raw cosine decides). And at any
+    (nprobe, fetch_r) the re-ranked recall can never be below plain ADC
+    at the same nprobe: it exact-scores a superset of what ADC ranked."""
+    d, _labels = clustered_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    qset = emb.where(F.col("vec_id") < 8)
+    C, books = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    enc = S.ivfpq_encode(emb, C, books)
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.cosine_topk_bruteforce(emb, qset, k=5).collect()
+    }
+    # full probe + generous over-fetch: exact equality with brute force
+    rr_full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.cosine_topk_ivfpq_rerank(
+            emb, qset, k=5, fetch_r=60, nprobe=8, n_centroids=8,
+            index=(C, books), enc=enc,
+        ).collect()
+    }
+    assert rr_full == brute
+    # tier ordering at a partial probe: rerank recall >= ADC recall
+    truth_pairs = {(q, n) for q, n, _ in brute}
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivfpq(
+            emb, qset, k=5, nprobe=2, n_centroids=8,
+            index=(C, books), enc=enc,
+        ).collect()
+    }
+    rr_part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivfpq_rerank(
+            emb, qset, k=5, fetch_r=30, nprobe=2, n_centroids=8,
+            index=(C, books), enc=enc,
+        ).collect()
+    }
+    assert len(rr_part & truth_pairs) >= len(adc & truth_pairs)

@@ -248,3 +248,22 @@ def test_graph_joins_are_hash_equi_joins(spark, sf_dir):
         # the only nested-loop allowed is the 1x1 scalar census stitch
         bnlj = plan.count("BroadcastNestedLoopJoin")
         assert bnlj <= (2 if name == "graph_triangle_census" else 0), name
+
+
+def test_market_basket_builds_lazily(spark, sf_dir, monkeypatch):
+    """seq_market_basket_pairs must trigger NO Spark action at query-
+    construction time: the basket count enters as a lazy broadcast
+    scalar (crossJoin of a 1-row agg), not a driver .count() — which
+    both broke the registry's lazy-build contract and evaluated the
+    join+groupBy subtree twice per run (VERDICT r8 'wrong' #2)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver action during query construction")
+
+    for action in ("count", "collect", "first", "head", "toPandas"):
+        monkeypatch.setattr(DataFrame, action, boom)
+    df = QUERIES["seq_market_basket_pairs"](spark, sf_dir)
+    monkeypatch.undo()
+    top = df.limit(1).collect()
+    assert top and top[0]["support_ppm"] > 0

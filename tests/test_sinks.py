@@ -437,9 +437,10 @@ def test_txn_table_changes_classifies_epoch_diff(spark, tmp_path):
     assert ch == {"c": ("update_postimage", 30.0), "d": ("insert", 4.0)}
     # a delete: commit a filtered rewrite (drop key 'a') as epoch 3
     cur = read_snapshot(spark, path)
+    man = read_manifest(path)
     commit_snapshot(
         cur.where("id <> 'a'"), path, key="id",
-        n_buckets=read_manifest(path)["n_buckets"],
+        n_buckets=man["n_buckets"], base_man=man,
     )
     ch3 = {
         r["id"]: r["_change_type"]
@@ -612,9 +613,10 @@ def test_txn_incremental_mv_matches_full_recompute(spark, tmp_path):
     upsert_manifest_txn(spark, _events(spark, rows2), path, key="id", order_col="ts")
     # epoch 3: delete 'c' -> group g2 empties entirely
     cur = read_snapshot(spark, path)
+    man = read_manifest(path)
     commit_snapshot(
         cur.where("id <> 'c'"), path, key="id",
-        n_buckets=read_manifest(path)["n_buckets"],
+        n_buckets=man["n_buckets"], base_man=man,
     )
     mv = count_sum_mv(read_snapshot(spark, path, epoch=1), ["dt"], ["val"])
     for e in (2, 3):

@@ -145,3 +145,128 @@ def test_two_writers_interleaved_merges_converge(spark, tmp_path):
     # additive composition: 3 rounds of +1 and 3 of +100 per key, no
     # increment lost to a stale-snapshot overwrite
     assert snap == {i: 303 for i in range(10)}
+
+
+def test_interleaved_commit_conflicts(spark, tmp_path, monkeypatch):
+    """DETERMINISTIC pin of the round-8 lost-update race: a competing
+    writer commits BETWEEN a merge's manifest read and its epoch claim.
+    The claim must be pinned to the epoch the merge's output was computed
+    from (base_man), so the interleaved commit makes the O_EXCL claim
+    FAIL and the merge re-runs from the winner's snapshot. The old code
+    re-read the manifest inside commit_snapshot and claimed the WINNER's
+    epoch + 1 for stale output — both writes 'succeeded' and the
+    winner's increment silently vanished."""
+    from kinesis3_spark.sinks import txn
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "id bigint, total bigint"
+    )
+    txn.append_snapshot(base, path, key="id", n_buckets=2)
+
+    real_commit = txn.commit_snapshot
+    fired = {"n": 0}
+
+    def interleaving_commit(merged, path_, key, n_buckets, **kw):
+        # first merge attempt only: land a +100 merge AFTER the outer
+        # merge read its snapshot but BEFORE it claims an epoch
+        if fired["n"] == 0:
+            fired["n"] += 1
+            src100 = spark.createDataFrame(
+                [(i, 100) for i in range(10)], "id bigint, amt bigint"
+            )
+            monkeypatch.setattr(txn, "commit_snapshot", real_commit)
+            try:
+                txn.merge_into(
+                    spark, path_, src100, key="id",
+                    matched=[{"update": {"total": "total + src_amt"}}],
+                )
+            finally:
+                monkeypatch.setattr(
+                    txn, "commit_snapshot", interleaving_commit
+                )
+        return real_commit(merged, path_, key, n_buckets, **kw)
+
+    monkeypatch.setattr(txn, "commit_snapshot", interleaving_commit)
+    src1 = spark.createDataFrame(
+        [(i, 1) for i in range(10)], "id bigint, amt bigint"
+    )
+    txn.merge_into(
+        spark, path, src1, key="id",
+        matched=[{"update": {"total": "total + src_amt"}}],
+    )
+    assert fired["n"] == 1
+    man = read_manifest(path)
+    # base + interleaved +100 + retried +1 = three epochs, NOT two
+    assert man["epoch"] == 3
+    snap = {r["id"]: r["total"] for r in read_snapshot(spark, path).collect()}
+    assert snap == {i: 101 for i in range(10)}  # neither increment lost
+
+
+def test_crash_residue_rolls_forward(spark, tmp_path):
+    """A versioned manifest above the pointer with a COMPLETE payload is
+    a writer that crashed between its O_EXCL claim and its pointer swap.
+    The next writer's claim collision rolls the durable commit forward
+    (the payload was fsynced before the pointer ever moves) and retries
+    on top of it — instead of wedging the table in phantom
+    CommitConflicts until a manual vacuum (ADVICE r8)."""
+    import json
+
+    from kinesis3_spark.sinks.txn import _manifest_path
+
+    path = str(tmp_path / "t")
+    upsert_manifest_txn(
+        spark, _batch(spark, 1, 0), path, key="id", order_col="ts"
+    )
+    # simulate the crash: epoch 2 claimed (complete, durable) but the
+    # pointer still names epoch 1
+    with open(_manifest_path(path, 1)) as fh:
+        man1 = json.load(fh)
+    man2 = dict(man1, epoch=2, op={"name": "CRASHED", "ts": "2024-01-01T00:00:00+00:00"})
+    vpath = _manifest_path(path, 2)
+    with open(vpath, "w") as fh:
+        json.dump(man2, fh)
+    import os
+
+    old = os.path.getmtime(vpath) - 3600  # older than the live-writer grace
+    os.utime(vpath, (old, old))
+    assert read_manifest(path)["epoch"] == 1
+
+    upsert_manifest_txn(
+        spark, _batch(spark, 2, 1), path, key="id", order_col="ts"
+    )
+    man = read_manifest(path)
+    # crashed epoch 2 rolled forward, new upsert landed as epoch 3
+    assert man["epoch"] == 3
+    assert read_manifest(path, 2)["op"]["name"] == "CRASHED"
+    # the new upsert's rows are live (merged against the rolled-forward
+    # snapshot, which referenced epoch 1's files)
+    snap = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert snap == {f"k{i:03d}": float(100 + 20 + i) for i in range(20)}
+
+
+def test_torn_residue_is_reclaimed(spark, tmp_path):
+    """A versioned manifest above the pointer that does NOT parse is a
+    claim torn mid-write by a crash. Once it is older than the live-writer
+    grace window it is reclaimed so the epoch becomes claimable again."""
+    import os
+
+    from kinesis3_spark.sinks.txn import _manifest_path
+
+    path = str(tmp_path / "t")
+    upsert_manifest_txn(
+        spark, _batch(spark, 1, 0), path, key="id", order_col="ts"
+    )
+    vpath = _manifest_path(path, 2)
+    with open(vpath, "w") as fh:
+        fh.write('{"epoch": 2, "files": [')  # torn mid-write
+    old = os.path.getmtime(vpath) - 3600
+    os.utime(vpath, (old, old))
+
+    upsert_manifest_txn(
+        spark, _batch(spark, 2, 1), path, key="id", order_col="ts"
+    )
+    man = read_manifest(path)
+    assert man["epoch"] == 2  # the reclaimed epoch number was reused
+    snap = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert snap == {f"k{i:03d}": float(100 + 20 + i) for i in range(20)}

@@ -466,3 +466,113 @@ def test_batch_read_refuses_change_feed_option(registered, tmp_path):
     with pytest.raises(Exception, match="readChangeFeed requires readStream"):
         (spark.read.format("txntable")
          .option("readChangeFeed", "true").load(path).collect())
+
+
+def test_fresh_stream_applies_existing_deletion_vectors(registered, tmp_path):
+    """A file FIRST SEEN already carrying dv refs (fresh stream from
+    epoch 0 over a table with delete_where history) streams with those
+    refs APPLIED — initial-snapshot semantics. Emitting the dead rows as
+    live inserts (the pre-fix behavior: new files always got dv=[])
+    silently resurrected deleted data downstream (ADVICE r8)."""
+    spark, path, ck = registered, str(tmp_path / "t"), str(tmp_path / "ck")
+    append_snapshot(_mk(spark, [("a", "g", 1), ("b", "g", 2), ("c", "g", 3)]),
+                    path, key="id", n_buckets=1)
+    delete_where(spark, path, "id = 'b'")
+    got = _drain(spark, path, ck)
+    assert [t[:3] for t in got] == [("a", "g", 1), ("c", "g", 3)]
+    # change-feed variant: the initial snapshot's inserts are net-live
+    got_cdf = _drain(spark, path, str(tmp_path / "ck2"),
+                     readChangeFeed="true")
+    assert sorted(t[:4] for t in got_cdf) == [
+        ("a", "g", 1, "insert"), ("c", "g", 3, "insert")
+    ]
+
+
+def test_stream_abort_reaps_only_its_own_batch(registered, tmp_path):
+    """The stream writer's staging dir is SHARED across micro-batches
+    (the writer pickles once at stream start); abort of batch N must
+    remove only batch N's reported files — an rmtree of the shared dir
+    deleted files earlier batches had already committed into manifest
+    epochs, corrupting the whole table (ADVICE r8, high)."""
+    import os
+
+    from kinesis3_spark.sinks.txn import read_manifest
+    from kinesis3_spark.sources.txn_datasource import _TxnStreamWriter
+
+    spark, path = registered, str(tmp_path / "t")
+    schema = _mk(spark, [("a", "g", 1)]).schema
+    w = _TxnStreamWriter({"path": path, "key": "id"}, schema, False)
+    msg0 = w.write(iter([("a", "g", 1), ("b", "g", 2)]))
+    w.commit([msg0], batchId=0)
+    assert read_manifest(path)["epoch"] == 1
+    committed = [rel for rel, _b, _n in msg0.files]
+    # batch 1 stages into the SAME dir, then fails
+    msg1 = w.write(iter([("c", "g", 3)]))
+    staged1 = [rel for rel, _b, _n in msg1.files]
+    w.abort([msg1, None], batchId=1)  # None = a task that died unreported
+    for rel in committed:
+        assert os.path.exists(os.path.join(path, rel)), rel
+    for rel in staged1:
+        assert not os.path.exists(os.path.join(path, rel)), rel
+    # the committed epoch still reads intact
+    got = sorted(map(tuple, spark.read.format("txntable").load(path).collect()))
+    assert got == [("a", "g", 1), ("b", "g", 2)]
+
+
+def test_vacuum_reaps_orphan_bloom_sidecars(registered, tmp_path):
+    """Bloom sidecars of vacuumed files (and losing OCC attempts) are
+    referenced by no retained manifest and must be reaped with their
+    files; referenced sidecars stay and keep answering probes."""
+    import os
+
+    from kinesis3_spark.sinks.txn import read_manifest, vacuum_table
+
+    spark, path = registered, str(tmp_path / "t")
+    upsert_manifest_txn(
+        spark, _mk(spark, [(f"k{i}", "g", i) for i in range(10)]),
+        path, key="id", order_col="val", n_buckets=1, bloom_cols=["id"],
+    )
+    upsert_manifest_txn(  # rewrites the only bucket: epoch-1 file orphaned
+        spark, _mk(spark, [("k0", "g", 100)]),
+        path, key="id", order_col="val",
+    )
+    man = read_manifest(path)
+    live_refs = {r for e in man["files"] for r in (e.get("bloom") or {}).values()}
+    all_side = {
+        os.path.join("_bloom", f) for f in os.listdir(os.path.join(path, "_bloom"))
+    }
+    orphans = all_side - live_refs
+    assert orphans  # epoch 1's sidecar is no longer referenced
+    deleted = vacuum_table(path, keep_epochs=1)
+    assert orphans <= set(deleted)
+    for ref in live_refs:
+        assert os.path.exists(os.path.join(path, ref)), ref
+    # probes still answered from the retained sidecars
+    from kinesis3_spark.sinks import txn as T
+
+    assert T.read_snapshot(spark, path, where=[("id", "==", "k0")]).where(
+        "id = 'k0'"
+    ).first()["val"] == 100
+
+
+def test_datasource_reads_manifest_exactly_once(registered, tmp_path):
+    """schema() and reader() must consume ONE memoized manifest read — a
+    commit between two independent reads would pair one epoch's schema
+    and column mapping with another epoch's file list (ADVICE r8)."""
+    from unittest import mock
+
+    from kinesis3_spark.sources import txn_datasource as ds_mod
+
+    spark, path = registered, str(tmp_path / "t")
+    append_snapshot(_mk(spark, [("a", "g", 1)]), path, key="id")
+    real = ds_mod.read_manifest
+    with mock.patch.object(
+        ds_mod, "read_manifest", side_effect=real
+    ) as counted:
+        ds = ds_mod.TxnTableDataSource(options={"path": path})
+        schema = ds.schema()
+        reader = ds.reader(schema)
+        assert counted.call_count == 1
+    assert len(reader.partitions()) == len(
+        ds_mod.read_manifest(path)["files"]
+    )
