@@ -118,6 +118,9 @@ HEADLINE = [
     # round 8d: the graph tier's heaviest member (degree-ordered triangle
     # enumeration) guards the wedge-join shuffle budget
     "graph_triangle_census",
+    # round 9: retrieve-then-rerank over the persisted index (recall lift
+    # at near-ADC cost — includes the in-job exact-truth audit pass)
+    "sim_cosine_topk_ivfpq_rerank",
 ]
 
 

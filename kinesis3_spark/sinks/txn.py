@@ -575,6 +575,7 @@ def read_snapshot(
     epoch: int | None = None,
     where: list[tuple] | None = None,
     _with_pos: bool = False,
+    _entries: list[dict] | None = None,
 ) -> DataFrame | None:
     """Scan the committed snapshot STRICTLY through the manifest's file
     list (never a directory listing — stray/partial files from a torn or
@@ -604,7 +605,7 @@ def read_snapshot(
     man = read_manifest(path, epoch)
     if man is None:
         return None
-    entries = man["files"]
+    entries = man["files"] if _entries is None else list(_entries)
     if buckets is not None:
         entries = [e for e in entries if e["bucket"] in buckets]
     if where is not None:
@@ -748,7 +749,15 @@ def commit_snapshot(
             part_dir = os.path.basename(os.path.dirname(rel))
             assert part_dir.startswith(f"{_BUCKET_COL}="), rel
             new_entries.append(
-                {"path": rel, "bucket": int(part_dir.split("=", 1)[1])}
+                {
+                    "path": rel,
+                    "bucket": int(part_dir.split("=", 1)[1]),
+                    # file size: drives bin-packing compaction and the
+                    # stream's maxBytesPerTrigger admission — harvested
+                    # from the walk this loop already does (entries from
+                    # pre-r9 manifests lack it; consumers tolerate)
+                    "bytes": os.path.getsize(os.path.join(root, f)),
+                }
             )
     stats_cols = list(
         stats_cols
@@ -1323,6 +1332,49 @@ def merge_into(
     raise last
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_map: dict[str, str],
+    key: str = "id",
+    max_retries: int = 5,
+) -> int:
+    """UPDATE ... SET ... WHERE as a predicate-only MERGE (Delta's UPDATE
+    statement, the last DML verb next to delete_where/merge_into): an
+    EMPTY source makes every target row not-matched-by-source, and the
+    predicate gates the update clause — rows matching ``condition`` get
+    ``set_map``'s expressions (target columns under their logical names),
+    everything else is carried unchanged. One thin wrapper, zero new
+    merge machinery: clause ordering, CHECK-constraint enforcement on
+    the rewritten output, generated-column recompute, column-mapping
+    translation, and the OCC retry loop are all inherited from
+    merge_into, so UPDATE can never drift from MERGE semantics.
+
+    Like Delta's UPDATE (and unlike the metadata-only delete_where),
+    this REWRITES the table — every bucket, since a predicate update
+    must examine every row. CDF consumers see the rewrite as
+    update_preimage/update_postimage rows (pinned in
+    tests/test_txn_merge.py). Returns the committed epoch."""
+    man = read_manifest(path)
+    assert man is not None, f"no committed table at {path}"
+    from pyspark.sql.types import StructField, StructType
+
+    ktype = next(
+        f.dataType for f in _logical_struct(man).fields if f.name == key
+    )
+    empty_src = spark.createDataFrame(
+        [], StructType([StructField(key, ktype)])
+    )
+    return merge_into(
+        spark, path, empty_src, key=key,
+        not_matched_by_source=[
+            {"condition": condition, "update": dict(set_map)}
+        ],
+        max_retries=max_retries,
+    )
+
+
 def delete_where(
     spark: SparkSession, path: str, condition, max_retries: int = 5
 ) -> tuple[int, int]:
@@ -1413,6 +1465,7 @@ def compact_table(
     cluster_by: list[str] | None = None,
     zorder: tuple[str, str] | None = None,
     max_records_per_file: int | None = None,
+    small_file_bytes: int | None = None,
 ) -> int:
     """Small-file compaction as an ordinary commit: read the current
     snapshot, rewrite every bucket with one shuffle task per bucket (≈one
@@ -1439,11 +1492,54 @@ def compact_table(
     the manifest's zone-map stats (harvested fresh by the commit) start
     pruning predicates that ingest order never clustered — the
     compose-point of the r8 skipping + lifecycle features: ingest
-    append-ordered by time, compact clustered by what you query."""
+    append-ordered by time, compact clustered by what you query.
+
+    ``small_file_bytes`` switches to BIN-PACKING (Delta OPTIMIZE's
+    default, r9): only files below the threshold are rewritten (per-file
+    sizes come from the manifest's commit-time harvest) and every
+    right-sized file is CARRIED by reference with its stats, bloom
+    sidecars, and dv refs intact — the maintenance cost scales with the
+    small-file debt, not the table. Folding a dv-carrying small file
+    physically purges its deleted rows; single small files with no dv
+    are left alone; with nothing to pack the call is a no-op returning
+    the current epoch (no empty commit)."""
     man = read_manifest(path)
     assert man is not None, f"no committed table at {path}"
     n_buckets = man["n_buckets"]
-    cur = read_snapshot(spark, path)
+    carry: list[dict] = []
+    op_extra: dict = {}
+    if small_file_bytes is not None:
+        # BIN-PACKING mode (Delta OPTIMIZE's default): rewrite ONLY the
+        # buckets' small files — entries below the threshold (or from
+        # pre-size-harvest manifests) — and carry every right-sized file
+        # by reference, stats/bloom/dv intact. At 100 TB this is the
+        # difference between a maintenance op proportional to the
+        # ingest's small-file debt and one proportional to the table.
+        # DV refs on folded files are applied by the scan, so folding
+        # physically purges their deleted rows; a bucket with a single
+        # small file and no dv is left alone (folding it buys nothing).
+        assert not (cluster_by or zorder), (
+            "bin-packing (small_file_bytes) and re-clustering are "
+            "separate maintenance passes; run them as two commits"
+        )
+        by_bucket: dict[int, int] = {}
+        small = []
+        for e in man["files"]:
+            if e.get("bytes") is None or e["bytes"] < small_file_bytes:
+                small.append(e)
+                by_bucket[e["bucket"]] = by_bucket.get(e["bucket"], 0) + 1
+        fold = [
+            e for e in small
+            if by_bucket[e["bucket"]] > 1 or e.get("dv")
+        ]
+        if not fold:
+            return man["epoch"]  # nothing to pack: no-op, no new epoch
+        folded = {e["path"] for e in fold}
+        carry = [e for e in man["files"] if e["path"] not in folded]
+        op_extra = {"bin_packed": len(fold)}
+        cur = read_snapshot(spark, path, _entries=fold)
+    else:
+        cur = read_snapshot(spark, path)
     # generated columns: recompute at commit instead of re-validating
     # the (correct-by-construction) stored values with an extra full
     # scan — unless the layout clusters BY the generated column, which
@@ -1488,10 +1584,11 @@ def compact_table(
         )
     try:
         return commit_snapshot(
-            merged, path, key, n_buckets, base_man=man, carry=[],
+            merged, path, key, n_buckets, base_man=man, carry=carry,
             op={"name": "OPTIMIZE",
                 "zorder": list(zorder) if zorder else None,
-                "cluster_by": list(cluster_by) if cluster_by else None},
+                "cluster_by": list(cluster_by) if cluster_by else None,
+                **op_extra},
         )
     finally:
         if max_records_per_file is not None:

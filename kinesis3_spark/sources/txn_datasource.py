@@ -273,11 +273,31 @@ class _TxnBatchReaderPushdown(_TxnBatchReader):
 
 class _TxnStreamReader(DataSourceStreamReader):
     """Offsets are manifest epochs; a micro-batch is the files the
-    epochs in (start, end] ADDED. Planning is manifest-diff only."""
+    epochs in (start, end] ADDED. Planning is manifest-diff only.
 
-    def __init__(self, options: dict, schema_json: str):
+    COLUMN MAPPING: the stream presents the logical view PINNED at
+    reader construction (the same manifest read that produced
+    ``schema_json``), and because renames/drops are metadata-only —
+    physical column names in data files never change — that one pinned
+    logical→physical mapping translates EVERY batch, no matter how the
+    mapping evolves inside the streamed range: a column renamed
+    mid-stream keeps flowing under its pinned name (same physical), a
+    column dropped mid-stream NULL-backfills on files written after the
+    drop (the physical column stops being written), and columns added
+    mid-stream are ignored until a restart. On restart the reader
+    re-pins to the CURRENT logical view and replayed ranges translate
+    consistently through the same stable physical identities — the
+    refusal this replaces (raise on any mid-range mapping change) made
+    every rename a stream-killer for no data-integrity reason."""
+
+    def __init__(
+        self, options: dict, schema_json: str, man: dict | None = None
+    ):
         self.path = _norm_path(options)
         self.schema_json = schema_json
+        if man is None:  # standalone construction (tests)
+            man = read_manifest(self.path)
+        self.l2p = dict((man or {}).get("column_mapping") or {})
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
@@ -289,13 +309,72 @@ class _TxnStreamReader(DataSourceStreamReader):
         )
         start = options.get("startingepoch")
         self._initial = {"epoch": int(start) if start is not None else 0}
+        mft = options.get("maxfilespertrigger")
+        # Delta's streaming rate limit: cap how many NEW FILES one
+        # micro-batch admits, so a stream catching up over a large table
+        # history plans bounded batches instead of one giant one. The
+        # Python DS API has no admission-control hook (latestOffset takes
+        # no start offset), so the reader tracks its own position: fresh
+        # streams are limited from the first batch (initialOffset pins
+        # the cursor); a CHECKPOINT RESTART's first batch is unbounded
+        # (the cursor is unknown until partitions() reveals the start)
+        # and every batch after it is limited — a documented degradation,
+        # never a correctness change (the limit only splits batches).
+        self.max_files = int(mft) if mft is not None else None
+        mbt = options.get("maxbytespertrigger")
+        # byte budget over the manifest's commit-time size harvest;
+        # entries from pre-size manifests count 0 (admit) — a declared
+        # degradation, never a correctness change
+        self.max_bytes = int(mbt) if mbt is not None else None
+        self._cursor: int | None = None
 
     def initialOffset(self) -> dict:
+        self._cursor = self._initial["epoch"]
         return dict(self._initial)
 
     def latestOffset(self) -> dict:
         man = read_manifest(self.path)
-        return {"epoch": man["epoch"] if man else 0}
+        latest = man["epoch"] if man else 0
+        if (
+            self.max_files is None and self.max_bytes is None
+        ) or self._cursor is None:
+            return {"epoch": latest}
+        return {"epoch": self._capped_end(self._cursor, latest)}
+
+    def _capped_end(self, cursor: int, latest: int) -> int:
+        """The furthest epoch in (cursor, latest] whose cumulative
+        new-file count / new-byte total stays within the budgets —
+        always admitting at least one epoch so the stream can never
+        stall. Walks manifest diffs (driver metadata only); epochs
+        outside vacuum retention fall back to unbounded (their diff is
+        unknowable, and a capped replay over reaped history would raise
+        anyway)."""
+        if latest <= cursor:
+            return latest
+        try:
+            prev = (
+                set()
+                if cursor == 0
+                else {e["path"] for e in read_manifest(self.path, cursor)["files"]}
+            )
+            n_files = n_bytes = 0
+            end = cursor
+            for ep in range(cursor + 1, latest + 1):
+                ents = read_manifest(self.path, ep)["files"]
+                fresh = [e for e in ents if e["path"] not in prev]
+                n_files += len(fresh)
+                n_bytes += sum(e.get("bytes") or 0 for e in fresh)
+                over = (
+                    self.max_files is not None and n_files > self.max_files
+                ) or (
+                    self.max_bytes is not None and n_bytes > self.max_bytes
+                )
+                if over and end > cursor:
+                    break
+                end, prev = ep, {e["path"] for e in ents}
+            return end
+        except ValueError:
+            return latest  # history outside retention: no diff to count
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         man_a = (
@@ -306,34 +385,15 @@ class _TxnStreamReader(DataSourceStreamReader):
         man_b = (
             read_manifest(self.path, end["epoch"]) if end["epoch"] else None
         )
-        l2p = dict((man_b or {}).get("column_mapping") or {})
-        if man_b is not None:
-            key_b = (l2p, sorted(man_b.get("dropped_cols") or []))
-            key_a = (
-                (
-                    dict(man_a.get("column_mapping") or {}),
-                    sorted(man_a.get("dropped_cols") or []),
-                )
-                if man_a is not None
-                else key_b  # stream starts at this epoch's view
-            )
-            if key_a != key_b:
-                # a rename/drop INSIDE the streamed range would change
-                # the presented schema mid-stream — the one case the
-                # fixed streaming schema genuinely cannot absorb; a
-                # mapping constant across the range (renamed before the
-                # stream started) is translated per batch below. A plain
-                # restart replays the SAME checkpointed range and hits
-                # this again — adopting the new schema needs a fresh
-                # checkpoint (full reprocess), exactly Delta's rule for
-                # column-mapping changes under a stream.
-                raise ValueError(
-                    "txntable stream: column mapping changed between "
-                    f"epochs {start['epoch']} and {end['epoch']} of "
-                    f"{self.path}; a restart from this checkpoint will "
-                    "always replay this range — start a NEW checkpoint "
-                    "(full reprocess) to adopt the new schema"
-                )
+        # translation uses the PINNED mapping from reader construction —
+        # see the class docstring: physical names are immutable, so the
+        # pinned logical→physical pairs stay valid across any rename or
+        # drop committed inside the streamed range
+        l2p = self.l2p
+        # position for the rate limit: the engine's own start/end are
+        # authoritative (checkpoint restarts hand us a start the cursor
+        # never saw)
+        self._cursor = max(self._cursor or 0, end["epoch"])
         a = {e["path"]: e for e in man_a["files"]} if man_a else {}
         b = {e["path"]: e for e in man_b["files"]} if man_b else {}
         removed = sorted(set(a) - set(b))
@@ -534,7 +594,14 @@ class _TxnWriter(DataSourceWriter):
         )
 
         new_entries = [
-            {"path": rel, "bucket": b}
+            {
+                "path": rel,
+                "bucket": b,
+                # size harvest mirrors commit_snapshot's (bin-packing /
+                # maxBytesPerTrigger metadata); staged files are local
+                # to the table root at commit time
+                "bytes": os.path.getsize(os.path.join(self.path, rel)),
+            }
             for m in messages
             if m is not None
             for (rel, b, _n) in m.files
@@ -721,7 +788,10 @@ class TxnTableDataSource(DataSource):
         return _TxnBatchReader(opts, self._schema_json(), man=self._manifest())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        return _TxnStreamReader(dict(self.options), self._schema_json())
+        # schema and pinned column mapping from the SAME manifest read
+        return _TxnStreamReader(
+            dict(self.options), self._schema_json(), man=self._manifest()
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         os.makedirs(_norm_path(self.options), exist_ok=True)

@@ -9,6 +9,10 @@ archive fidelity, and the stats families of the /stats endpoint."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 import json
 import os
 import urllib.request

@@ -8,6 +8,10 @@ that skips the DISTINCT normalization overcounts them quadratically."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 from itertools import combinations
 
 from hypothesis import HealthCheck, given, settings

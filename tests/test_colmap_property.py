@@ -7,6 +7,10 @@ pin single steps; composition bugs live in the chains."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 import tempfile
 
 from hypothesis import HealthCheck, given, settings

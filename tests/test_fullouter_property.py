@@ -16,6 +16,10 @@ test_watermark_bands.py can't enumerate."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 import os
 import tempfile
 

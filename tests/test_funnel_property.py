@@ -8,6 +8,10 @@ hand-planted fixtures can't enumerate."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 import os
 import tempfile
 

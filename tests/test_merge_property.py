@@ -8,6 +8,10 @@ tests/test_txn_merge.py can't enumerate."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 import tempfile
 
 from hypothesis import HealthCheck, assume, given, settings

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 from kinesis3_spark.queries import ORACLE, QUERIES
 
 from .conftest import assert_parity

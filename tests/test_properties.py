@@ -4,6 +4,10 @@ arbitrary inputs — not just the corpus' shapes."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 import urllib.parse
 
 from hypothesis import HealthCheck, given, settings

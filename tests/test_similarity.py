@@ -8,6 +8,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 from kinesis3_spark.operators import similarity as S
 
 DIM = 64

@@ -9,6 +9,8 @@ import os
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 from pyspark.sql import functions as F
 
 from kinesis3_spark.sinks import archive_events, upsert_parquet, write_partitioned
@@ -344,12 +346,14 @@ def test_txn_vacuum_reaps_outside_retention_only(spark, tmp_path):
 def test_txn_uncommitted_version_residue_is_not_readable(spark, tmp_path, monkeypatch):
     """A crash BETWEEN the versioned-manifest claim and the atomic swap
     leaves a v<epoch+1> residue file; time travel must refuse it (the
-    current manifest is the source of truth). Since r8's optimistic
-    concurrency, that residue BLOCKS the epoch number (an exclusive
-    create can't distinguish a dead writer from a live one mid-commit):
-    a blind retry raises CommitConflict, and the recovery path is
-    vacuum_table — run under operator-asserted writer quiescence — which
-    reaps above-pointer residue and re-opens the number."""
+    current manifest is the source of truth). FRESH residue (younger
+    than the live-writer grace window) blocks the epoch number — an
+    exclusive create can't distinguish a dead writer from a live one
+    mid-commit, so a retry raises CommitConflict. Recovery is twofold
+    since r9: residue OLDER than the grace window is repaired in-line by
+    the next colliding writer (rolled forward when complete, reclaimed
+    when torn — tests/test_txn_concurrency.py), and vacuum_table — run
+    under operator-asserted writer quiescence — reaps it immediately."""
     import os as _os
 
     from kinesis3_spark.sinks import txn
@@ -791,3 +795,54 @@ def test_txn_zorder_compaction_prunes_2d_box(spark, tmp_path):
         .where("val <= 24.0 AND score <= 24.0").count()
     )
     assert pruned == full > 0
+
+
+def test_txn_bin_packing_rewrites_only_small_files(spark, tmp_path):
+    """OPTIMIZE bin-packing (r9): compact_table(small_file_bytes=...)
+    folds only sub-threshold files; right-sized files are CARRIED by
+    reference (path identity in the next manifest, stats/dv intact), so
+    maintenance cost scales with the small-file debt, not the table.
+    Folding a dv-carrying small file physically purges its deleted rows;
+    with nothing to pack the call is a no-op (no empty commit)."""
+    import os as _os
+
+    from kinesis3_spark.sinks import txn
+
+    path = str(tmp_path / "t")
+    # one BIG commit (all rows) then several small ones, single bucket
+    # so everything contends in the same bucket dir
+    big = spark.createDataFrame(
+        [(f"k{i:04d}", "2024-01-01 00:00:00", float(i)) for i in range(4000)],
+        "id string, ts string, val double",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+    txn.append_snapshot(big, path, key="id", n_buckets=1)
+    for j in range(3):
+        small = spark.createDataFrame(
+            [(f"s{j}", "2024-01-02 00:00:00", float(j))],
+            "id string, ts string, val double",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+        txn.append_snapshot(small, path, key="id")
+    man = txn.read_manifest(path)
+    assert all(isinstance(e.get("bytes"), int) for e in man["files"])
+    sizes = sorted(e["bytes"] for e in man["files"])
+    threshold = sizes[-1]  # everything below the big file is "small"
+    big_paths = {e["path"] for e in man["files"] if e["bytes"] >= threshold}
+    assert len(big_paths) == 1 and len(man["files"]) == 4
+    # a dv on one small row: folding must purge it physically
+    txn.delete_where(spark, path, "id = 's1'")
+    before = sorted(map(tuple, txn.read_snapshot(spark, path).collect()))
+
+    ep = txn.compact_table(spark, path, key="id", small_file_bytes=threshold)
+    man2 = txn.read_manifest(path)
+    assert man2["epoch"] == ep
+    # the big file is carried by path identity; small files folded to one
+    assert big_paths <= {e["path"] for e in man2["files"]}
+    assert len(man2["files"]) == 2
+    assert not any(e.get("dv") for e in man2["files"])  # purged, not carried
+    after = sorted(map(tuple, txn.read_snapshot(spark, path).collect()))
+    assert after == before
+    # nothing left to pack: no-op, same epoch, no empty commit
+    assert txn.compact_table(
+        spark, path, key="id", small_file_bytes=threshold
+    ) == ep
+    assert txn.read_manifest(path)["epoch"] == ep

@@ -8,6 +8,8 @@ import tempfile
 
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

@@ -6,6 +6,10 @@ without replaying the stream."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 import os
 import tempfile
 

@@ -4,6 +4,10 @@ collector loop (core.clj) end-to-end in Structured Streaming form."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 import json
 import os
 

@@ -221,17 +221,68 @@ def test_ds_writer_refuses_and_stream_handles_mapped_tables(spark, table):
 
     with pytest.raises(ValueError, match="column-mapped"):
         _TxnWriter({"path": table}, StructType([]), overwrite=False)
-    # a mapping CONSTANT across the streamed range is fine (renamed
-    # before the stream started) — per-batch translation applies
+    # a mapping CONSTANT across the streamed range (renamed before the
+    # stream started) — per-batch translation applies
     sr = _TxnStreamReader({"path": table}, "{}")
     parts = sr.partitions({"epoch": 0}, sr.latestOffset())
     assert parts and all(p.l2p == {"amount": "val"} for p in parts)
-    # a rename INSIDE the streamed range changes the presented schema
-    # mid-stream: the next micro-batch fails loudly
+    # a rename INSIDE the streamed range is ABSORBED by the pinned
+    # mapping (physical names never change): the reader keeps presenting
+    # the view pinned at its construction, r9 lift of the r8 refusal
     pre = T.read_manifest(table)["epoch"]
     T.rename_column(table, "amount", "price")
-    with pytest.raises(ValueError, match="mapping changed"):
-        sr.partitions({"epoch": pre}, sr.latestOffset())
+    parts2 = sr.partitions({"epoch": pre}, sr.latestOffset())
+    assert all(p.l2p == {"amount": "val"} for p in parts2)
+    # a reader constructed AFTER the second rename pins the new view
+    sr2 = _TxnStreamReader({"path": table}, "{}")
+    parts3 = sr2.partitions({"epoch": 0}, sr2.latestOffset())
+    assert parts3 and all(p.l2p == {"price": "val"} for p in parts3)
+
+
+def test_stream_drains_across_midrange_rename(spark, table, tmp_path):
+    """End-to-end parity drain replacing the r8 refusal: a rename
+    committed BETWEEN micro-batches does not kill the stream — batches
+    before and after it present the SAME pinned logical schema, and the
+    drained rows equal the snapshot read under that schema."""
+    spark.dataSource.register(
+        __import__(
+            "kinesis3_spark.sources.txn_datasource",
+            fromlist=["TxnTableDataSource"],
+        ).TxnTableDataSource
+    )
+    got: list[tuple] = []
+
+    def drain(ck):
+        q = (
+            spark.readStream.format("txntable").load(table)
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    ck = str(tmp_path / "ck")
+    drain(ck)  # baseline: the seeded epochs
+    n0 = len(got)
+    assert n0 == 30
+    T.rename_column(table, "val", "amount")  # rename INSIDE the stream
+    T.append_snapshot(
+        spark.createDataFrame([(90, 999, 7)],
+                              "id bigint, amount bigint, grp bigint"),
+        table, key="id",
+    )
+    # same checkpoint, new run: the restarted reader re-pins to the
+    # CURRENT logical view and replays/continues through the stable
+    # physical names — before the lift this restart raised
+    # "mapping changed" forever (the checkpointed range always spans
+    # the rename), permanently killing the stream
+    drain(ck)
+    assert len(got) == n0 + 1
+    assert (90, 999, 7) in {t[:3] for t in got}
 
 
 def test_drop_constraint_unblocks_rename(spark, table):

@@ -7,6 +7,10 @@ referenced twice."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 import threading
 
 from pyspark.sql import functions as F

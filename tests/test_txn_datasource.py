@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 from pyspark.sql import functions as F
 
 from kinesis3_spark.sinks.txn import (
@@ -576,3 +578,84 @@ def test_datasource_reads_manifest_exactly_once(registered, tmp_path):
     assert len(reader.partitions()) == len(
         ds_mod.read_manifest(path)["files"]
     )
+
+
+def test_stream_rate_limit_caps_files_per_trigger(registered, tmp_path):
+    """maxFilesPerTrigger (Delta's streaming rate limit): latestOffset
+    advances by at most the epochs whose cumulative new-file count fits
+    the budget — a catch-up over table history plans bounded batches,
+    never one giant one — while always admitting at least one epoch
+    (progress) and never changing WHAT is streamed, only the batching."""
+    from kinesis3_spark.sources.txn_datasource import _TxnStreamReader
+
+    from kinesis3_spark.sinks.txn import read_manifest
+
+    spark, path = registered, str(tmp_path / "t")
+    for i in range(4):
+        append_snapshot(
+            _mk(spark, [(f"a{i}", "g", i), (f"b{i}", "g", i)]).coalesce(1),
+            path, key="id", n_buckets=2,
+        )
+    # per-epoch new-file counts straight from the manifests (bucket
+    # hashing makes them data-dependent: 1 or 2 files per append)
+    fsets = {
+        e: {x["path"] for x in read_manifest(path, e)["files"]}
+        for e in range(1, 5)
+    }
+    fsets[0] = set()
+    new = {e: len(fsets[e] - fsets[e - 1]) for e in range(1, 5)}
+
+    def expected_end(cursor, budget):
+        total, end = 0, cursor
+        for e in range(cursor + 1, 5):
+            total += new[e]
+            if total > budget and end > cursor:
+                break
+            end = e
+        return end
+
+    budget = new[1] + new[2]  # exactly two epochs' worth
+    sr = _TxnStreamReader(
+        {"path": path, "maxfilespertrigger": str(budget)}, "{}"
+    )
+    assert sr.initialOffset() == {"epoch": 0}
+    o1 = sr.latestOffset()
+    assert o1 == {"epoch": expected_end(0, budget)} and o1["epoch"] < 4
+    sr.partitions({"epoch": 0}, o1)
+    o2 = sr.latestOffset()
+    assert o2 == {"epoch": expected_end(o1["epoch"], budget)}
+    # a single epoch larger than the budget still admits (progress)
+    sr_small = _TxnStreamReader(
+        {"path": path, "maxfilespertrigger": "1"}, "{}"
+    )
+    sr_small.initialOffset()
+    assert sr_small.latestOffset() == {"epoch": 1}
+    # checkpoint-restart shape: no initialOffset, first latestOffset is
+    # unbounded, then partitions() pins the cursor and limits resume
+    sr_r = _TxnStreamReader(
+        {"path": path, "maxfilespertrigger": "1"}, "{}"
+    )
+    assert sr_r.latestOffset() == {"epoch": 4}
+    sr_r.partitions({"epoch": 2}, {"epoch": 3})
+    append_snapshot(
+        _mk(spark, [("z1", "g", 9), ("z2", "g", 9)]).coalesce(1),
+        path, key="id",
+    )
+    append_snapshot(
+        _mk(spark, [("z3", "g", 9), ("z4", "g", 9)]).coalesce(1),
+        path, key="id",
+    )
+    assert sr_r.latestOffset() == {"epoch": 4}  # limited again after pin
+    # byte budget (manifest size harvest): a tiny budget admits exactly
+    # one epoch per batch — progress without ever fitting the budget
+    sr_b = _TxnStreamReader(
+        {"path": path, "maxbytespertrigger": "1"}, "{}"
+    )
+    sr_b.initialOffset()
+    assert sr_b.latestOffset() == {"epoch": 1}
+    sr_b.partitions({"epoch": 0}, {"epoch": 1})
+    assert sr_b.latestOffset() == {"epoch": 2}
+    # end-to-end: a rate-limited availableNow drain still delivers all
+    # rows (the limit only splits batches, never drops or reorders data)
+    got = _drain(spark, path, str(tmp_path / "ck"), maxFilesPerTrigger="2")
+    assert len(got) == 12 and len(set(got)) == 12

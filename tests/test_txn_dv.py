@@ -16,6 +16,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
 from pyspark.sql import functions as F
 
 from kinesis3_spark.sinks.txn import (

@@ -7,6 +7,8 @@ by the session-less DataSource writer."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
 from pyspark.sql import functions as F
 
 from kinesis3_spark.sinks import txn as T

@@ -161,3 +161,36 @@ def test_merge_speaks_logical_names_on_mapped_table(spark, table):
     t = T.read_snapshot(spark, table)
     assert "balance" in t.columns and "bal" not in t.columns
     assert (1, 109, "a") in _rows(spark, table)
+
+
+def test_update_where_predicate_update_with_cdf(spark, table):
+    """update_where = predicate-only MERGE (Delta's UPDATE statement):
+    matching rows get the SET expressions, everything else is carried
+    verbatim; the change feed shows exactly the updated keys as
+    update_preimage/update_postimage pairs; CHECK constraints gate the
+    rewritten output through the inherited merge machinery."""
+    epoch = T.update_where(
+        spark, table, "bal < 0", {"bal": "0", "seg": "concat(seg, '!')"}
+    )
+    assert _rows(spark, table) == [
+        (1, 100, "a"), (2, 0, "b!"), (3, 10, "a"), (4, 0, "c!"), (5, 7, "b"),
+    ]
+    ch = sorted(
+        (r["id"], r["_change_type"], r["bal"])
+        for r in T.table_changes(
+            spark, table, epoch - 1, epoch, include_preimage=True
+        ).collect()
+    )
+    assert ch == [
+        (2, "update_postimage", 0), (2, "update_preimage", -50),
+        (4, "update_postimage", 0), (4, "update_preimage", -5),
+    ]
+    # history records the commit; time travel still sees the old values
+    assert T.read_snapshot(spark, table, epoch=epoch - 1).where(
+        "id = 2"
+    ).first()["bal"] == -50
+    # a constraint added after the fact gates later predicate updates
+    T.add_constraint(table, "bal_nonneg", "bal >= 0")
+    with pytest.raises(ValueError, match="bal_nonneg"):
+        T.update_where(spark, table, "id = 1", {"bal": "-999"})
+    assert T.read_snapshot(spark, table).where("id = 1").first()["bal"] == 100
