@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import ngram_hashes, tokenize
+from ..functions.text import ngram_hashes, ngrams, tokenize
 from .relational import _t
 from . import query
 
@@ -245,3 +245,91 @@ def llm_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "matched", "total")
         .orderBy("doc_id")
     )
+
+
+_DSIR_B = 4096  # hashed feature buckets (DSIR's bounded n-gram space)
+_DSIR_TARGET = "src1"  # stands in for the high-quality target corpus
+
+
+@query(
+    "llm_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(t[i + 1] || ' ' || t[i + 2]), 1, 15))::BIGINT
+               % {_DSIR_B} AS b
+      FROM toks, UNNEST(generate_series(0, greatest(len(t) - 2, -1))) AS u(i)
+    ),
+    counts AS (
+      SELECT b,
+             sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS cs
+      FROM grams GROUP BY b
+    ),
+    w AS (
+      SELECT b, (ct + 1) * 1000000 // (cs + 1) AS wt
+      FROM counts WHERE cs > 0
+    ),
+    scored AS (
+      SELECT g.doc_id, CAST(sum(w.wt) AS BIGINT) AS score
+      FROM grams g JOIN w USING (b)
+      WHERE g.source <> '{_DSIR_TARGET}'
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via hashed n-gram importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw-corpus document by how target-like its
+    hashed bigram distribution is. Bigrams hash into a BOUNDED feature
+    space of 4096 buckets; each bucket's weight is the add-one-smoothed
+    target/source frequency ratio in exact integer ppm —
+    (ct+1)*1e6 DIV (cs+1), integral division on both engines, so scores
+    are integer-exact (the literature's log-ratio ordering is monotone
+    in the ratio; ln itself is not engine-portable — TESTING.md rule 3).
+    A document's score is the sum of its grams' bucket weights; the
+    top-25 most target-like raw documents are the selection candidates.
+
+    Scale: the feature space is bounded BY CONSTRUCTION (the whole
+    point of DSIR's hashing) — the weight table is ≤4096 rows and
+    BROADCASTS; the pipeline is two linear passes over the corpus (one
+    bucket-count aggregate with map-side combine, one scoring pass whose
+    per-doc sum shuffles on doc_id) and a TakeOrderedAndProject top-k.
+    At 100 TB the stats pass is computed once and persisted; scoring is
+    embarrassingly parallel. The two passes are deliberate — feeding
+    one exploded gram relation to both aggregates would re-execute the
+    explode per alias anyway (Spark re-plans non-materialized subtrees;
+    see SCALE.md alias-subtree note)."""
+    d = _t(spark, sf_dir, "documents")
+    from ..operators.dedup import portable_hash60
+
+    def grams_of(df):
+        return df.select(
+            "doc_id", "source", F.explode(ngrams(F.col("text"), 2)).alias("g")
+        ).select(
+            "doc_id",
+            "source",
+            (portable_hash60(F.col("g")) % _DSIR_B).cast("int").alias("b"),
+        )
+
+    is_tgt = F.col("source") == _DSIR_TARGET
+    counts = grams_of(d).groupBy("b").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_tgt, 1).otherwise(0)).alias("cs"),
+    )
+    w = counts.where(F.col("cs") > 0).select(
+        "b",
+        F.expr("CAST((ct + 1) * 1000000L DIV (cs + 1) AS BIGINT)").alias("wt"),
+    )
+    scored = (
+        grams_of(d.where(~is_tgt))
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").cast("bigint").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(25)

@@ -78,3 +78,36 @@ def test_dedup_keeps_min_doc_id_after_decontam_reorder(spark, planted_dir):
     # picks_sum is the commutative set checksum: hash60("20") mod 1e9
     want = int(hashlib.md5(b"20").hexdigest()[:15], 16) % 1_000_000_000
     assert r.picks_sum == want
+
+
+def test_dsir_importance_ranks_targetlike_docs_first(spark, tmp_path):
+    """Planted DSIR fixture: raw docs sharing the target corpus's bigram
+    vocabulary must outscore raw docs from a disjoint vocabulary — the
+    importance weight is per hashed bigram bucket, add-one smoothed, so
+    overlap dominates regardless of doc length; and within equal
+    overlap, MORE matching grams scores strictly higher."""
+    import kinesis3_spark.queries.decontam as D
+
+    tgt = ["the quick brown fox jumps over the lazy dog"] * 4
+    rows = (
+        [(i, t, "en", D._DSIR_TARGET, len(t)) for i, t in enumerate(tgt)]
+        # doc 100: pure target vocabulary, long (8 matching grams)
+        + [(100, "the quick brown fox jumps over the lazy dog", "en", "src9", 44)]
+        # doc 101: half target vocabulary (mixed)
+        + [(101, "the quick brown tortoise crawls under a rock", "en", "src9", 44)]
+        # doc 102: fully disjoint vocabulary
+        + [(102, "zeta omega gamma delta epsilon iota kappa", "en", "src9", 41)]
+    )
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["score"]
+        for r in D.llm_dsir_importance(spark, str(d)).collect()
+    }
+    assert set(out) == {100, 101, 102}
+    assert out[100] > out[101] > out[102]

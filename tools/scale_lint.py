@@ -38,6 +38,13 @@ ALLOWED_AMPLIFICATION = {
     # offline index-quality audit: the brute ground-truth pass is the
     # audit's definition (sampled query set, not the serving path).
     "sim_ivf_recall_band": "bounded query-set broadcast, offline recall audit",
+    # rerank recall audit: the SERVING path (IVF-PQ over-fetch + exact
+    # re-rank) is broadcast-equi-join only; the flagged nested loop is
+    # the in-job brute ground-truth pass, same audit definition as
+    # sim_ivf_recall_band.
+    "sim_cosine_topk_ivfpq_rerank": (
+        "bounded query-set broadcast, offline recall audit"
+    ),
 }
 
 
