@@ -668,25 +668,30 @@ def topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = S.cosine_topk_bruteforce(emb, qset, k=_K).select(
         "query_id", "neighbor_id"
     )
-    rr_hits = brute.join(rr, ["query_id", "neighbor_id"], "left_semi").agg(
-        F.count("*").alias("n_rr")
+    # ONE aggregate over ONE brute pass: flagging each truth pair via
+    # left joins and summing the flags keeps the expensive exhaustive
+    # subtree referenced once — three separate semi-join aggregates
+    # would re-execute it per alias (Spark re-plans non-materialized
+    # subtrees; SCALE.md alias-subtree note — review r9 #4)
+    flags = brute.join(
+        rr.withColumn("in_rr", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    ).join(
+        adc.withColumn("in_adc", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
     )
-    adc_hits = brute.join(adc, ["query_id", "neighbor_id"], "left_semi").agg(
-        F.count("*").alias("n_adc")
-    )
-    truth = brute.agg(F.count("*").cast("bigint").alias("n_truth_pairs"))
-    return (
-        truth.crossJoin(rr_hits)
-        .crossJoin(adc_hits)
-        .select(
-            "n_truth_pairs",
-            (F.col("n_rr") * 100 >= 75 * F.col("n_truth_pairs"))
-            .cast("int")
-            .alias("recall_ok"),
-            (F.col("n_rr") >= F.col("n_adc")).cast("int").alias(
-                "rerank_no_worse"
-            ),
-        )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_truth_pairs"),
+        F.sum(F.coalesce("in_rr", F.lit(0))).alias("n_rr"),
+        F.sum(F.coalesce("in_adc", F.lit(0))).alias("n_adc"),
+    ).select(
+        "n_truth_pairs",
+        (F.col("n_rr") * 100 >= 75 * F.col("n_truth_pairs"))
+        .cast("int")
+        .alias("recall_ok"),
+        (F.col("n_rr") >= F.col("n_adc")).cast("int").alias(
+            "rerank_no_worse"
+        ),
     )
 
 

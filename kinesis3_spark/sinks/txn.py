@@ -836,14 +836,29 @@ def _publish_manifest(
             ),
         }
         payload = json.dumps(d, indent=1)
+    import fcntl
+
+    # PRE-CLAIM GUARD: the pointer must name epoch-1 RIGHT NOW. A writer
+    # that stalled so long that the table advanced past its base AND
+    # vacuum reaped its target version file would otherwise win a fresh
+    # O_EXCL on the reopened number and publish stale output as forged
+    # history (review r9 #1 — the vacuum-reopened-epoch lost update).
+    # The guard leaves only a microsecond claim window, and vacuum's
+    # contract already requires operator-asserted writer quiescence.
+    cur0 = read_manifest(path)
+    if (cur0["epoch"] if cur0 else 0) != epoch - 1:
+        raise CommitConflict(
+            f"table {path} no longer names epoch {epoch - 1}; re-merge "
+            "from the current snapshot"
+        )
     # COMMIT POINT: exclusive create of the versioned manifest claims the
     # epoch — exactly one concurrent writer wins; the loser's data files
     # stay unreferenced (vacuum's problem) and it retries from the
     # winner's snapshot. Written-then-fsynced FIRST (time-travel history),
     # then the atomic swap of the current pointer — a crash between the
     # two leaves the claimed version as residue ABOVE the pointer, which
-    # read_manifest refuses and vacuum reaps (review r8 #7 durability
-    # retained).
+    # read_manifest refuses and repair/vacuum reap (review r8 #7
+    # durability retained).
     vpath = _manifest_path(path, epoch)
     try:
         vfd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
@@ -861,21 +876,39 @@ def _publish_manifest(
     try:
         os.write(vfd, payload.encode())
         os.fsync(vfd)
+        # SWAP LOCK: every pointer swap for this epoch — ours and a
+        # repairer's roll-forward of our claim — serializes on an
+        # exclusive flock of the claim file, and re-checks the pointer
+        # INSIDE the lock. Without it, a repairer that read epoch-1
+        # could perform its rename after a third writer had already
+        # advanced the pointer past epoch, REGRESSING the table
+        # (review r9 #3). flock is advisory but both swappers are this
+        # module; a crashed holder's lock dies with its process.
+        fcntl.flock(vfd, fcntl.LOCK_EX)
+        cur = read_manifest(path)
+        if (cur["epoch"] if cur else 0) == epoch - 1:
+            _swap_pointer(path, payload, epoch)
+            return
+        # Pointer is at or past our epoch. That is OUR published commit
+        # only if the chain's v<epoch> is still OUR payload (a repairer
+        # rolled the durable claim forward while we stalled — success;
+        # raising would make the caller re-apply a published merge).
+        # If the on-disk claim is NOT ours, our claim file was reclaimed
+        # while we stalled pre-write and a competitor reused the number
+        # (review r9 #2): conflict, and the file is not ours to remove.
+        try:
+            with open(vpath) as fh:
+                disk = fh.read()
+        except OSError:
+            disk = None
+        if disk == payload:
+            return
+        raise CommitConflict(
+            f"epoch {epoch} of {path} was claimed over this writer's "
+            "reclaimed residue; re-merge from the current snapshot"
+        )
     finally:
-        os.close(vfd)
-    # Epochs are claimed CONSECUTIVELY (every publisher computes cur+1
-    # and must win the O_EXCL on it), and we hold v<epoch> — so at this
-    # point the pointer names either epoch-1 (normal: swap it) or
-    # >= epoch, which is only reachable THROUGH our own claim: a peer's
-    # residue repair rolled our durable commit forward while we stalled.
-    # That is success — swapping again would be a no-op, removing vpath
-    # would delete the history copy of a LIVE epoch, and raising would
-    # make the caller re-apply an already-published merge (double
-    # increment).
-    cur = read_manifest(path)
-    if (cur["epoch"] if cur else 0) >= epoch:
-        return
-    _swap_pointer(path, payload, epoch)
+        os.close(vfd)  # releases the flock
 
 
 def _swap_pointer(path: str, payload: str, epoch: int) -> None:
@@ -920,34 +953,50 @@ def _repair_claim_residue(path: str, epoch: int, vpath: str) -> None:
       the pointer swap on its behalf. The claim was fsynced before the
       pointer ever moves, so the commit is durable and publishing it
       loses nothing. If the owner is merely STALLED (not dead), its own
-      post-claim check reads a pointer at-or-past its epoch — reachable
-      only through its own claim — and returns success without retrying
-      (re-applying a published merge would double-increment).
+      post-claim check finds the on-disk claim equal to its payload and
+      returns success without retrying (re-applying a published merge
+      would double-increment).
     - payload TORN (unparseable) → RECLAIM: remove it so the next
-      retry's O_EXCL can succeed. A live writer is never this slow
-      between create and fsync; a crashed one never finishes."""
-    try:
-        import time
+      retry's O_EXCL can succeed. A reclaimed claim whose owner turns
+      out to be stalled (not dead) is still safe: the owner's post-claim
+      check compares the on-disk claim to its own payload and conflicts
+      instead of acking (review r9 #2).
 
+    Both repairs run under an exclusive flock on the claim file — the
+    same lock the owner's own pointer swap takes — with the pointer
+    re-checked INSIDE the lock, so a repairer can never perform a
+    stale rename after the table advanced (review r9 #3)."""
+    import fcntl
+    import time
+
+    try:
         if time.time() - os.path.getmtime(vpath) <= _RESIDUE_GRACE_SECONDS:
             return  # plausibly a live writer mid-swap: just conflict
-        with open(vpath) as fh:
-            raw = fh.read()
+        rfd = os.open(vpath, os.O_RDONLY)
     except OSError:
         return  # vanished: the owner (or a peer's repair) handled it
     try:
-        claimed = json.loads(raw)
-    except ValueError:
-        claimed = None
-    if isinstance(claimed, dict) and claimed.get("epoch") == epoch:
-        cur = read_manifest(path)
-        if (cur["epoch"] if cur else 0) == epoch - 1:
-            _swap_pointer(path, raw, epoch)
-        return
-    try:
-        os.remove(vpath)  # torn claim of a dead writer
-    except OSError:
-        pass
+        try:
+            fcntl.flock(rfd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            return  # the owner holds its swap lock RIGHT NOW: alive
+        with open(vpath) as fh:
+            raw = fh.read()
+        try:
+            claimed = json.loads(raw)
+        except ValueError:
+            claimed = None
+        if isinstance(claimed, dict) and claimed.get("epoch") == epoch:
+            cur = read_manifest(path)
+            if (cur["epoch"] if cur else 0) == epoch - 1:
+                _swap_pointer(path, raw, epoch)
+            return
+        try:
+            os.remove(vpath)  # torn claim of a dead writer
+        except OSError:
+            pass
+    finally:
+        os.close(rfd)
 
 
 def upsert_manifest_txn(

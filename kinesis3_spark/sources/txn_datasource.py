@@ -352,11 +352,20 @@ class _TxnStreamReader(DataSourceStreamReader):
         if latest <= cursor:
             return latest
         try:
-            prev = (
-                set()
-                if cursor == 0
-                else {e["path"] for e in read_manifest(self.path, cursor)["files"]}
-            )
+            # the walk resumes from a per-instance cache of the last
+            # returned epoch's file set: a catch-up over n epochs costs
+            # O(n) manifest reads across ALL triggers, not O(n) per
+            # trigger / O(n^2) total (review r9 #5)
+            cached = getattr(self, "_fs_cache", None)
+            if cached is not None and cached[0] == cursor:
+                prev = cached[1]
+            elif cursor == 0:
+                prev = set()
+            else:
+                prev = {
+                    e["path"]
+                    for e in read_manifest(self.path, cursor)["files"]
+                }
             n_files = n_bytes = 0
             end = cursor
             for ep in range(cursor + 1, latest + 1):
@@ -372,6 +381,7 @@ class _TxnStreamReader(DataSourceStreamReader):
                 if over and end > cursor:
                     break
                 end, prev = ep, {e["path"] for e in ents}
+            self._fs_cache = (end, prev)
             return end
         except ValueError:
             return latest  # history outside retention: no diff to count

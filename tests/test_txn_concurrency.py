@@ -274,3 +274,28 @@ def test_torn_residue_is_reclaimed(spark, tmp_path):
     assert man["epoch"] == 2  # the reclaimed epoch number was reused
     snap = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
     assert snap == {f"k{i:03d}": float(100 + 20 + i) for i in range(20)}
+
+
+def test_vacuum_reopened_epoch_is_never_acked(spark, tmp_path):
+    """Review r9 #1: a writer stalled so long that the table advanced
+    past its base AND vacuum reaped its target version file must NOT win
+    a fresh O_EXCL on the reopened number — the pre-claim guard
+    conflicts before anything is created, so no forged history file
+    appears and no lost update is acknowledged."""
+    import json
+    import os
+
+    from kinesis3_spark.sinks import txn
+
+    path = str(tmp_path / "t")
+    for rnd in range(3):
+        upsert_manifest_txn(
+            spark, _batch(spark, 1, rnd), path, key="id", order_col="ts"
+        )
+    assert read_manifest(path)["epoch"] == 3
+    txn.vacuum_table(path, keep_epochs=1)  # reaps v1, v2: numbers reopen
+    stale = json.dumps(dict(read_manifest(path), epoch=2))
+    with pytest.raises(txn.CommitConflict, match="no longer names"):
+        txn._publish_manifest(path, 2, stale, op={"name": "STALE"})
+    assert not os.path.exists(txn._manifest_path(path, 2))  # nothing forged
+    assert read_manifest(path)["epoch"] == 3  # pointer untouched
