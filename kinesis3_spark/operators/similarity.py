@@ -234,10 +234,15 @@ def ivf_assign(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_vec: bool = False,
 ) -> DataFrame:
     """(id, cell): nearest-centroid assignment, one numpy matmul per Arrow
     batch. At scale the output is what you PARTITION/cluster the stored
-    table by, so a probe reads only its cells' files."""
+    table by, so a probe reads only its cells' files. ``with_vec=True``
+    additionally carries the vector through (column ``v``) so consumers
+    that need (cell, vector) — the SemDeDup within-cell join — get both
+    from ONE scan instead of re-joining the assignment back to the
+    corpus (which would scan the table twice per reference)."""
 
     def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -245,15 +250,92 @@ def ivf_assign(
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            out = {
+                "id": pdf[id_col].to_numpy(),
+                "cell": np.argmax(Mn @ centroids.T, axis=1).astype(np.int32),
+            }
+            if with_vec:
+                out["v"] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    vec_t = [f.dataType.simpleString() for f in emb.schema.fields
+             if f.name == vec_col][0]
+    schema = "id long, cell int" + (f", v {vec_t}" if with_vec else "")
+    return emb.select(id_col, vec_col).mapInPandas(assign_batches, schema)
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    n_assign: int = 1,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding near-dup
+    pairs found WITHIN k-means cells only. The all-pairs formulation
+    (embedding_neardup_pairs) is O(N²) and exists for oracle truth; this
+    is the shape that runs at 100 TB — cluster once, then compare only
+    within each cell, cost Σ|cell|² ≈ N²/k for balanced cells and
+    embarrassingly parallel per cell. Near-duplicates have near-equal
+    embeddings, so they land in the same cell with high probability —
+    the recall the registered query audits against exact truth.
+
+    ``n_assign`` soft-assigns each vector to its m nearest cells
+    (multi-probe): a pair straddling a cell boundary is still caught
+    when ANY cell is shared, at m² the comparison volume — the recall/
+    cost dial for thresholds well below true-duplicate similarity
+    (boundary-straddling is rare for genuine dups, common for weakly
+    similar pairs).
+
+    Plan: one assignment scan (m cells + vector per row, from one
+    mapInPandas pass), self-joined on the cell key — both sides shuffle
+    by cell, pairs never cross cells, the i<j predicate keeps each pair
+    once per shared cell and a final distinct collapses multi-cell
+    rediscoveries. Returns distinct (id_a, id_b)."""
+    C = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(
+            emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    )
+
+    def assign_multi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            near = np.argsort(-(Mn @ C.T), axis=1)[:, :n_assign]
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].to_numpy(),
-                    "cell": np.argmax(Mn @ centroids.T, axis=1).astype(np.int32),
+                    "id": np.repeat(pdf[id_col].to_numpy(), n_assign),
+                    "cell": near.reshape(-1).astype(np.int32),
+                    "v": pdf[vec_col].repeat(n_assign).reset_index(drop=True),
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        assign_batches, schema="id long, cell int"
+    vec_t = [f.dataType.simpleString() for f in emb.schema.fields
+             if f.name == vec_col][0]
+    tagged = emb.select(id_col, vec_col).mapInPandas(
+        assign_multi, f"id long, cell int, v {vec_t}"
+    )
+    a = tagged.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = tagged.select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity("va", "vb"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 

@@ -70,3 +70,28 @@ def test_neardup_finds_planted_pairs(spark, planted):
     emb, expected = planted
     pairs = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(emb, 0.9).collect()}
     assert {(p, d) for p, d in expected.items()} <= pairs
+
+
+def test_semdedup_finds_planted_dups_within_cells(spark, planted):
+    """SemDeDup on GENUINE near-duplicates (tiny perturbations of their
+    source vector): dup and source land in the same k-means cell, so
+    even the hard single-assignment finds every planted pair; found
+    pairs must be a subset of the exact all-pairs truth (cell bounding
+    can only lose pairs, never invent them)."""
+    emb, expected = planted
+    truth = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs(emb, 0.9).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in S.semdedup_pairs(emb, 0.9, n_centroids=8, n_assign=1).collect()
+    }
+    assert found <= truth
+    assert {(p, d) for p, d in expected.items()} <= found
+    # soft assignment only widens coverage, never shrinks it
+    found4 = {
+        (r.id_a, r.id_b)
+        for r in S.semdedup_pairs(emb, 0.9, n_centroids=8, n_assign=4).collect()
+    }
+    assert found <= found4 <= truth
