@@ -299,3 +299,98 @@ def test_vacuum_reopened_epoch_is_never_acked(spark, tmp_path):
         txn._publish_manifest(path, 2, stale, op={"name": "STALE"})
     assert not os.path.exists(txn._manifest_path(path, 2))  # nothing forged
     assert read_manifest(path)["epoch"] == 3  # pointer untouched
+
+
+def test_random_crash_points_converge_via_repair(spark, tmp_path, monkeypatch):
+    """Crash-recovery property for the repair protocol: a random sequence
+    of upserts where some writers crash AFTER their durable claim (before
+    the pointer swap) and some crash MID-WRITE (torn claim). With the
+    grace window zeroed, the next writer's collision repairs each case:
+    durable claims ROLL FORWARD (their batch lands exactly once — the
+    claim was the commit), torn claims are RECLAIMED (their batch never
+    lands). The final table must equal the LWW model over exactly the
+    batches that committed or left durable claims."""
+    import random
+
+    from kinesis3_spark.sinks import txn
+
+    monkeypatch.setattr(txn, "_RESIDUE_GRACE_SECONDS", 0.0)
+    rng = random.Random(7)
+    path = str(tmp_path / "t")
+    applied_rows: list[tuple] = []
+
+    def batch_rows(step):
+        return [
+            (f"k{i}", f"2024-01-01 {step:02d}:00:00", float(step * 10 + i))
+            for i in rng.sample(range(6), 3)
+        ]
+
+    def df_of(rows):
+        d = spark.createDataFrame(rows, "id string, ts string, val double")
+        return d.withColumn("ts", F.to_timestamp("ts"))
+
+    for step in range(1, 9):
+        rows = batch_rows(step)
+        mode = rng.choice(["ok", "ok", "pre_swap", "torn"])
+        if mode == "ok":
+            upsert_manifest_txn(
+                spark, df_of(rows), path, key="id", order_col="ts"
+            )
+            applied_rows.extend(rows)
+        elif mode == "pre_swap":
+            # durable claim, crash before the pointer swap: the batch IS
+            # the next epoch — repair publishes it at the next collision
+            real_swap = txn._swap_pointer
+
+            def crash_swap(*a, **k):
+                raise OSError("crash before pointer swap")
+
+            monkeypatch.setattr(txn, "_swap_pointer", crash_swap)
+            import pytest as _pt
+
+            with _pt.raises(OSError):
+                upsert_manifest_txn(
+                    spark, df_of(rows), path, key="id", order_col="ts"
+                )
+            monkeypatch.setattr(txn, "_swap_pointer", real_swap)
+            applied_rows.extend(rows)  # durable: lands via roll-forward
+        else:  # torn: crash mid-claim-write — this batch must NEVER land
+            real_write = txn.os.write
+            state = {"fired": False}
+
+            def torn_write(fd, data):
+                if (
+                    not state["fired"]
+                    and isinstance(data, bytes)
+                    and data.startswith(b"{")
+                ):
+                    state["fired"] = True
+                    real_write(fd, data[: max(len(data) // 3, 2)])
+                    raise OSError("crash mid claim write")
+                return real_write(fd, data)
+
+            monkeypatch.setattr(txn.os, "write", torn_write)
+            import pytest as _pt
+
+            try:
+                with _pt.raises(OSError, match="mid claim write"):
+                    upsert_manifest_txn(
+                        spark, df_of(rows), path, key="id", order_col="ts"
+                    )
+            finally:
+                monkeypatch.setattr(txn.os, "write", real_write)
+    # one clean upsert flushes any trailing residue through repair
+    final_rows = [("k0", "2024-01-01 23:00:00", 999.0)]
+    upsert_manifest_txn(
+        spark, df_of(final_rows), path, key="id", order_col="ts"
+    )
+    applied_rows.extend(final_rows)
+    # LWW model over every batch that (eventually) committed
+    model: dict[str, tuple] = {}
+    for rid, ts, val in applied_rows:
+        if rid not in model or ts > model[rid][0]:
+            model[rid] = (ts, val)
+    snap = {
+        r["id"]: r["val"] for r in read_snapshot(spark, path).collect()
+    }
+    assert snap == {k: v for k, (_, v) in model.items()}
