@@ -40,6 +40,11 @@ def test_random_alter_chains_match_name_model(spark, steps):
         "c1": {i: i * 2 for i in range(3)},
         "c2": {i: i * 3 for i in range(3)},
     }
+    # row ids live on the KEY column, independent of value columns: a
+    # chain that drops every value column leaves the rows (id-only), it
+    # never deletes them (hypothesis found the old ids-from-model
+    # derivation collapsing to the empty set on [drop c1, drop c2])
+    ids = {0, 1, 2}
     T.append_snapshot(
         spark.createDataFrame(
             [(i, i * 2, i * 3) for i in range(3)],
@@ -88,13 +93,13 @@ def test_random_alter_chains_match_name_model(spark, steps):
                     for c in cols
                 )
                 continue
+            ids.add(rid)
             for k, c in enumerate(cols):
                 model[c][rid] = v + k
     t = T.read_snapshot(spark, path)
     assert set(t.columns) == set(model) | {"id"}
     rows = {r["id"]: r.asDict() for r in t.collect()}
-    all_ids = {i for col in model.values() for i in col}
-    assert set(rows) == all_ids
+    assert set(rows) == ids
     for c, vals in model.items():
-        for rid in all_ids:
+        for rid in ids:
             assert rows[rid][c] == vals.get(rid), (c, rid, steps)
