@@ -235,6 +235,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_vec: bool = False,
+    n_assign: int = 1,
 ) -> DataFrame:
     """(id, cell): nearest-centroid assignment, one numpy matmul per Arrow
     batch. At scale the output is what you PARTITION/cluster the stored
@@ -242,7 +243,11 @@ def ivf_assign(
     additionally carries the vector through (column ``v``) so consumers
     that need (cell, vector) — the SemDeDup within-cell join — get both
     from ONE scan instead of re-joining the assignment back to the
-    corpus (which would scan the table twice per reference)."""
+    corpus. ``n_assign=m`` SOFT-assigns each vector to its m nearest
+    cells (one output row per (vector, cell)) — multi-probe coverage
+    for boundary-straddling neighbors; clamped to the number of
+    centroids, so a tiny corpus (fewer trained centroids than m) never
+    under-fills the output arrays."""
 
     def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -250,12 +255,25 @@ def ivf_assign(
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            out = {
-                "id": pdf[id_col].to_numpy(),
-                "cell": np.argmax(Mn @ centroids.T, axis=1).astype(np.int32),
-            }
-            if with_vec:
-                out["v"] = pdf[vec_col]
+            sims = Mn @ centroids.T
+            m = min(n_assign, sims.shape[1])
+            if m <= 1:
+                out = {
+                    "id": pdf[id_col].to_numpy(),
+                    "cell": np.argmax(sims, axis=1).astype(np.int32),
+                }
+                if with_vec:
+                    out["v"] = pdf[vec_col]
+            else:
+                near = np.argsort(-sims, axis=1)[:, :m]
+                out = {
+                    "id": np.repeat(pdf[id_col].to_numpy(), m),
+                    "cell": near.reshape(-1).astype(np.int32),
+                }
+                if with_vec:
+                    out["v"] = (
+                        pdf[vec_col].repeat(m).reset_index(drop=True)
+                    )
             yield pd.DataFrame(out)
 
     vec_t = [f.dataType.simpleString() for f in emb.schema.fields
@@ -302,26 +320,8 @@ def semdedup_pairs(
             emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
     )
-
-    def assign_multi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            near = np.argsort(-(Mn @ C.T), axis=1)[:, :n_assign]
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(pdf[id_col].to_numpy(), n_assign),
-                    "cell": near.reshape(-1).astype(np.int32),
-                    "v": pdf[vec_col].repeat(n_assign).reset_index(drop=True),
-                }
-            )
-
-    vec_t = [f.dataType.simpleString() for f in emb.schema.fields
-             if f.name == vec_col][0]
-    tagged = emb.select(id_col, vec_col).mapInPandas(
-        assign_multi, f"id long, cell int, v {vec_t}"
+    tagged = ivf_assign(
+        emb, C, id_col, vec_col, with_vec=True, n_assign=n_assign
     )
     a = tagged.select(
         "cell", F.col("id").alias("id_a"), F.col("v").alias("va")
@@ -329,8 +329,16 @@ def semdedup_pairs(
     b = tagged.select(
         "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
     )
+    # shuffle_hash: a large×large equi-join on a 16-value key is exactly
+    # the shape AQE over-broadcasts in local mode (measured 3.5x slower
+    # for the triangle census; a vector-carrying broadcast is worse) —
+    # and the hint is also the 100 TB-correct strategy: nothing to
+    # outgrow. The two `tagged` references re-execute the assignment
+    # map per side (Spark re-plans non-materialized subtrees); at scale
+    # the assignment is PERSISTED clustered by cell (the docstring's
+    # production lifecycle) and this join reads it twice from disk.
     return (
-        a.join(b, "cell")
+        a.join(b.hint("shuffle_hash"), "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine_similarity("va", "vb"))
         .where(F.col("cos") >= threshold)

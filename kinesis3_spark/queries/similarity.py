@@ -342,17 +342,24 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("t", F.lit(1))
     )
     j = true.join(found, ["id_a", "id_b"], "full_outer")
+    # every aggregate coalesced: a corpus with ZERO threshold pairs
+    # yields an empty join whose no-group sums are NULL, and the flags
+    # must read 0/1/1 (vacuously correct) like the oracle's count(*)=0,
+    # not NULL (review r9-2nd #7)
     return j.agg(
-        F.sum("t").cast("bigint").alias("n_true_pairs"),
-        F.sum("f").alias("n_found"),
-        F.sum(F.when((F.col("t") == 1) & (F.col("f") == 1), 1).otherwise(0)).alias(
-            "n_both"
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias(
+            "n_true_pairs"
         ),
+        F.coalesce(F.sum("f"), F.lit(0)).alias("n_found"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("t") == 1) & (F.col("f") == 1), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_both"),
     ).select(
         "n_true_pairs",
-        (F.coalesce(F.col("n_found"), F.lit(0)) == F.col("n_both"))
-        .cast("int")
-        .alias("subset_ok"),
+        (F.col("n_found") == F.col("n_both")).cast("int").alias("subset_ok"),
         (F.col("n_both") * 100 >= 80 * F.col("n_true_pairs"))
         .cast("int")
         .alias("recall_ok"),

@@ -874,39 +874,54 @@ def _publish_manifest(
             f"epoch {epoch} of {path} was committed by another writer"
         ) from None
     try:
+        # SWAP LOCK, taken BEFORE the claim write: every mutation of
+        # this epoch's claim and pointer — our write+swap AND a
+        # repairer's roll-forward/reclaim — serializes on an exclusive
+        # flock of the claim file, with the pointer re-checked INSIDE
+        # the lock. Locking before the write closes the review-r9-2nd
+        # races: a repairer could otherwise (a) read a half-written
+        # claim as torn and delete a claim that became complete a
+        # moment later, and (b) its check-then-rename could land after
+        # a third writer advanced the pointer, regressing the table.
+        # flock is advisory but every swapper is this module; a crashed
+        # holder's lock dies with its process.
+        fcntl.flock(vfd, fcntl.LOCK_EX)
         os.write(vfd, payload.encode())
         os.fsync(vfd)
-        # SWAP LOCK: every pointer swap for this epoch — ours and a
-        # repairer's roll-forward of our claim — serializes on an
-        # exclusive flock of the claim file, and re-checks the pointer
-        # INSIDE the lock. Without it, a repairer that read epoch-1
-        # could perform its rename after a third writer had already
-        # advanced the pointer past epoch, REGRESSING the table
-        # (review r9 #3). flock is advisory but both swappers are this
-        # module; a crashed holder's lock dies with its process.
-        fcntl.flock(vfd, fcntl.LOCK_EX)
+        # IDENTITY CHECK: if we stalled past the grace window between
+        # the O_EXCL create and taking the lock, a repairer read our
+        # then-EMPTY claim as torn and reclaimed it — and a competitor
+        # may hold a NEW file under the same name (whose flock is on a
+        # different inode, so the locks never met). We then just wrote
+        # a claim nobody can see, on an unlinked inode. An empty claim
+        # is never rolled forward, so nothing of ours was published:
+        # conflicting and re-merging is exactly right (review r9-2nd
+        # #1/#2 — this also guarantees the pointer never names an epoch
+        # whose durable history file is missing). Residual ambiguity:
+        # a vacuum that violates its writer-quiescence contract could
+        # reap a rolled-forward claim mid-stall and turn this into a
+        # spurious conflict (re-merge) — safe for LWW upserts, and the
+        # app_id/app_version fence is the exactly-once answer for
+        # increment-shaped merges.
+        try:
+            ours = os.stat(vpath).st_ino == os.fstat(vfd).st_ino
+        except OSError:
+            ours = False
+        if not ours:
+            raise CommitConflict(
+                f"claim of epoch {epoch} on {path} was reclaimed while "
+                "this writer stalled; re-merge from the current snapshot"
+            )
         cur = read_manifest(path)
         if (cur["epoch"] if cur else 0) == epoch - 1:
             _swap_pointer(path, payload, epoch)
             return
-        # Pointer is at or past our epoch. That is OUR published commit
-        # only if the chain's v<epoch> is still OUR payload (a repairer
-        # rolled the durable claim forward while we stalled — success;
-        # raising would make the caller re-apply a published merge).
-        # If the on-disk claim is NOT ours, our claim file was reclaimed
-        # while we stalled pre-write and a competitor reused the number
-        # (review r9 #2): conflict, and the file is not ours to remove.
-        try:
-            with open(vpath) as fh:
-                disk = fh.read()
-        except OSError:
-            disk = None
-        if disk == payload:
-            return
-        raise CommitConflict(
-            f"epoch {epoch} of {path} was claimed over this writer's "
-            "reclaimed residue; re-merge from the current snapshot"
-        )
+        # Pointer at or past our epoch while the chain's v<epoch> is
+        # OUR inode (verified above) and nobody can modify it: the only
+        # way the pointer got there is a repairer rolling OUR durable
+        # claim forward while we stalled post-fsync. That is success —
+        # raising would make the caller re-apply a published merge.
+        return
     finally:
         os.close(vfd)  # releases the flock
 
@@ -953,19 +968,23 @@ def _repair_claim_residue(path: str, epoch: int, vpath: str) -> None:
       the pointer swap on its behalf. The claim was fsynced before the
       pointer ever moves, so the commit is durable and publishing it
       loses nothing. If the owner is merely STALLED (not dead), its own
-      post-claim check finds the on-disk claim equal to its payload and
-      returns success without retrying (re-applying a published merge
-      would double-increment).
+      post-claim check verifies by inode identity that the chain's
+      claim is still its own and returns success without retrying
+      (re-applying a published merge would double-increment).
     - payload TORN (unparseable) → RECLAIM: remove it so the next
       retry's O_EXCL can succeed. A reclaimed claim whose owner turns
-      out to be stalled (not dead) is still safe: the owner's post-claim
-      check compares the on-disk claim to its own payload and conflicts
-      instead of acking (review r9 #2).
+      out to be stalled (not dead) is still safe: the owner holds its
+      lock on the now-UNLINKED inode, fails its inode-identity check,
+      and conflicts instead of acking (review r9 #2) — an owner can
+      only be reclaimed while its claim is still empty, because it
+      takes the lock BEFORE writing.
 
     Both repairs run under an exclusive flock on the claim file — the
-    same lock the owner's own pointer swap takes — with the pointer
-    re-checked INSIDE the lock, so a repairer can never perform a
-    stale rename after the table advanced (review r9 #3)."""
+    same lock the owner holds from before its claim write through its
+    pointer swap — with the pointer re-checked INSIDE the lock, so a
+    repairer can never perform a stale rename after the table advanced
+    (review r9 #3) and can never read a half-written claim as torn
+    (review r9-2nd #2)."""
     import fcntl
     import time
 
@@ -979,7 +998,13 @@ def _repair_claim_residue(path: str, epoch: int, vpath: str) -> None:
         try:
             fcntl.flock(rfd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
-            return  # the owner holds its swap lock RIGHT NOW: alive
+            return  # the owner holds its claim lock RIGHT NOW: alive
+        try:
+            if os.stat(vpath).st_ino != os.fstat(rfd).st_ino:
+                return  # a peer repaired and the name was reused: ours
+                # is a lock on a dead inode, not on the live claim
+        except OSError:
+            return  # reclaimed between our open and flock
         with open(vpath) as fh:
             raw = fh.read()
         try:

@@ -76,7 +76,12 @@ def test_random_alter_chains_match_name_model(spark, steps):
             # append one row supplying every CURRENT logical column
             cols = sorted(model)
             row = tuple([rid] + [v + k for k in range(len(cols))])
-            schema = "id bigint, " + ", ".join(f"{c} bigint" for c in cols)
+            # cols may be EMPTY (every value column dropped): the append
+            # is then a key-only row — build the DDL without a trailing
+            # comma (review r9-2nd #4)
+            schema = ", ".join(
+                ["id bigint"] + [f"{c} bigint" for c in cols]
+            )
             try:
                 T.append_snapshot(
                     spark.createDataFrame([row], schema), path, key="id"

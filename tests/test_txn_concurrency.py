@@ -303,14 +303,20 @@ def test_vacuum_reopened_epoch_is_never_acked(spark, tmp_path):
 
 def test_random_crash_points_converge_via_repair(spark, tmp_path, monkeypatch):
     """Crash-recovery property for the repair protocol: a random sequence
-    of upserts where some writers crash AFTER their durable claim (before
-    the pointer swap) and some crash MID-WRITE (torn claim). With the
-    grace window zeroed, the next writer's collision repairs each case:
-    durable claims ROLL FORWARD (their batch lands exactly once — the
-    claim was the commit), torn claims are RECLAIMED (their batch never
-    lands). The final table must equal the LWW model over exactly the
-    batches that committed or left durable claims."""
+    of upserts where some writers crash at their FIRST pointer swap
+    (process-death model: everything after — retries, repairs — dies
+    too) and some crash MID-CLAIM-WRITE (torn). With the grace window
+    zeroed, later collisions repair each case: COMPLETE residue rolls
+    forward (lands exactly once), torn residue is reclaimed (never
+    lands). Whether a crashed upsert left a durable claim is read from
+    the FILESYSTEM (a new parseable residue above the pointer), not
+    assumed from the crash mode — a crash during a repair roll-forward
+    leaves no claim of its own (review r9-2nd #6)."""
+    import glob
+    import json
     import random
+
+    import pytest as _pt
 
     from kinesis3_spark.sinks import txn
 
@@ -318,6 +324,20 @@ def test_random_crash_points_converge_via_repair(spark, tmp_path, monkeypatch):
     rng = random.Random(7)
     path = str(tmp_path / "t")
     applied_rows: list[tuple] = []
+
+    def residues():
+        ptr = read_manifest(path)
+        pe = ptr["epoch"] if ptr else 0
+        out = {}
+        for f in glob.glob(path + "/_MANIFEST.v*.json"):
+            v = int(f.rsplit(".v", 1)[1].split(".")[0])
+            if v > pe:
+                try:
+                    with open(f) as fh:
+                        out[v] = json.load(fh)
+                except ValueError:
+                    out[v] = None
+        return out
 
     def batch_rows(step):
         return [
@@ -338,22 +358,31 @@ def test_random_crash_points_converge_via_repair(spark, tmp_path, monkeypatch):
             )
             applied_rows.extend(rows)
         elif mode == "pre_swap":
-            # durable claim, crash before the pointer swap: the batch IS
-            # the next epoch — repair publishes it at the next collision
+            # the process dies at its FIRST pointer swap — which is its
+            # own claim's swap when no residue preceded it, or a repair
+            # roll-forward when one did (then ITS batch never claimed)
+            before = residues()
             real_swap = txn._swap_pointer
+            state = {"armed": True}
 
             def crash_swap(*a, **k):
-                raise OSError("crash before pointer swap")
+                if state["armed"]:
+                    state["armed"] = False
+                    raise OSError("crash at first pointer swap")
+                return real_swap(*a, **k)
 
             monkeypatch.setattr(txn, "_swap_pointer", crash_swap)
-            import pytest as _pt
-
-            with _pt.raises(OSError):
+            with _pt.raises(OSError, match="first pointer swap"):
                 upsert_manifest_txn(
                     spark, df_of(rows), path, key="id", order_col="ts"
                 )
             monkeypatch.setattr(txn, "_swap_pointer", real_swap)
-            applied_rows.extend(rows)  # durable: lands via roll-forward
+            new_complete = [
+                v for v, man in residues().items()
+                if v not in before and man is not None
+            ]
+            if new_complete:  # durable claim: lands via roll-forward
+                applied_rows.extend(rows)
         else:  # torn: crash mid-claim-write — this batch must NEVER land
             real_write = txn.os.write
             state = {"fired": False}
@@ -370,8 +399,6 @@ def test_random_crash_points_converge_via_repair(spark, tmp_path, monkeypatch):
                 return real_write(fd, data)
 
             monkeypatch.setattr(txn.os, "write", torn_write)
-            import pytest as _pt
-
             try:
                 with _pt.raises(OSError, match="mid claim write"):
                     upsert_manifest_txn(
