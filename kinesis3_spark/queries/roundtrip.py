@@ -1796,3 +1796,112 @@ def source_txntable_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_CDC_CACHE: dict[str, str] = {}
+
+
+def _txn_cdc_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming CDC apply into the txn table in ~3 micro-batches
+    (sinks/txn.merge_manifest_stream): each batch collapses to its last
+    change per user and MERGEs with a newer-wins condition, so the final
+    table is each user's LATEST event by (ts, event_id) REGARDLESS of
+    how the landing files were batched (the splits are hash-random, not
+    time-ordered — order-independence is the property under test). A
+    simulated checkpoint-recovery replay re-merges the final batch under
+    its already-applied (app_id, batch_id): the fence must skip it."""
+    path = _CDC_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        from ..sinks.txn import (
+            merge_into,
+            merge_manifest_stream,
+            read_manifest,
+        )
+
+        base = tmpdirs.mkdtemp(prefix="k3s_cdc_txn_")
+        landing, table = base + "/landing", base + "/user_state"
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(3).write.mode("overwrite").parquet(landing)
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        newer = (
+            "src_ts > ts OR (src_ts = ts AND src_event_id > event_id)"
+        )
+        q = merge_manifest_stream(
+            sdf, table, checkpoint=base + "/ck", app_id="user-state-cdc",
+            key="user_id",
+            matched=[{"condition": newer, "update": "all"}],
+            not_matched=[{"insert": "all"}],
+            order_col="ts", order_tiebreak=["event_id"],
+            n_buckets=4,
+        )
+        await_or_raise(q)
+        man = read_manifest(table)
+        last_v = man["apps"]["user-state-cdc"]
+        # checkpoint-recovery replay: same app + batch version, real
+        # rows — the fence must publish nothing (a doubled CDC batch
+        # would regress users to stale events via the blind re-merge
+        # of an old snapshot... which the newer-wins condition would
+        # hide; the EPOCH count pins the no-op instead)
+        before = man["epoch"]
+        merge_into(
+            spark, table, ev.limit(200), key="user_id",
+            matched=[{"condition": newer, "update": "all"}],
+            not_matched=[{"insert": "all"}],
+            app_id="user-state-cdc", app_version=last_v,
+        )
+        assert read_manifest(table)["epoch"] == before, "replay fence broke"
+        _CDC_CACHE[sf_dir] = path = table
+    return path
+
+
+@query(
+    "stream_txn_cdc_merge",
+    oracle="""
+    WITH latest AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_users,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS value_cents_sum
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_txn_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE into the txn table (the third streaming-DML
+    mode, completing append/upsert/merge): micro-batches of the event
+    stream are collapsed to last-change-per-user and MERGEd with a
+    newer-wins matched condition + insert-all, exactly-once fenced. The
+    registered read groups the resulting per-user latest-event table by
+    event_type against the identical windowed SQL over raw events — the
+    parity breaks if batching order leaked into the merge (the landing
+    split is hash-random, so only genuine order-independence passes),
+    if the per-batch collapse picked the wrong row, or if the replayed
+    final batch published.
+
+    Scale: per micro-batch ONE key-hash collapse and ONE bucket-bounded
+    full-outer merge join; the table holds one row per user (the CDC
+    dimension shape), not the event history."""
+    from ..sinks.txn import read_snapshot
+
+    t = read_snapshot(spark, _txn_cdc_merge_table(spark, sf_dir))
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("value_cents_sum"),
+        )
+        .orderBy("event_type")
+    )

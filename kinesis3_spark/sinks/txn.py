@@ -2325,3 +2325,78 @@ def append_manifest_stream(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def merge_manifest_stream(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    key: str = "id",
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    order_col: str | None = None,
+    order_tiebreak: list[str] | None = None,
+    n_buckets: int = 8,
+    trigger: dict | None = None,
+):
+    """Streaming CDC apply — the third streaming-DML mode next to the
+    exactly-once append (append_manifest_stream) and the per-batch LWW
+    upsert: each micro-batch is MERGEd into the txn table with the full
+    ordered-clause surface (conditional updates, conditional inserts,
+    deletes), fenced exactly-once by the same (app_id, batch_id)
+    watermark — merge_into re-checks the fence inside its OCC retry
+    loop, so a checkpoint-replayed batch publishes nothing. This is the
+    Delta "foreachBatch + MERGE" CDC pattern on the manifest table.
+
+    ``order_col`` (+ ``order_tiebreak``) pre-collapses each batch to
+    its LAST change per key — MERGE refuses duplicate source keys that
+    match a target row (Delta's ambiguity rule), and a CDC batch
+    routinely carries several changes for one key. With a
+    newer-wins ``matched`` condition (``src_<order_col> > <order_col>``)
+    the composition is ORDER-INDEPENDENT across batches: the final
+    table is the per-key latest change no matter how the stream was
+    batched — the property that makes a replayed/backfilled CDC feed
+    safe. The FIRST batch on a not-yet-created table bootstraps through
+    an append of the collapsed batch (MERGE needs a committed target).
+
+    Scale: per batch, one key-hash collapse + merge_into's one
+    full-outer hash join over the touched buckets; untouched files
+    carried by reference."""
+    from pyspark.sql.window import Window
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(
+                F.desc(order_col),
+                *[F.desc(c) for c in (order_tiebreak or [])],
+            )
+            b = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if b.isEmpty():
+            return
+        if read_manifest(path) is None:
+            append_snapshot(
+                b, path, key=key, n_buckets=n_buckets,
+                app_id=app_id, app_version=batch_id,
+            )
+        else:
+            merge_into(
+                b.sparkSession, path, b, key=key,
+                matched=matched, not_matched=not_matched,
+                not_matched_by_source=not_matched_by_source,
+                app_id=app_id, app_version=batch_id,
+            )
+
+    return (
+        sdf.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

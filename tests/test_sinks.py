@@ -846,3 +846,73 @@ def test_txn_bin_packing_rewrites_only_small_files(spark, tmp_path):
         spark, path, key="id", small_file_bytes=threshold
     ) == ep
     assert txn.read_manifest(path)["epoch"] == ep
+
+
+def test_merge_manifest_stream_cdc_with_deletes(spark, tmp_path):
+    """merge_manifest_stream with the full CDC clause surface, batches
+    strictly ordered (drain, land more, drain): bootstrap-append on the
+    empty table, within-batch collapse to the last change per key,
+    delete clause ahead of the update clause, and the exactly-once
+    fence on a replayed batch id."""
+    import os as _os
+
+    from kinesis3_spark.sinks import txn
+
+    base = str(tmp_path)
+    landing, table, ck = base + "/landing", base + "/t", base + "/ck"
+    _os.makedirs(landing)
+    schema = "id bigint, val string, seq bigint, op string"
+
+    def drain():
+        sdf = (
+            spark.readStream.schema(
+                spark.createDataFrame([], schema).schema
+            ).parquet(landing)
+        )
+        q = txn.merge_manifest_stream(
+            sdf, table, checkpoint=ck, app_id="cdc",
+            key="id",
+            matched=[
+                {"condition": "src_op = 'd'", "delete": True},
+                {"condition": "src_seq > seq", "update": "all"},
+            ],
+            not_matched=[
+                {"condition": "src_op <> 'd'", "insert": "all"},
+            ],
+            order_col="seq",
+            n_buckets=2,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    # batch 0: bootstrap append; id=1 carries TWO changes -> seq 2 wins
+    spark.createDataFrame(
+        [(1, "a", 1, "u"), (1, "a2", 2, "u"), (2, "b", 1, "u")], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    snap = {r["id"]: r["val"] for r in txn.read_snapshot(spark, table).collect()}
+    assert snap == {1: "a2", 2: "b"}
+    # batch 1: update id=1, DELETE id=2, insert id=3; a stale seq for
+    # id=3... (single change) — delete clause must fire before update
+    spark.createDataFrame(
+        [(1, "A", 3, "u"), (2, "", 3, "d"), (3, "c", 3, "u")], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    snap = {r["id"]: r["val"] for r in txn.read_snapshot(spark, table).collect()}
+    assert snap == {1: "A", 3: "c"}
+    # stale update (older seq) is a conditional no-op
+    spark.createDataFrame(
+        [(1, "OLD", 1, "u")], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    assert txn.read_snapshot(spark, table).where("id = 1").first()["val"] == "A"
+    # replay fence: re-merge under the already-applied batch version
+    man = txn.read_manifest(table)
+    txn.merge_into(
+        spark, table,
+        spark.createDataFrame([(9, "z", 9, "u")], schema), key="id",
+        not_matched=[{"insert": "all"}],
+        app_id="cdc", app_version=man["apps"]["cdc"],
+    )
+    assert txn.read_manifest(table)["epoch"] == man["epoch"]
+    assert txn.read_snapshot(spark, table).where("id = 9").count() == 0
