@@ -2358,8 +2358,11 @@ def merge_manifest_stream(
     the composition is ORDER-INDEPENDENT across batches: the final
     table is the per-key latest change no matter how the stream was
     batched — the property that makes a replayed/backfilled CDC feed
-    safe. The FIRST batch on a not-yet-created table bootstraps through
-    an append of the collapsed batch (MERGE needs a committed target).
+    safe. On a not-yet-created table the first batch bootstraps an
+    EMPTY epoch (schema only) and then MERGEs like every other batch —
+    appending the batch verbatim would bypass the clause semantics
+    (delete-op tombstones inserted as live rows, insert conditions and
+    expression maps ignored; review r9-3rd #1).
 
     Scale: per batch, one key-hash collapse + merge_into's one
     full-outer hash join over the touched buckets; untouched files
@@ -2378,20 +2381,27 @@ def merge_manifest_stream(
                 .where(F.col("__rn") == 1)
                 .drop("__rn")
             )
+        # one materialization of the collapsed batch: merge_into drives
+        # several actions over its source (touched-bucket collect,
+        # dup-key probe, the merge join) and a bare subtree would re-run
+        # the window collapse per action (review r9-3rd #4)
+        b = b.localCheckpoint(eager=True)
         if b.isEmpty():
             return
         if read_manifest(path) is None:
+            # schema-only bootstrap, deliberately UNFENCED: fencing the
+            # empty epoch would consume this batch_id and the real merge
+            # below would be skipped as a replay. A crash between the
+            # two replays the batch onto the now-existing empty table.
             append_snapshot(
-                b, path, key=key, n_buckets=n_buckets,
-                app_id=app_id, app_version=batch_id,
+                b.limit(0), path, key=key, n_buckets=n_buckets
             )
-        else:
-            merge_into(
-                b.sparkSession, path, b, key=key,
-                matched=matched, not_matched=not_matched,
-                not_matched_by_source=not_matched_by_source,
-                app_id=app_id, app_version=batch_id,
-            )
+        merge_into(
+            b.sparkSession, path, b, key=key,
+            matched=matched, not_matched=not_matched,
+            not_matched_by_source=not_matched_by_source,
+            app_id=app_id, app_version=batch_id,
+        )
 
     return (
         sdf.writeStream.foreachBatch(_merge)

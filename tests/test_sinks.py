@@ -864,11 +864,7 @@ def test_merge_manifest_stream_cdc_with_deletes(spark, tmp_path):
     schema = "id bigint, val string, seq bigint, op string"
 
     def drain():
-        sdf = (
-            spark.readStream.schema(
-                spark.createDataFrame([], schema).schema
-            ).parquet(landing)
-        )
+        sdf = spark.readStream.schema(schema).parquet(landing)
         q = txn.merge_manifest_stream(
             sdf, table, checkpoint=ck, app_id="cdc",
             key="id",
@@ -882,12 +878,17 @@ def test_merge_manifest_stream_cdc_with_deletes(spark, tmp_path):
             order_col="seq",
             n_buckets=2,
         )
-        q.awaitTermination(120)
-        assert q.exception() is None, q.exception()
+        from kinesis3_spark.streaming.run import await_or_raise
 
-    # batch 0: bootstrap append; id=1 carries TWO changes -> seq 2 wins
+        await_or_raise(q, 120)
+
+    # batch 0: schema-only bootstrap then a clause-honoring merge; id=1
+    # carries TWO changes -> within-batch collapse keeps seq 2; the
+    # delete-op row for id=9 must NOT be born as live data (the clause
+    # bypass a verbatim bootstrap append would cause)
     spark.createDataFrame(
-        [(1, "a", 1, "u"), (1, "a2", 2, "u"), (2, "b", 1, "u")], schema
+        [(1, "a", 1, "u"), (1, "a2", 2, "u"), (2, "b", 1, "u"),
+         (9, "ghost", 1, "d")], schema
     ).coalesce(1).write.mode("append").parquet(landing)
     drain()
     snap = {r["id"]: r["val"] for r in txn.read_snapshot(spark, table).collect()}
