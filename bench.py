@@ -130,6 +130,10 @@ HEADLINE = [
     "sim_cosine_topk_ivfpq_rerank",
     "llm_dsir_importance",
     "stream_txn_cdc_merge",
+    # round 10: ExactSubstr removal — span discovery (2 keyed shuffles)
+    # + clean-text rebuild + signature; timing-relevant because the
+    # whole pipeline is the production path (no O(N^2) audit inside).
+    "llm_exact_substring_dedup",
 ]
 
 

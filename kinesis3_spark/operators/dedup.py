@@ -497,3 +497,139 @@ def incremental_dedup(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__fp")
     )
+
+
+def exact_substring_spans(
+    d: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr duplicated-span DISCOVERY (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" §4.1):
+    find, per document, the maximal token spans whose every k-token
+    window also occurs elsewhere in the corpus — keeping ONE canonical
+    occurrence (the globally first by (id, position)) and marking the
+    rest for removal. The paper's single-node suffix array is replaced
+    by the distributed window-hash approximation: a span is duplicated
+    iff all its k-windows are, so k-window identity + contiguous-merge
+    reconstructs the paper's >=k-token duplicated substrings without
+    any global ordering structure. Companion to the duplicate-passage
+    STATISTICS query (queries/search.py:150 llm_dup_passage_stats),
+    which measures the same signal but cannot remove it.
+
+    Pipeline (2 shuffles total):
+      1. one scan -> tokenize -> posexplode of per-position k-gram
+         hashes (the gram string is never built; 64-bit token-hash
+         identity, collisions ~n^2/2^65 — the decontam tier's accepted
+         trade);
+      2. shuffle by gram hash: count + first-occurrence row_number in
+         ONE window exchange — occurrences beyond the canonical in
+         groups of >=2 are "duplicated positions";
+      3. shuffle by document: gaps-and-islands merge of overlapping/
+         adjacent windows (positions <= k apart merge; k-windows at
+         distance exactly k touch) into spans [span_start, span_end) of
+         token indices; the groupBy rides the window's doc partitioning
+         (no third exchange).
+
+    Returns (id, span_start, span_end, n_windows). Scale: cost is
+    O(|positions|) shuffled as longs — the same shape as
+    llm_dup_passage_stats; a degenerate flood gram (e.g. a boilerplate
+    window repeated 10^6 times) concentrates its occurrences on one
+    key like any groupBy hot key — salt-cap upstream if a corpus has
+    one (the LSH caps' discipline)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import ngram_hashes_from_tokens
+
+    toks_df = d.select(
+        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("toks")
+    )
+    occ = toks_df.select(
+        "__id",
+        F.posexplode(ngram_hashes_from_tokens(F.col("toks"), k)).alias(
+            "pos", "gh"
+        ),
+    )
+    wg = Window.partitionBy("gh")
+    wgo = Window.partitionBy("gh").orderBy("__id", "pos")
+    marked = occ.select(
+        "__id", "pos",
+        F.count("*").over(wg).alias("cnt"),
+        F.row_number().over(wgo).alias("rn"),
+    )
+    dup = marked.where((F.col("cnt") >= 2) & (F.col("rn") > 1))
+    wd = Window.partitionBy("__id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wd) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = dup.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(wd)
+    )
+    return (
+        isl.groupBy("__id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "span_start", "span_end",
+            "n_windows",
+        )
+    )
+
+
+def exact_substring_dedup(
+    d: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr REMOVAL: rebuild each document with its duplicated
+    spans (exact_substring_spans) cut out — the operation Lee et al.
+    apply to C4/RealNews before training, removing all but one
+    occurrence of every >=k-token duplicated substring. Returns every
+    input column plus clean_text (kept tokens space-joined — token-
+    lossy like every tokenize-based path here), n_spans, and
+    n_tokens_removed; documents without duplicated spans pass through
+    with clean_text == their token join and 0/0.
+
+    Plan: spans aggregate per doc into a bounded struct array
+    (collect_list over the span relation — spans per doc are <=
+    n_tokens/1 but in practice a handful; islands are disjoint by
+    construction so sizes never double-count), LEFT-joined back to the
+    corpus scan, and the cut is a JVM-side indexed higher-order filter
+    (no Python in the row path): token i survives iff no span contains
+    it. The corpus is scanned twice (once under the span discovery,
+    once as the join's left side) — the same deliberate two-pass as
+    DSIR (alias-subtree re-execution makes sharing the exploded
+    subtree a false economy; at 100 TB the span relation is tiny next
+    to the corpus and broadcasts)."""
+    spans = exact_substring_spans(d, k=k, id_col=id_col, text_col=text_col)
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__rm")
+    )
+    toks_df = d.withColumn("__toks", tokenize(F.col(text_col)))
+    joined = toks_df.join(span_arr, id_col, "left")
+    kept = F.when(F.col("__rm").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            F.col("__toks"),
+            lambda t, i: ~F.exists(
+                F.col("__rm"),
+                lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+            ),
+        )
+    )
+    return (
+        joined.withColumn("__kept", kept)
+        .select(
+            *d.columns,
+            F.array_join(F.col("__kept"), " ").alias("clean_text"),
+            # size(NULL) is -1 under non-ANSI legacy sizeOfNull, not
+            # NULL — guard with isNull, not coalesce
+            F.when(F.col("__rm").isNull(), F.lit(0))
+            .otherwise(F.size("__rm")).alias("n_spans"),
+            (F.size("__toks") - F.size("__kept")).alias("n_tokens_removed"),
+        )
+    )

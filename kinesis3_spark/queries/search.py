@@ -253,3 +253,117 @@ def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(50)
     )
+
+
+_ES_K = 25  # ExactSubstr window (paper uses 50; this corpus averages
+            # 54 tokens/doc, so 25 keeps the operator non-vacuous —
+            # 21 affected docs at sf0.01, 199 at sf0.1)
+
+
+@query(
+    "llm_exact_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[i + 1 : i + {_ES_K}], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(0, greatest(len(t) - {_ES_K}, -1))) AS u(i)
+      WHERE len(t) >= {_ES_K}
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS cnt,
+             row_number() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ),
+    dup AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {_ES_K}
+                  THEN 0 ELSE 1 END AS b
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_ES_K} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tokpos AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, count(*) AS kept_n,
+             string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+      FROM tokpos tp
+      LEFT JOIN spans s
+        ON tp.doc_id = s.doc_id AND tp.pos >= s.s AND tp.pos < s.e
+      WHERE s.doc_id IS NULL
+      GROUP BY tp.doc_id
+    ),
+    per_doc AS (
+      SELECT tk.doc_id, tk.source, len(tk.t) AS n_toks,
+             coalesce(k.kept_n, 0) AS kept_n,
+             coalesce(k.clean_text, '') AS clean_text,
+             coalesce(sp.n_spans, 0) AS n_spans
+      FROM toks tk
+      LEFT JOIN kept k USING (doc_id)
+      LEFT JOIN (
+        SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+      ) sp USING (doc_id)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(*) FILTER (WHERE n_toks > kept_n)::BIGINT
+             AS docs_affected,
+           CAST(sum(n_spans) AS BIGINT) AS spans_total,
+           CAST(sum(n_toks - kept_n) AS BIGINT) AS tokens_removed,
+           CAST(sum(('0x' || substr(md5(clean_text), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS clean_sig
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def llm_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021 §4.1) applied to the corpus —
+    the REMOVAL half of the duplicated-passage story whose statistics
+    twin is llm_dup_passage_stats above: every >=25-token substring
+    duplicated anywhere in the corpus is cut from all but its first
+    (doc_id, position) occurrence, via the distributed window-hash span
+    merge in operators/dedup.exact_substring_spans. The oracle
+    recomputes spans with gram STRINGS and rebuilds every cleaned
+    document independently; clean_sig (commutative portable-hash
+    signature of the rebuilt texts, the round-trip discipline) pins the
+    REMOVAL itself byte-for-byte per source — not just the counts: an
+    off-by-one span boundary, a dropped doc, or a wrong canonical
+    choice flips it.
+
+    Scale: 2 keyed long-shuffles for span discovery + one broadcast-
+    size span join for removal (operator docstring); the final rollup
+    is a map-side-combined groupBy(source)."""
+    from ..operators.dedup import exact_substring_dedup, portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    cleaned = exact_substring_dedup(d, k=_ES_K)
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_tokens_removed") > 0).cast("int"))
+            .cast("bigint").alias("docs_affected"),
+            F.sum("n_spans").cast("bigint").alias("spans_total"),
+            F.sum("n_tokens_removed").cast("bigint")
+            .alias("tokens_removed"),
+            F.sum(portable_hash60(F.col("clean_text")) % 1_000_000_000)
+            .cast("bigint").alias("clean_sig"),
+        )
+        .orderBy("source")
+    )

