@@ -63,28 +63,70 @@ def encode_rawv(frames: np.ndarray) -> bytes:
 
 
 def _decode_image(b: bytes) -> np.ndarray:
-    """payload → HxWxC uint8. Real codecs are the stubbed step."""
+    """payload → HxWxC uint8. Real containers AUTO-ENABLE behind an
+    import probe (the Avro-gate pattern, tests/test_sources.py): when
+    Pillow is installed in the executors' environment, JPEG/PNG/WebP
+    payloads decode through it with zero code changes; without it the
+    RAW path still works and other containers fail with the actionable
+    message. The probe runs per decode call but import caches make it a
+    dict hit after the first."""
     if b[:4] == _MAGIC_I:
         w, h, c = struct.unpack("<III", b[4:16])
         return np.frombuffer(b, np.uint8, count=w * h * c, offset=16).reshape(h, w, c)
-    raise NotImplementedError(
-        "non-RAW image container (JPEG/PNG/...) — requires PIL/opencv, not "
-        "available in this environment; swap this branch for PIL.Image.open"
-    )
+    try:
+        from PIL import Image  # codec gate: present in prod images
+    except ImportError:
+        raise NotImplementedError(
+            "non-RAW image container (JPEG/PNG/...) — requires Pillow, "
+            "not available in this environment; pip install Pillow on "
+            "the executors and this branch activates itself"
+        ) from None
+    import io
+
+    img = Image.open(io.BytesIO(b))
+    if img.mode not in ("L", "RGB", "RGBA"):
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    return arr[:, :, None] if arr.ndim == 2 else arr
 
 
 def _decode_audio(b: bytes) -> tuple[np.ndarray, int]:
     if b[:4] == _MAGIC_A:
         rate, n = struct.unpack("<II", b[4:12])
         return np.frombuffer(b, "<i2", count=n, offset=12), rate
-    raise NotImplementedError("non-RAW audio container — requires soundfile/pyav")
+    try:
+        import soundfile as sf  # codec gate (same pattern as Pillow)
+    except ImportError:
+        raise NotImplementedError(
+            "non-RAW audio container — requires soundfile; pip install "
+            "soundfile on the executors and this branch activates itself"
+        ) from None
+    import io
+
+    samples, rate = sf.read(io.BytesIO(b), dtype="int16", always_2d=False)
+    if samples.ndim == 2:  # downmix to mono like the RAW contract
+        samples = samples.mean(axis=1).astype(np.int16)
+    return samples, int(rate)
 
 
 def _decode_video(b: bytes) -> np.ndarray:
     if b[:4] == _MAGIC_V:
         w, h, n = struct.unpack("<III", b[4:16])
         return np.frombuffer(b, np.uint8, count=n * h * w, offset=16).reshape(n, h, w)
-    raise NotImplementedError("non-RAW video container — requires pyav/ffmpeg")
+    try:
+        import av  # codec gate (same pattern as Pillow)
+    except ImportError:
+        raise NotImplementedError(
+            "non-RAW video container — requires pyav; pip install av on "
+            "the executors and this branch activates itself"
+        ) from None
+    import io
+
+    frames = []
+    with av.open(io.BytesIO(b)) as container:
+        for frame in container.decode(video=0):
+            frames.append(np.asarray(frame.to_image().convert("L"), np.uint8))
+    return np.stack(frames)
 
 
 # ----------------------------------------------------------------------

@@ -1021,12 +1021,30 @@ _RESIDUE_GRACE_SECONDS = 10.0
 # filesystem assumption (single coherent clock).
 _LEASE_DIR = "_leases"
 _LEASE_TTL_SECONDS = 60.0
+# vacuum spares NEVER-referenced files younger than this (a concurrent
+# writer's in-flight snap/dv/claim files vs a dead OCC attempt's
+# garbage are indistinguishable except by age — Delta's tombstone-
+# retention discipline); tests that reap fresh garbage monkeypatch it
+_ORPHAN_GRACE_SECONDS = 60.0
 
 
-def _acquire_lease(path: str) -> str | None:
-    """Create a heartbeat lease file for one commit attempt; returns its
-    full path (None if the table dir doesn't exist yet — nothing to
-    vacuum there either)."""
+class _LeaseHandle(str):
+    """The lease file's path, plus the heartbeat machinery riding on it
+    (str subclass so tests and logs can treat it as a plain path)."""
+
+    __slots__ = ("stop", "thread")
+
+
+def _acquire_lease(path: str) -> _LeaseHandle | None:
+    """Create a heartbeat lease file for one commit attempt and start a
+    daemon thread that re-touches it every TTL/3 — a LIVE writer's
+    lease never expires mid-commit no matter how long its data write
+    takes (review r10 #1: acquisition-time-only mtime silently lost
+    vacuum protection after 60 s of writing), while a CRASHED process
+    takes its daemon thread with it and the lease ages out. Returns
+    None if the table dir doesn't exist yet — nothing to vacuum there
+    either."""
+    import threading
     import uuid
 
     if not os.path.isdir(path):
@@ -1036,12 +1054,29 @@ def _acquire_lease(path: str) -> str | None:
     full = os.path.join(d, f"{uuid.uuid4().hex[:16]}.lease")
     with open(full, "w") as fh:
         fh.write(str(os.getpid()))
-    return full
+    h = _LeaseHandle(full)
+    h.stop = threading.Event()
+
+    def _beat() -> None:
+        while not h.stop.wait(_LEASE_TTL_SECONDS / 3.0):
+            try:
+                os.utime(full)
+            except OSError:
+                break  # released, or force-vacuumed out from under us
+
+    h.thread = threading.Thread(
+        target=_beat, name="k3s-lease-heartbeat", daemon=True
+    )
+    h.thread.start()
+    return h
 
 
-def _release_lease(lease: str | None) -> None:
+def _release_lease(lease: _LeaseHandle | None) -> None:
     if lease is None:
         return
+    stop = getattr(lease, "stop", None)
+    if stop is not None:
+        stop.set()
     try:
         os.remove(lease)
     except OSError:
@@ -1616,48 +1651,63 @@ def delete_where(
         epoch = man["epoch"] + 1
         dv_rel = f"dv-{epoch:06d}-{uuid.uuid4().hex[:8]}"
         dv_dir = os.path.join(path, dv_rel)
-        hits.write.mode("overwrite").parquet(dv_dir)
-        side = spark.read.parquet(dv_dir)
-        # driver metadata: affected files (≤ |manifest|) + a count
-        affected = {r[0] for r in side.select("rel").distinct().collect()}
-        n_deleted = side.count()
-        if n_deleted == 0:
-            import shutil
-
-            shutil.rmtree(dv_dir, ignore_errors=True)  # empty sidecar
-            return man["epoch"], 0
-        dv_files = []
-        for root, _dirs, fs in os.walk(dv_dir):
-            for f in sorted(fs):
-                if f.endswith(".parquet") and not f.startswith((".", "_")):
-                    dv_files.append(
-                        os.path.relpath(os.path.join(root, f), path)
-                    )
-        files = []
-        for e in man["files"]:
-            e = dict(e)
-            # match on the trailing snap/bucket/file triple — identical
-            # to e["path"] for locally-written files, and what a shallow
-            # clone's inherited "../src/..." references end with (the
-            # scan's __rel is always the trailing triple)
-            if "/".join(e["path"].split("/")[-3:]) in affected:
-                e["dv"] = list(e.get("dv", [])) + dv_files
-            files.append(e)
-        payload = json.dumps(
-            {**{k: man[k] for k in man if k not in ("epoch", "files")},
-             "epoch": epoch, "files": files},
-            indent=1,
-        )
+        # lease spans the sidecar write through publish (review r10 #2:
+        # until the manifest references it, the fresh dv parquet is
+        # exactly what vacuum reaps as unreferenced garbage)
+        _lease = _acquire_lease(path)
         try:
-            _publish_manifest(
-                path, epoch, payload,
-                op={"name": "DELETE", "predicate": str(condition),
-                    "n_deleted": n_deleted},
+            return _delete_attempt(
+                spark, path, man, hits, epoch, dv_dir, condition
             )
-            return epoch, n_deleted
         except CommitConflict as exc:
             last = exc  # sidecar of the losing attempt is vacuum garbage
+        finally:
+            _release_lease(_lease)
     raise last
+
+
+def _delete_attempt(spark, path, man, hits, epoch, dv_dir, condition):
+    """One leased delete_where attempt: dv sidecar write, manifest
+    reference patch, publish. Raises CommitConflict to the caller's
+    retry loop."""
+    hits.write.mode("overwrite").parquet(dv_dir)
+    side = spark.read.parquet(dv_dir)
+    # driver metadata: affected files (≤ |manifest|) + a count
+    affected = {r[0] for r in side.select("rel").distinct().collect()}
+    n_deleted = side.count()
+    if n_deleted == 0:
+        import shutil
+
+        shutil.rmtree(dv_dir, ignore_errors=True)  # empty sidecar
+        return man["epoch"], 0
+    dv_files = []
+    for root, _dirs, fs in os.walk(dv_dir):
+        for f in sorted(fs):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                dv_files.append(
+                    os.path.relpath(os.path.join(root, f), path)
+                )
+    files = []
+    for e in man["files"]:
+        e = dict(e)
+        # match on the trailing snap/bucket/file triple — identical
+        # to e["path"] for locally-written files, and what a shallow
+        # clone's inherited "../src/..." references end with (the
+        # scan's __rel is always the trailing triple)
+        if "/".join(e["path"].split("/")[-3:]) in affected:
+            e["dv"] = list(e.get("dv", [])) + dv_files
+        files.append(e)
+    payload = json.dumps(
+        {**{k: man[k] for k in man if k not in ("epoch", "files")},
+         "epoch": epoch, "files": files},
+        indent=1,
+    )
+    _publish_manifest(
+        path, epoch, payload,
+        op={"name": "DELETE", "predicate": str(condition),
+            "n_deleted": n_deleted},
+    )
+    return epoch, n_deleted
 
 
 def compact_table(
@@ -2180,6 +2230,35 @@ def vacuum_table(
             for x in m["files"]:
                 referenced.update(x.get("dv", []))
                 referenced.update((x.get("bloom") or {}).values())
+    # PROTOCOL-DEAD references (review r10 #3): files referenced only by
+    # SUB-retention manifests were committed and then aged out — reaping
+    # them at any age is the point of vacuum. Files referenced by NO
+    # manifest at all are ambiguous: a losing OCC attempt's garbage, OR
+    # a concurrent writer's IN-FLIGHT files (the lease check above is
+    # once-per-run; a writer can start mid-walk). Never-referenced
+    # files younger than the orphan grace are therefore SPARED — the
+    # same age discipline Delta's tombstone retention applies, closing
+    # the walk-duration TOCTOU the up-front lease check leaves open.
+    historical: set[str] = set()
+    for e in range(1, keep_from):
+        try:
+            m = read_manifest(path, e)
+        except ValueError:
+            continue
+        if m:
+            historical.update(x["path"] for x in m["files"])
+            for x in m["files"]:
+                historical.update(x.get("dv", []))
+                historical.update((x.get("bloom") or {}).values())
+    import time as _time
+
+    now = _time.time()
+
+    def _orphan_dead(full: str) -> bool:
+        try:
+            return now - os.path.getmtime(full) > _ORPHAN_GRACE_SECONDS
+        except OSError:
+            return False  # vanished under us: nothing to reap
     deleted = []
     for root, _dirs, fs in os.walk(path, topdown=False):
         for f in fs:
@@ -2188,28 +2267,37 @@ def vacuum_table(
             if f == MANIFEST:
                 continue
             if f.endswith(".tmp"):
-                # stale temp manifests from torn commits (review r8 #6)
-                if not dry_run:
-                    os.remove(full)
-                deleted.append(rel)
+                # stale temp manifests from torn commits (review r8 #6);
+                # grace-gated: a LIVE writer's swap tmp exists for
+                # milliseconds but could be walked mid-rename
+                if _orphan_dead(full):
+                    if not dry_run:
+                        os.remove(full)
+                    deleted.append(rel)
                 continue
             if f.startswith("_MANIFEST.v"):
                 v = int(f[len("_MANIFEST.v"):].split(".")[0])
-                # below retention, or uncommitted residue ABOVE the
-                # current pointer (crash between version copy and swap)
-                if v < keep_from or v > man["epoch"]:
+                # below retention at any age; residue ABOVE the current
+                # pointer (crash between version copy and swap) only
+                # past the orphan grace — a claim created mid-walk is a
+                # live writer's commit point, not residue
+                if v < keep_from or (v > man["epoch"] and _orphan_dead(full)):
                     if not dry_run:
                         os.remove(full)
                     deleted.append(rel)
                 continue
             top = rel.split(os.sep, 1)[0]
+            if top == _LEASE_DIR:
+                continue  # leases are _live_leases' jurisdiction
             if top == _BLOOM_DIR:
                 # bloom sidecars: losing OCC attempts and sidecars of
                 # vacuumed files are referenced by no retained manifest —
                 # exactly the reap rule for data files (a reaped sidecar
                 # mid-commit only degrades the probe to a scan:
                 # _bloom_may_match treats a missing sidecar as may-match)
-                if rel not in referenced:
+                if rel not in referenced and (
+                    rel in historical or _orphan_dead(full)
+                ):
                     if not dry_run:
                         os.remove(full)
                     deleted.append(rel)
@@ -2218,16 +2306,26 @@ def vacuum_table(
                 continue
             if rel in referenced:
                 continue
-            # unreferenced parquet anywhere; writer bookkeeping (_SUCCESS,
-            # .crc) only once its whole epoch left the retention window
-            # (dir formats: snap-<epoch> pre-r8, snap-<epoch>-<nonce>,
-            # dv-<epoch>-<nonce> deletion-vector sidecars)
-            if f.endswith(".parquet") or int(top.split("-")[1]) < keep_from:
+            # unreferenced parquet: historically-referenced at any age,
+            # never-referenced only past the orphan grace; writer
+            # bookkeeping (_SUCCESS, .crc) only once its whole epoch
+            # left the retention window (dir formats: snap-<epoch>
+            # pre-r8, snap-<epoch>-<nonce>, dv-<epoch>-<nonce>)
+            if f.endswith(".parquet"):
+                if rel in historical or _orphan_dead(full):
+                    if not dry_run:
+                        os.remove(full)
+                    deleted.append(rel)
+            elif int(top.split("-")[1]) < keep_from:
                 if not dry_run:
                     os.remove(full)
                 deleted.append(rel)
-        if not dry_run and not os.listdir(root) and root != path:
-            os.rmdir(root)
+        if not dry_run and root != path and os.path.basename(root) != _LEASE_DIR:
+            try:
+                if not os.listdir(root):
+                    os.rmdir(root)
+            except OSError:
+                pass  # a racing writer repopulated it
     return sorted(deleted)
 
 

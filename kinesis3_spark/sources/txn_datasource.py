@@ -445,23 +445,42 @@ class _TxnStreamReader(DataSourceStreamReader):
         self._cursor = max(self._cursor or 0, start["epoch"], end["epoch"])
         if end["epoch"] < start["epoch"]:
             # inverted range: only reachable if a rate-limited
-            # latestOffset ever under-shot a checkpointed start (not
-            # observed on 4.1.2 — restarts recover the cursor first).
-            # An inverted range ADDS nothing; empty batch, and the
-            # cursor bump above resynchronizes the next offset.
+            # latestOffset ever under-shot a checkpointed start — which
+            # requires an engine that calls latestOffset on restart
+            # BEFORE any partitions()/commit() replay (not the measured
+            # 4.1.2 order, pinned in tests/test_txn_datasource.py). An
+            # inverted range ADDS nothing; empty batch, and the cursor
+            # bump above resynchronizes the next offset. RESIDUAL on
+            # such a hypothetical engine: the offset log records the
+            # under-shot end, so the following batch re-plans from it
+            # and epochs delivered before the restart are re-emitted
+            # once (at-least-once for that batch, self-healing after) —
+            # acceptable for the merge/upsert consumers this source
+            # feeds, and loud failure here would wedge the stream on
+            # replay instead (the offset is already checkpointed).
             return []
         if self.fail_on_mapping_change and man_b is not None:
-            live = dict(man_b.get("column_mapping") or {})
-            if live != self.l2p:
-                raise ValueError(
-                    f"txntable stream over {self.path}: column mapping "
-                    f"changed inside the streamed range (pinned "
-                    f"{sorted(self.l2p.items())} vs epoch "
-                    f"{end['epoch']} {sorted(live.items())}) and "
-                    "failOnMappingChange=true — restart the stream "
-                    "from a fresh checkpoint to re-pin the mapping "
-                    "(upstream Delta's rename rule)"
-                )
+            # EVERY epoch in the range is checked, not just the end —
+            # an A->B->A rename round-trip inside one catch-up batch
+            # must still fail (Delta fails on the change commit itself;
+            # review r10 #5). Epochs outside vacuum retention fall back
+            # to the end-epoch compare (their mapping is unknowable).
+            for ep in range(start["epoch"] + 1, end["epoch"] + 1):
+                try:
+                    m = read_manifest(self.path, ep)
+                except ValueError:
+                    continue  # reaped history: no mapping to compare
+                live = dict((m or {}).get("column_mapping") or {})
+                if live != self.l2p:
+                    raise ValueError(
+                        f"txntable stream over {self.path}: column "
+                        f"mapping changed inside the streamed range "
+                        f"(pinned {sorted(self.l2p.items())} vs epoch "
+                        f"{ep} {sorted(live.items())}) and "
+                        "failOnMappingChange=true — restart the stream "
+                        "from a fresh checkpoint to re-pin the mapping "
+                        "(upstream Delta's rename rule)"
+                    )
         a = {e["path"]: e for e in man_a["files"]} if man_a else {}
         b = {e["path"]: e for e in man_b["files"]} if man_b else {}
         removed = sorted(set(a) - set(b))

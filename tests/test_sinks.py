@@ -382,7 +382,11 @@ def test_txn_uncommitted_version_residue_is_not_readable(spark, tmp_path, monkey
             spark, _events(spark, B2), path, key="id", order_col="ts",
             max_retries=1,
         )
+    # fresh above-pointer residue is orphan-grace-gated (a mid-walk
+    # live claim must not be reaped); simulate the residue aging out
+    monkeypatch.setattr(txn, "_ORPHAN_GRACE_SECONDS", -1.0)
     deleted = txn.vacuum_table(path, keep_epochs=99)
+    monkeypatch.undo()
     assert "_MANIFEST.v000002.json" in deleted
     # retry lands epoch 2 for real and the state is the full merge
     txn.upsert_manifest_txn(spark, _events(spark, B2), path, key="id", order_col="ts")

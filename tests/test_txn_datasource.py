@@ -810,3 +810,25 @@ def test_stream_fail_on_mapping_change_is_strict(registered, tmp_path):
     with pytest.raises(ValueError, match="failOnMappingChange"):
         strict.partitions({"epoch": 0}, {"epoch": 3})
     assert len(lax.partitions({"epoch": 0}, {"epoch": 3})) > 0
+
+
+def test_fail_on_mapping_change_catches_rename_roundtrip(registered, tmp_path):
+    """Review r10 #5: an A->B->A rename ROUND-TRIP inside one catch-up
+    range must still fail strict mode — every epoch's mapping is
+    compared, not just the end's (Delta fails on the change commit)."""
+    from kinesis3_spark.sinks.txn import rename_column
+    from kinesis3_spark.sources.txn_datasource import _TxnStreamReader
+
+    spark, path = registered, str(tmp_path / "t")
+    append_snapshot(
+        _mk(spark, [("a", "g", 1)]).coalesce(1), path,
+        key="id", n_buckets=1,
+    )
+    strict = _TxnStreamReader(
+        {"path": path, "failonmappingchange": "true"}, "{}"
+    )
+    rename_column(path, "val", "amount")   # epoch 2: A -> B
+    rename_column(path, "amount", "val")   # epoch 3: B -> A (round-trip)
+    # end-epoch mapping equals the pinned one, but epoch 2's does not
+    with pytest.raises(ValueError, match="epoch 2"):
+        strict.partitions({"epoch": 1}, {"epoch": 3})

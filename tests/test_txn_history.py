@@ -207,3 +207,37 @@ def test_commit_heartbeats_lease_during_write(spark, table, monkeypatch):
     T.append_snapshot(batch, table, key="id", n_buckets=2)
     assert seen["live"], "no lease held at publish time"
     assert T._live_leases(table) == []  # released after the commit
+
+
+def test_vacuum_spares_fresh_orphans_reaps_aged_ones(spark, table, monkeypatch):
+    """Review r10 #3: never-referenced files (in-flight writer output
+    vs dead OCC garbage — indistinguishable except by age) are spared
+    while younger than the orphan grace and reaped after it; files
+    referenced by SUB-retention manifests reap at any age (they are
+    protocol-dead by definition)."""
+    import os
+
+    batch = spark.createDataFrame([(5, 50, "x")], "id bigint, val bigint, seg string")
+    T.append_snapshot(batch, table, key="id", n_buckets=2)
+    # rewrite every file so the earlier epochs' files become
+    # sub-retention-only references (append CARRIES files forward)
+    T.compact_table(spark, table, key="id")
+    # plant a fresh never-referenced "in-flight" file
+    orphan_dir = os.path.join(table, "snap-000099-deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-0.parquet")
+    open(orphan, "w").write("x")
+    deleted = T.vacuum_table(table, keep_epochs=1)
+    rel = os.path.relpath(orphan, table)
+    assert rel not in deleted and os.path.exists(orphan), (
+        "fresh never-referenced file must be spared (mid-walk writer)"
+    )
+    # epoch-1 files left retention AND are young — still reaped (they
+    # are referenced by the sub-retention manifest: protocol-dead)
+    assert any(d.startswith("snap-000001") and d.endswith(".parquet")
+               for d in deleted)
+    # age the orphan out -> reaped
+    old = os.path.getmtime(orphan) - T._ORPHAN_GRACE_SECONDS - 1
+    os.utime(orphan, (old, old))
+    deleted2 = T.vacuum_table(table, keep_epochs=1)
+    assert rel in deleted2 and not os.path.exists(orphan)
