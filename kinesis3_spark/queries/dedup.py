@@ -391,3 +391,132 @@ def dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = spark.table(bucketed_fp_index(spark, sf_dir))
     out = D.incremental_dedup(d.where(F.col("source") != "src0"), hist)
     return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "llm_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, {_GRAMS} AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) > 0 AND len(b.grams) > 0
+        AND 2 * len(list_intersect(a.grams, b.grams))
+            >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    rep AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS grp
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    tagged AS (
+      SELECT doc_id, grp,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, grp,
+               ('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 15))
+                 ::BIGINT % 100 AS b
+        FROM rep
+      )
+    ),
+    leak AS (
+      SELECT count(*) FILTER (WHERE ns > 1) AS leaked_groups
+      FROM (SELECT grp, count(DISTINCT split) AS ns FROM tagged GROUP BY grp)
+    )
+    SELECT split,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT grp)::BIGINT AS n_groups,
+           (SELECT leaked_groups FROM leak)::BIGINT AS leaked_groups
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: assignment is by NEAR-DUP
+    GROUP, not by document — near-duplicate documents (MinHash-LSH
+    pairs -> connected components) always land in the SAME split, so a
+    model can never be evaluated on a paraphrase of its own training
+    data (the contamination mode document-level random splits permit;
+    the group-split discipline of GroupShuffleSplit / The Pile's
+    holdout dedup, and why decontamination pipelines dedup ACROSS
+    splits first). Singleton documents are their own group. The split
+    is DETERMINISTIC — a salted portable hash of the group id buckets
+    into 80/10/10 — so re-running the pipeline reproduces it exactly;
+    no RNG state to checkpoint.
+
+    leaked_groups counts groups spanning >1 split: structurally zero
+    (every member shares the group hash), and CHECKED rather than
+    assumed — a refactor that hashed doc_id instead of grp flips it
+    loudly in both engines.
+
+    Scale: the group machinery is the LSH tier's (banded equi-joins +
+    O(edges)-per-round label propagation, both shuffle-bounded); the
+    split itself is a stateless map — at 100 TB the split column is
+    computed on write and becomes a partition column, so training reads
+    prune to their split without scanning the rest."""
+    from ..operators.components import connected_components
+
+    doc = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        doc,
+        grams=_grams_for(spark, sf_dir),
+        signatures=_sigs_for(spark, sf_dir),
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    rep = (
+        doc.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("grp"),
+        )
+    )
+    bucket = (
+        D.portable_hash60(
+            F.concat(F.lit("split:"), F.col("grp").cast("string"))
+        ) % 100
+    )
+    tagged = rep.withColumn(
+        "split",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test"),
+    )
+    # leakage audit: one scalar over the group relation, broadcast into
+    # the per-split rollup (components' labels are localCheckpointed, so
+    # the second reference reuses the materialized labels, not the LSH
+    # subtree)
+    leak = (
+        tagged.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.count(F.when(F.col("ns") > 1, True))
+            .cast("bigint").alias("leaked_groups")
+        )
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("grp").cast("bigint").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_groups", "leaked_groups")
+        .orderBy("split")
+    )

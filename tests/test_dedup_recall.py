@@ -24,3 +24,49 @@ def test_capped_matches_exact_operator(spark, sf_dir):
         for r in D.ngram_jaccard_pairs_capped(df, df_cap=100).collect()
     }
     assert capped == exact
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Planted near-dup pairs must land in the SAME split, assignment
+    must be deterministic across runs, and the ratios must roughly
+    follow 80/10/10 on singleton-heavy data."""
+    import pytest
+
+    pytest.importorskip("pyspark")
+    from kinesis3_spark.operators.components import connected_components
+    from kinesis3_spark.operators.dedup import portable_hash60
+    from pyspark.sql import functions as F
+
+    # 60 unique docs + 15 near-dup copies (exact text copies: certainly
+    # Jaccard >= 0.5 and LSH-found)
+    base = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(30)) + " shared filler text")
+        for i in range(60)
+    ]
+    dups = [(100 + i, base[i][1]) for i in range(15)]
+    d = spark.createDataFrame(base + dups, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(d)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    rep = (
+        d.select("doc_id").join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("grp"))
+    )
+    bucket = portable_hash60(
+        F.concat(F.lit("split:"), F.col("grp").cast("string"))
+    ) % 100
+    tagged = rep.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+    ).collect()
+    split_of = {r.doc_id: r.split for r in tagged}
+    for i in range(15):
+        assert split_of[i] == split_of[100 + i], (
+            f"near-dup pair ({i}, {100+i}) straddles splits: "
+            f"{split_of[i]} vs {split_of[100+i]}"
+        )
+    # deterministic: a second evaluation reproduces the assignment
+    again = {r.doc_id: r.split for r in rep.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+    ).collect()}
+    assert again == split_of
