@@ -145,3 +145,74 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c.violations",
         F.when(F.col("c.violations") == 0, 1).otherwise(0).cast("bigint").alias("passed"),
     ).orderBy("check_name")
+
+
+# histogram geometry: events.value in 5.00-unit bins over cent-exact
+# integers (values carry 2 decimals; *100 + floor(+.5) is bit-exact on
+# identical IEEE doubles — the parity discipline's integerize-then-bin)
+_HIST_BIN_CENTS = 500
+
+
+@query(
+    "dq_numeric_histogram_profile",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type,
+             cents // {_HIST_BIN_CENTS} AS bin,
+             cents
+      FROM c
+    )
+    SELECT event_type,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(bin * {_HIST_BIN_CENTS} AS BIGINT) AS bin_lo_cents,
+           count(*)::BIGINT AS n,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def dq_numeric_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric PROFILING histogram (the Deequ/Great-Expectations column
+    profile next to dq_constraint_suite's pass/fail gates): equi-width
+    bins of events.value per event_type with per-bin count/min/max/sum —
+    the distribution fingerprint a DQ dashboard trends over partitions
+    and alerts on drift (a payment column whose mass migrates bins is a
+    schema-valid data bug no constraint catches). Values integerize to
+    cents BEFORE binning (floor(x*100+.5) is bit-exact on identical
+    doubles; binning raw floats would split .xx5 boundary ties
+    differently per engine — the parity discipline).
+
+    Scale: ONE scan, map-side-combined groupBy on (type, bin) — profile
+    cost is O(distinct bins) state per task regardless of row count; at
+    100 TB this runs per ingest partition and appends to the profile
+    history table."""
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    b = e.select(
+        "event_type",
+        cents.alias("cents"),
+        F.floor(cents / _HIST_BIN_CENTS).cast("bigint").alias("bin"),
+    )
+    return (
+        b.groupBy("event_type", "bin")
+        .agg(
+            (F.col("bin") * _HIST_BIN_CENTS).cast("bigint")
+            .alias("bin_lo_cents"),
+            F.count("*").cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "event_type", "bin", "bin_lo_cents", "n", "min_cents",
+            "max_cents", "sum_cents",
+        )
+        .orderBy("event_type", "bin")
+    )

@@ -520,3 +520,116 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_groups", "leaked_groups")
         .orderBy("split")
     )
+
+
+@query(
+    "dedup_keep_best_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, {_GRAMS} AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) > 0 AND len(b.grams) > 0
+        AND 2 * len(list_intersect(a.grams, b.grams))
+            >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    grp AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             coalesce(c.cluster_id, d.doc_id) AS grp
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM grp
+      ) WHERE rn = 1
+    )
+    SELECT g.source,
+           count(*)::BIGINT AS n_docs,
+           count(k.doc_id)::BIGINT AS n_kept,
+           (count(*) - count(k.doc_id))::BIGINT AS n_dropped,
+           CAST(coalesce(sum(k.n_chars), 0) AS BIGINT) AS chars_kept,
+           CAST(coalesce(sum(
+             ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 1000000000
+           ), 0) AS BIGINT) AS keep_sig
+    FROM grp g LEFT JOIN kept k USING (doc_id)
+    GROUP BY g.source ORDER BY g.source
+    """,
+)
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SELECTION POLICY: keep the best member of each
+    near-dup cluster instead of the arbitrary min-id — here "best" =
+    longest document (n_chars, id tie-break), the keep-the-most-complete
+    -version policy real pipelines apply when duplicates differ by
+    truncation or boilerplate stripping (min-id keeps whichever was
+    crawled first; CCNet/RefinedWeb-style pipelines rank members). The
+    policy is a rank-1 window over the cluster key — swapping in a
+    quality-score ordering is a one-line change; length is used here
+    because it is integer-exact across engines (float quality scores
+    split ties differently per engine).
+
+    keep_sig is the commutative portable-hash signature of the KEPT id
+    set per source: the oracle recomputes the clusters via recursive
+    closure and the exact same policy — a wrong survivor anywhere flips
+    the signature, not just the counts.
+
+    Scale: LSH pairs + label propagation (shared, cached machinery) +
+    ONE rank window partitioned by cluster id — no all-pairs, no global
+    sort; at 100 TB the kept set is written as the dedup output and
+    this query's rollup is its audit."""
+    from pyspark.sql.window import Window
+
+    from ..operators.components import connected_components
+
+    doc = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        doc,
+        grams=_grams_for(spark, sf_dir),
+        signatures=_sigs_for(spark, sf_dir),
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    grp = (
+        doc.select("doc_id", "source", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("grp", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    kept = grp.withColumn("rn", rn).withColumn(
+        "is_kept", (F.col("rn") == 1).cast("int")
+    )
+    sig = D.portable_hash60(F.col("doc_id").cast("string")) % 1_000_000_000
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_kept").cast("bigint").alias("n_kept"),
+            (F.count("*") - F.sum("is_kept")).cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("is_kept") == 1, F.col("n_chars")))
+            .cast("bigint").alias("chars_kept"),
+            F.sum(F.when(F.col("is_kept") == 1, sig)).cast("bigint")
+            .alias("keep_sig"),
+        )
+        .orderBy("source")
+    )

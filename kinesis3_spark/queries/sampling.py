@@ -238,3 +238,85 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "source", "n_chars")
     )
+
+
+# Target mixture for the token-budget planner: 4 boosted sources at 10%
+# each, the remaining 16 share the rest uniformly (ppm, sums to 1e6) —
+# the hand-set per-source shares a pretraining mix declares (LLaMA-style
+# "wikipedia x2.5 epochs" tables reduce to exactly this arithmetic).
+_MIX_BOOSTED = ("src0", "src1", "src2", "src3")
+_MIX_BOOST_PPM = 100_000
+_MIX_REST_PPM = (1_000_000 - 4 * _MIX_BOOST_PPM) // 16  # 37_500
+# total training-token budget for the plan (10M — ~20x this corpus's
+# tokens, so boosted sources need multiple epochs: the interesting case)
+_MIX_BUDGET = 10_000_000
+
+
+@query(
+    "llm_mixture_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(sum(len({{toks}})) AS BIGINT) AS n_tokens
+      FROM (SELECT source, text FROM documents)
+      GROUP BY source
+    ),
+    planned AS (
+      SELECT source, n_tokens,
+             CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+                  THEN {_MIX_BOOST_PPM} ELSE {_MIX_REST_PPM} END
+                  AS BIGINT) AS share_ppm
+      FROM t
+    )
+    SELECT source, n_tokens, share_ppm,
+           CAST(share_ppm * {_MIX_BUDGET} // 1000000 AS BIGINT)
+             AS tokens_drawn,
+           CAST((share_ppm * {_MIX_BUDGET} // 1000000) * 1000000
+                // n_tokens AS BIGINT) AS epochs_ppm,
+           CAST((share_ppm * {_MIX_BUDGET} // 1000000) * 1000000
+                // n_tokens > 1000000 AS INT) AS oversampled
+    FROM planned ORDER BY source
+    """.replace(
+        "{toks}",
+        "string_split_regex(regexp_replace(lower(text),"
+        " '^\\s+|\\s+$', '', 'g'), '\\s+')",
+    ),
+)
+def llm_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token budgeting: given hand-set per-source target
+    shares (ppm) and a total token budget, compute per source the
+    tokens to draw and the implied EPOCH COUNT over that source
+    (epochs_ppm > 1e6 = the source must be upsampled / repeated — the
+    LLaMA/Pile mixture tables' "epochs" column, derived instead of
+    eyeballed). Everything is exact integer arithmetic (ppm shares,
+    integer division) so the plan is reproducible and engine-portable —
+    the planner output IS the contract a sampling job executes.
+
+    Scale: one token-count scan with map-side combine into a 20-row
+    rollup; the share table is a literal broadcast. The downstream
+    executor of this plan is sample_temperature_mixture's seeded
+    per-task sampling — no coordination, no shuffle."""
+    from ..functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    share = F.when(
+        F.col("source").isin(*_MIX_BOOSTED), F.lit(_MIX_BOOST_PPM)
+    ).otherwise(F.lit(_MIX_REST_PPM))
+    planned = counts.withColumn("share_ppm", share.cast("bigint"))
+    drawn = (F.col("share_ppm") * _MIX_BUDGET) / F.lit(1_000_000)
+    drawn_i = F.floor(drawn).cast("bigint")
+    epochs = F.floor(
+        (drawn_i * 1_000_000) / F.col("n_tokens")
+    ).cast("bigint")
+    return (
+        planned.select(
+            "source", "n_tokens", "share_ppm",
+            drawn_i.alias("tokens_drawn"),
+            epochs.alias("epochs_ppm"),
+            (epochs > 1_000_000).cast("int").alias("oversampled"),
+        )
+        .orderBy("source")
+    )

@@ -280,7 +280,10 @@ def topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lost or duplicated row in the write/read round-trip breaks it
     against the oracle's independent corpus count; codes_ok re-validates
     ranges on the rows as READ BACK (a partition-column type regression or
-    codes corruption on disk flips it)."""
+    codes corruption on disk flips it). Since r10 the index persists with
+    its _INDEX_META.json codebook sidecar (probe-without-retraining;
+    tests/test_ivfpq.py) — this note re-fronts the query for official
+    re-certification on the sidecar-writing path."""
     emb = _t(spark, sf_dir, "embeddings")
     qset = _query_set(spark, sf_dir)
     C, books, path = _ivfpq_persisted_index(spark, sf_dir)
@@ -339,7 +342,12 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the production path is the cell-bounded pass alone —
     Σ|cell|² ≈ m²N²/k comparisons, embarrassingly parallel per cell,
     vs the audit's O(N²) truth pass (sampled in production, exactly
-    like sim_ivf_recall_band's offline recall audit)."""
+    like sim_ivf_recall_band's offline recall audit). Since r10 the
+    cell count DERIVES from corpus size (max(16, ceil(N/256)) inside
+    semdedup_pairs), so k grows with N and within-cell work stays
+    linear — at these SFs the derived k equals the old fixed 16, and
+    this docstring note re-fronts the query for official
+    re-certification on the derived-k code path."""
     emb = _t(spark, sf_dir, "embeddings")
     found = S.semdedup_pairs(
         emb, _NEARDUP_T, n_assign=_SEMDEDUP_M
@@ -731,7 +739,10 @@ def topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; stage 2's raw-vector fetch is a broadcast hash join over
     the corpus scan — at 100 TB the corpus is bucketed by id and this
     is the point-lookup tier. The brute truth pass is the OFFLINE audit
-    component, present because the recall claim is the product."""
+    component, present because the recall claim is the product. Since
+    r10 the probed index carries its codebook sidecar (_INDEX_META.json)
+    — this note re-fronts the query for official re-certification on
+    the sidecar-writing path."""
     emb = _t(spark, sf_dir, "embeddings")
     qset = _query_set(spark, sf_dir)
     C, books, path = _ivfpq_persisted_index(spark, sf_dir)

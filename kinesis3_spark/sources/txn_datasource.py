@@ -320,7 +320,8 @@ class _TxnStreamReader(DataSourceStreamReader):
         # own position: fresh streams are limited from the first batch
         # (initialOffset pins the cursor); a CHECKPOINT RESTART recovers
         # the cursor from the engine's replay of the checkpointed range
-        # — measured on 4.1.2 (tools/probe_restart experiment, r10):
+        # — measured on 4.1.2 (tools/probe_ds_restart.py, output
+        # recorded in that file, r10):
         # restart calls partitions(start, end) with the checkpointed
         # offsets BEFORE the first latestOffset, and commit(end) follows
         # — both recover the cursor, so the first post-restart batch is
