@@ -633,3 +633,25 @@ def exact_substring_dedup(
             (F.size("__toks") - F.size("__kept")).alias("n_tokens_removed"),
         )
     )
+
+
+def leakage_split_expr(
+    grp: Column,
+    train_pct: int = 80,
+    valid_pct: int = 90,
+    salt: str = "split:",
+) -> Column:
+    """Deterministic group-level train/valid/test assignment: a salted
+    portable hash of the GROUP id buckets 0-99, then thresholds cut
+    train/valid/test. Shared by the registered llm_leakage_safe_split
+    query and its planted tests (one definition — a regression in the
+    hash key or thresholds cannot pass the test while breaking the
+    query; review r10-2nd #4). Group-level hashing is the leakage
+    guarantee: every member of a near-dup cluster shares the hash
+    input, hence the split."""
+    bucket = portable_hash60(F.concat(F.lit(salt), grp.cast("string"))) % 100
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < valid_pct, "valid")
+        .otherwise("test")
+    )

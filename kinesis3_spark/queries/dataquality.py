@@ -163,7 +163,11 @@ _HIST_BIN_CENTS = 500
     ),
     b AS (
       SELECT event_type,
-             cents // {_HIST_BIN_CENTS} AS bin,
+             -- floor division, NOT DuckDB's truncating `//`: Spark's
+             -- F.floor(x/y) floors toward -inf, and the engines must
+             -- agree on negative values (refunds) too; double division
+             -- is exact here (|cents| << 2^53) [review r10-2nd #2]
+             CAST(floor(cents / {_HIST_BIN_CENTS}.0) AS BIGINT) AS bin,
              cents
       FROM c
     )

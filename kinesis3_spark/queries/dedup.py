@@ -31,6 +31,33 @@ _GRAMS = (
     " i -> array_to_string(toks[i:i+2], ' ')))"
 )
 
+# The shared transitive-closure CTE chain (exact Jaccard pairs -> edges
+# -> reachability) that every components-based oracle composes — ONE
+# definition so a threshold or closure fix can never leave the four
+# oracles silently disagreeing (review r10-2nd #5). Whitespace matches
+# the previously-inlined copies byte-for-byte, so extracting it did not
+# invalidate the existing queries' recorded source hashes.
+_CLOSURE_CTES = f"""WITH RECURSIVE g AS (
+      SELECT doc_id, {_GRAMS} AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) > 0 AND len(b.grams) > 0
+        AND 2 * len(list_intersect(a.grams, b.grams))
+            >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )"""
+
 
 @query(
     "dedup_exact_groups",
@@ -117,6 +144,30 @@ def _sigs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = D.minhash_signatures(doc, grams=_grams_for(spark, sf_dir))
         _SIG_INDEX[sf_dir] = sig.persist()
     return _SIG_INDEX[sf_dir]
+
+
+def _neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document tagged with its near-dup GROUP id: LSH pairs ->
+    connected components, singletons their own group (grp = coalesce of
+    cluster_id, doc_id). The shared Spark-side prelude of every
+    components-based query (split, keep-best — review r10-2nd #5);
+    components' labels are localCheckpointed, so referencing the result
+    twice reuses the materialized labels, not the LSH subtree."""
+    from ..operators.components import connected_components
+
+    doc = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        doc,
+        grams=_grams_for(spark, sf_dir),
+        signatures=_sigs_for(spark, sf_dir),
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        doc.select("doc_id", "source", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("grp", F.coalesce("cluster_id", F.col("doc_id")))
+        .drop("cluster_id")
+    )
 
 
 # Oracle is the same exact all-pairs Jaccard — see module docstring.
@@ -231,26 +282,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_connected_components",
     oracle=f"""
-    WITH RECURSIVE g AS (
-      SELECT doc_id, {_GRAMS} AS grams
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE len(a.grams) > 0 AND len(b.grams) > 0
-        AND 2 * len(list_intersect(a.grams, b.grams))
-            >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(src, dst) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    )
+    {_CLOSURE_CTES}
     SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
     FROM reach GROUP BY src
     """,
@@ -276,26 +308,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_drop_neardup",
     oracle=f"""
-    WITH RECURSIVE g AS (
-      SELECT doc_id, {_GRAMS} AS grams
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE len(a.grams) > 0 AND len(b.grams) > 0
-        AND 2 * len(list_intersect(a.grams, b.grams))
-            >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(src, dst) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    ),
+    {_CLOSURE_CTES},
     labels AS (
       SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       FROM reach GROUP BY src
@@ -396,26 +409,7 @@ def dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_leakage_safe_split",
     oracle=f"""
-    WITH RECURSIVE g AS (
-      SELECT doc_id, {_GRAMS} AS grams
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE len(a.grams) > 0 AND len(b.grams) > 0
-        AND 2 * len(list_intersect(a.grams, b.grams))
-            >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(src, dst) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    ),
+    {_CLOSURE_CTES},
     comp AS (
       SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       FROM reach GROUP BY src
@@ -470,33 +464,8 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split itself is a stateless map — at 100 TB the split column is
     computed on write and becomes a partition column, so training reads
     prune to their split without scanning the rest."""
-    from ..operators.components import connected_components
-
-    doc = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        doc,
-        grams=_grams_for(spark, sf_dir),
-        signatures=_sigs_for(spark, sf_dir),
-    )
-    comp = connected_components(pairs.select("id_a", "id_b"))
-    rep = (
-        doc.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("grp"),
-        )
-    )
-    bucket = (
-        D.portable_hash60(
-            F.concat(F.lit("split:"), F.col("grp").cast("string"))
-        ) % 100
-    )
-    tagged = rep.withColumn(
-        "split",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "valid")
-        .otherwise("test"),
+    tagged = _neardup_groups(spark, sf_dir).withColumn(
+        "split", D.leakage_split_expr(F.col("grp"))
     )
     # leakage audit: one scalar over the group relation, broadcast into
     # the per-split rollup (components' labels are localCheckpointed, so
@@ -525,26 +494,7 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_keep_best_per_cluster",
     oracle=f"""
-    WITH RECURSIVE g AS (
-      SELECT doc_id, {_GRAMS} AS grams
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE len(a.grams) > 0 AND len(b.grams) > 0
-        AND 2 * len(list_intersect(a.grams, b.grams))
-            >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(src, dst) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    ),
+    {_CLOSURE_CTES},
     comp AS (
       SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       FROM reach GROUP BY src
@@ -598,20 +548,7 @@ def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query's rollup is its audit."""
     from pyspark.sql.window import Window
 
-    from ..operators.components import connected_components
-
-    doc = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        doc,
-        grams=_grams_for(spark, sf_dir),
-        signatures=_sigs_for(spark, sf_dir),
-    )
-    comp = connected_components(pairs.select("id_a", "id_b"))
-    grp = (
-        doc.select("doc_id", "source", "n_chars")
-        .join(comp, "doc_id", "left")
-        .withColumn("grp", F.coalesce("cluster_id", F.col("doc_id")))
-    )
+    grp = _neardup_groups(spark, sf_dir)
     rn = F.row_number().over(
         Window.partitionBy("grp").orderBy(F.desc("n_chars"), "doc_id")
     )
@@ -619,6 +556,9 @@ def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_kept", (F.col("rn") == 1).cast("int")
     )
     sig = D.portable_hash60(F.col("doc_id").cast("string")) % 1_000_000_000
+    # coalesce to 0 like the oracle: a source whose every doc loses its
+    # cluster's rank-1 to another source has NULL conditional sums
+    # (review r10-2nd #1)
     return (
         kept.groupBy("source")
         .agg(
@@ -626,10 +566,13 @@ def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_kept").cast("bigint").alias("n_kept"),
             (F.count("*") - F.sum("is_kept")).cast("bigint")
             .alias("n_dropped"),
-            F.sum(F.when(F.col("is_kept") == 1, F.col("n_chars")))
-            .cast("bigint").alias("chars_kept"),
-            F.sum(F.when(F.col("is_kept") == 1, sig)).cast("bigint")
-            .alias("keep_sig"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_kept") == 1, F.col("n_chars"))),
+                F.lit(0),
+            ).cast("bigint").alias("chars_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_kept") == 1, sig)), F.lit(0)
+            ).cast("bigint").alias("keep_sig"),
         )
         .orderBy("source")
     )

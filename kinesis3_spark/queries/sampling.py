@@ -306,17 +306,26 @@ def llm_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin(*_MIX_BOOSTED), F.lit(_MIX_BOOST_PPM)
     ).otherwise(F.lit(_MIX_REST_PPM))
     planned = counts.withColumn("share_ppm", share.cast("bigint"))
-    drawn = (F.col("share_ppm") * _MIX_BUDGET) / F.lit(1_000_000)
-    drawn_i = F.floor(drawn).cast("bigint")
-    epochs = F.floor(
-        (drawn_i * 1_000_000) / F.col("n_tokens")
-    ).cast("bigint")
+    # SQL `div` = exact bigint division (double `/`+floor loses exactness
+    # past 2^53 — at a LLaMA-scale token budget the docstring invokes,
+    # share*budget reaches ~6e17; review r10-2nd #3). Products stay
+    # under 2^63 up to ~9e13-token budgets at 1e5-ppm shares.
+    planned = planned.withColumn(
+        "tokens_drawn",
+        F.expr(
+            f"share_ppm * CAST({_MIX_BUDGET} AS BIGINT) div 1000000"
+        ).cast("bigint"),
+    ).withColumn(
+        "epochs_ppm",
+        F.expr("tokens_drawn * CAST(1000000 AS BIGINT) div n_tokens")
+        .cast("bigint"),
+    )
     return (
         planned.select(
-            "source", "n_tokens", "share_ppm",
-            drawn_i.alias("tokens_drawn"),
-            epochs.alias("epochs_ppm"),
-            (epochs > 1_000_000).cast("int").alias("oversampled"),
+            "source", "n_tokens", "share_ppm", "tokens_drawn",
+            "epochs_ppm",
+            (F.col("epochs_ppm") > 1_000_000).cast("int")
+            .alias("oversampled"),
         )
         .orderBy("source")
     )

@@ -26,24 +26,27 @@ def test_capped_matches_exact_operator(spark, sf_dir):
     assert capped == exact
 
 
-def test_leakage_safe_split_groups_never_straddle(spark):
-    """Planted near-dup pairs must land in the SAME split, assignment
-    must be deterministic across runs, and the ratios must roughly
-    follow 80/10/10 on singleton-heavy data."""
-    import pytest
-
-    pytest.importorskip("pyspark")
-    from kinesis3_spark.operators.components import connected_components
-    from kinesis3_spark.operators.dedup import portable_hash60
+def test_leakage_safe_split_groups_never_straddle(spark, sf_dir):
+    """Planted near-dup pairs must land in the SAME split through the
+    PRODUCTION split expression (operators/dedup.leakage_split_expr —
+    the same definition the registered query uses, so a hash-key or
+    threshold regression cannot pass here while breaking the query);
+    assignment is deterministic across runs; ratios roughly follow
+    80/10/10 on singleton-heavy data; and the registered query itself
+    reports zero leaked groups on the real corpus."""
     from pyspark.sql import functions as F
 
-    # 60 unique docs + 15 near-dup copies (exact text copies: certainly
-    # Jaccard >= 0.5 and LSH-found)
+    from kinesis3_spark.operators.components import connected_components
+    from kinesis3_spark.operators.dedup import leakage_split_expr
+
+    # 400 unique docs + 15 near-dup copies (exact text copies: certainly
+    # Jaccard >= 0.5 and LSH-found); 400 singletons make the ratio
+    # assertion statistically meaningful
     base = [
         (i, " ".join(f"tok{i}_{j}" for j in range(30)) + " shared filler text")
-        for i in range(60)
+        for i in range(400)
     ]
-    dups = [(100 + i, base[i][1]) for i in range(15)]
+    dups = [(1000 + i, base[i][1]) for i in range(15)]
     d = spark.createDataFrame(base + dups, "doc_id long, text string")
     pairs = D.minhash_lsh_pairs(d)
     comp = connected_components(pairs.select("id_a", "id_b"))
@@ -51,22 +54,38 @@ def test_leakage_safe_split_groups_never_straddle(spark):
         d.select("doc_id").join(comp, "doc_id", "left")
         .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("grp"))
     )
-    bucket = portable_hash60(
-        F.concat(F.lit("split:"), F.col("grp").cast("string"))
-    ) % 100
-    tagged = rep.withColumn(
-        "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
-    ).collect()
+    tagged = rep.withColumn("split", leakage_split_expr(F.col("grp"))).collect()
     split_of = {r.doc_id: r.split for r in tagged}
     for i in range(15):
-        assert split_of[i] == split_of[100 + i], (
-            f"near-dup pair ({i}, {100+i}) straddles splits: "
-            f"{split_of[i]} vs {split_of[100+i]}"
+        assert split_of[i] == split_of[1000 + i], (
+            f"near-dup pair ({i}, {1000+i}) straddles splits: "
+            f"{split_of[i]} vs {split_of[1000+i]}"
         )
+    # rough 80/10/10 over ~400 groups (binomial 5-sigma bands)
+    from collections import Counter
+
+    frac = Counter(split_of.values())
+    n = len(split_of)
+    assert 0.70 <= frac["train"] / n <= 0.90, frac
+    assert 0.04 <= frac["valid"] / n <= 0.18, frac
+    assert 0.04 <= frac["test"] / n <= 0.18, frac
     # deterministic: a second evaluation reproduces the assignment
-    again = {r.doc_id: r.split for r in rep.withColumn(
-        "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
-    ).collect()}
+    again = {
+        r.doc_id: r.split
+        for r in rep.withColumn(
+            "split", leakage_split_expr(F.col("grp"))
+        ).collect()
+    }
     assert again == split_of
+    # the REGISTERED query end-to-end: zero leaked groups, all splits
+    # populated, doc total matches the corpus
+    from kinesis3_spark.queries.dedup import llm_leakage_safe_split
+
+    rows = {r.split: r for r in llm_leakage_safe_split(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "valid", "test"}
+    assert all(r.leaked_groups == 0 for r in rows.values())
+    from kinesis3_spark.queries.relational import _t
+
+    assert sum(r.n_docs for r in rows.values()) == _t(
+        spark, sf_dir, "documents"
+    ).count()

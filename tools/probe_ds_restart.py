@@ -1,6 +1,6 @@
 """Empirical probe: which DataSourceStreamReader methods run, in what
 order, across a checkpoint restart? Logs to /tmp/probe_calls.txt."""
-import os, sys, time
+import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
