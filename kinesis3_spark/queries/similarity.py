@@ -871,3 +871,60 @@ def ivf_recall_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("recall_ok"),
     )
+
+
+@query(
+    "sim_hard_negative_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+      FROM q JOIN e c ON c.label <> q.label
+    )
+    SELECT query_id, rnk, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+      FROM s
+    ) WHERE rnk <= {_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k MOST-similar corpus vectors with a DIFFERENT label —
+    maximally confusable wrong answers, the negatives that actually
+    move a contrastive/embedding loss (random negatives are trivially
+    separable; DPR/Contriever-style pipelines mine hard ones exactly
+    like this). The complement of sim_cosine_topk_filtered: there the
+    predicate selects the allowed corpus, here it is CORRELATED to each
+    query (label <> query's label), so the filter lives in the join
+    condition rather than the scan.
+
+    Scale: the bounded query set (with labels) BROADCASTS into a single
+    hash-join pass over the corpus scan — cost is selectivity x corpus
+    per query batch, the same one-scan shape as the brute audit tier;
+    at 100 TB mining runs over the IVF-PQ index instead (over-probe,
+    post-filter label<>q, exact re-rank — the composition the rerank
+    tier already implements) with this exact pass as its offline recall
+    audit. Ranking is deterministic (cosine DESC, id tie-break)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label",
+        F.col("embedding").alias("nv"),
+    )
+    from ..functions.vectors import cosine_similarity
+    from ..operators.similarity import _topk_from_scores
+
+    cand = (
+        c.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .withColumn("cos", cosine_similarity("qv", "nv"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_scores(cand, _K).withColumnRenamed("rank", "rnk")

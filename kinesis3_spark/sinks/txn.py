@@ -2664,3 +2664,60 @@ def merge_manifest_stream(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def diff_schemas(path: str, epoch_a: int, epoch_b: int) -> dict:
+    """Schema DIFF between two retained epochs of the table — the
+    metadata answer to "what changed between the snapshot my job read
+    yesterday and today's?" that schema-sync consumers (downstream
+    sinks, catalogs, the strict failOnMappingChange streams) need as a
+    structured record instead of eyeballing DESCRIBE HISTORY. Renames
+    are detected through PHYSICAL column identity (physical names never
+    change — the column-mapping invariant), so a rename is reported as
+    a rename, never as a drop+add:
+
+      {"added":        [(logical_name, type_str), ...],
+       "dropped":      [logical_name, ...],
+       "renamed":      [(old_logical, new_logical), ...],
+       "type_changed": [(logical_name_b, type_a, type_b), ...]}
+
+    Pure driver metadata (two manifest reads); raises read_manifest's
+    ValueError outside vacuum retention — an honest "history is gone"
+    rather than a guessed diff."""
+    man_a = read_manifest(path, epoch_a)
+    man_b = read_manifest(path, epoch_b)
+    assert man_a is not None and man_b is not None, (path, epoch_a, epoch_b)
+
+    def logical_by_phys(man):
+        inv = {p: l for l, p in _mapping(man).items()}
+        drop = set(_dropped(man))
+        from pyspark.sql.types import StructType
+
+        phys = StructType.fromJson(man["schema"])
+        return {
+            f.name: (inv.get(f.name, f.name), f.dataType.simpleString())
+            for f in phys.fields
+            if f.name not in drop
+        }
+
+    a, b = logical_by_phys(man_a), logical_by_phys(man_b)
+    added = sorted(
+        (lb, tb) for p, (lb, tb) in b.items() if p not in a
+    )
+    dropped = sorted(la for p, (la, _ta) in a.items() if p not in b)
+    renamed = sorted(
+        (a[p][0], lb)
+        for p, (lb, _tb) in b.items()
+        if p in a and a[p][0] != lb
+    )
+    type_changed = sorted(
+        (lb, a[p][1], tb)
+        for p, (lb, tb) in b.items()
+        if p in a and a[p][1] != tb
+    )
+    return {
+        "added": added,
+        "dropped": dropped,
+        "renamed": renamed,
+        "type_changed": type_changed,
+    }

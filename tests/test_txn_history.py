@@ -241,3 +241,38 @@ def test_vacuum_spares_fresh_orphans_reaps_aged_ones(spark, table, monkeypatch):
     os.utime(orphan, (old, old))
     deleted2 = T.vacuum_table(table, keep_epochs=1)
     assert rel in deleted2 and not os.path.exists(orphan)
+
+
+def test_diff_schemas_reports_add_rename_drop(spark, table):
+    """diff_schemas: renames detected through physical identity (never
+    drop+add), additive evolution as added, drops as dropped — the
+    structured record a schema-sync consumer acts on."""
+    batch2 = spark.createDataFrame(
+        [(7, 70, "z", 5)], "id bigint, val bigint, seg string, extra bigint"
+    )
+    T.upsert_manifest_txn(spark, batch2, table, key="id", order_col="val")
+    e_evolved = T.read_manifest(table)["epoch"]
+    T.rename_column(table, "val", "amount")
+    T.drop_column(table, "seg")
+    e_final = T.read_manifest(table)["epoch"]
+
+    d = T.diff_schemas(table, 1, e_evolved)
+    assert d == {
+        "added": [("extra", "bigint")], "dropped": [], "renamed": [],
+        "type_changed": [],
+    }
+    d2 = T.diff_schemas(table, 1, e_final)
+    assert d2["added"] == [("extra", "bigint")]
+    assert d2["dropped"] == ["seg"]
+    assert d2["renamed"] == [("val", "amount")]
+    assert d2["type_changed"] == []
+    # reverse direction: the rename flips, the add becomes a drop, and
+    # the dropped column resurfaces as an add
+    d3 = T.diff_schemas(table, e_final, 1)
+    assert d3["added"] == [("seg", "string")]
+    assert d3["dropped"] == ["extra"]
+    assert d3["renamed"] == [("amount", "val")]
+    # identical epochs diff empty
+    assert T.diff_schemas(table, e_final, e_final) == {
+        "added": [], "dropped": [], "renamed": [], "type_changed": [],
+    }

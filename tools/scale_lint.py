@@ -35,6 +35,12 @@ ALLOWED_AMPLIFICATION = {
     # broadcast as the brute tier, over the predicate-selected fraction
     # of the corpus (label pushdown asserted in tests/test_plan_guards.py).
     "sim_cosine_topk_filtered": "bounded query-set broadcast x filtered corpus",
+    # hard-negative mining, exact tier: the bounded query set (with
+    # labels) broadcasts and the label<>qlabel predicate is CORRELATED
+    # per query, so a nested loop over the broadcast side is the shape;
+    # at scale mining runs over the IVF-PQ probe (post-filter + rerank)
+    # with this pass as its offline audit (query docstring).
+    "sim_hard_negative_mining": "bounded labeled query-set broadcast",
     # offline index-quality audit: the brute ground-truth pass is the
     # audit's definition (sampled query set, not the serving path).
     "sim_ivf_recall_band": "bounded query-set broadcast, offline recall audit",
