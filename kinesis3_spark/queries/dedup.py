@@ -576,3 +576,100 @@ def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "llm_split_contamination_audit",
+    oracle=f"""
+    {_CLOSURE_CTES},
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    tagged AS (
+      SELECT d.doc_id,
+             CASE WHEN gb < 80 THEN 'train' WHEN gb < 90 THEN 'valid'
+                  ELSE 'test' END AS grp_split,
+             CASE WHEN db < 80 THEN 'train' WHEN db < 90 THEN 'valid'
+                  ELSE 'test' END AS doc_split
+      FROM (
+        SELECT d.doc_id,
+               ('0x' || substr(md5('split:' ||
+                 CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))
+                 ::BIGINT % 100 AS gb,
+               ('0x' || substr(md5('split:' ||
+                 CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS db
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+      ) d
+    ),
+    judged AS (
+      SELECT p.id_a, p.id_b,
+             (a.grp_split <> b.grp_split)::INT AS grp_leak,
+             (a.doc_split <> b.doc_split)::INT AS doc_leak
+      FROM pairs p
+      JOIN tagged a ON a.doc_id = p.id_a
+      JOIN tagged b ON b.doc_id = p.id_b
+    )
+    SELECT policy, n_pairs, leaked_pairs FROM (
+      SELECT 'doc_level' AS policy, count(*)::BIGINT AS n_pairs,
+             CAST(sum(doc_leak) AS BIGINT) AS leaked_pairs, 1 AS o
+      FROM judged
+      UNION ALL
+      SELECT 'group_level', count(*)::BIGINT,
+             CAST(sum(grp_leak) AS BIGINT), 2 FROM judged
+    ) ORDER BY o
+    """,
+)
+def llm_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination AUDIT — the validation a pipeline runs against
+    ANY train/eval split it did not construct itself: count near-dup
+    pairs that straddle split boundaries. Two policies judged over the
+    same pair set: the group-aware split (llm_leakage_safe_split's
+    policy — structurally leak-free, and the audit PROVES the 0 rather
+    than trusting the construction) and the naive document-level hash
+    split every quick-and-dirty pipeline starts with, whose leaked-pair
+    count is the measured cost of skipping group awareness (every
+    leaked pair is an eval document whose near-duplicate sits in
+    train). Both assignments use the same salted portable hash, so the
+    contrast isolates exactly the grouping decision.
+
+    Scale: pair set and components are the cached LSH machinery; the
+    audit adds two broadcast-size joins of (doc_id, splits) onto the
+    pair relation and one two-row rollup. Auditing a third-party split
+    is this query with `tagged` swapped for the external assignment."""
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        grams=_grams_for(spark, sf_dir),
+        signatures=_sigs_for(spark, sf_dir),
+    ).select("id_a", "id_b")
+    tagged = (
+        _neardup_groups(spark, sf_dir)
+        .withColumn("grp_split", D.leakage_split_expr(F.col("grp")))
+        .withColumn("doc_split", D.leakage_split_expr(F.col("doc_id")))
+        .select("doc_id", "grp_split", "doc_split")
+    )
+    a = tagged.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("grp_split").alias("ga"), F.col("doc_split").alias("da"),
+    )
+    b = tagged.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("grp_split").alias("gb"), F.col("doc_split").alias("db"),
+    )
+    judged = pairs.join(a, "id_a").join(b, "id_b").select(
+        (F.col("ga") != F.col("gb")).cast("int").alias("grp_leak"),
+        (F.col("da") != F.col("db")).cast("int").alias("doc_leak"),
+    )
+    doc_row = judged.agg(
+        F.lit("doc_level").alias("policy"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("doc_leak"), F.lit(0)).cast("bigint")
+        .alias("leaked_pairs"),
+    )
+    grp_row = judged.agg(
+        F.lit("group_level").alias("policy"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("grp_leak"), F.lit(0)).cast("bigint")
+        .alias("leaked_pairs"),
+    )
+    return doc_row.unionByName(grp_row)
