@@ -85,3 +85,59 @@ def test_tokenize_matches_python_split(spark, s):
     got = df.select(tokenize("t").alias("g")).collect()[0].g
     exp = s.lower().strip().split() if s.strip() else [""]
     assert got == exp
+
+
+# --- ExactSubstr span invariants (operators/dedup.exact_substring_*) ---
+# Random small-vocab corpora force organic duplicated windows; the
+# invariants hold for EVERY input, not just the planted fixtures:
+#   1. spans lie within [0, n_tokens] and are STRICTLY disjoint per doc
+#      (islands merge any two marked windows <= k apart, so surviving
+#      span boundaries are separated by construction);
+#   2. removal accounting is exact: n_tokens_removed == sum of span
+#      lengths == tokens lost between toks and kept;
+#   3. a corpus with no duplicated k-window (all-unique tokens) is
+#      untouched;
+#   4. rerunning discovery on the same input is deterministic.
+@pytest.mark.slow
+@given(
+    st.lists(  # 3-6 docs of 5-40 tokens over a 12-word vocabulary
+        st.lists(st.sampled_from([f"w{i}" for i in range(12)]),
+                 min_size=5, max_size=40),
+        min_size=3, max_size=6,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+@_SLOW
+def test_exact_substring_span_invariants(spark, docs, k):
+    from kinesis3_spark.operators.dedup import (
+        exact_substring_dedup,
+        exact_substring_spans,
+    )
+
+    rows = [(str(i), " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substring_spans(d, k=k).collect()
+    )
+    n_toks = {str(i): len(t) for i, t in enumerate(docs)}
+    prev: dict[str, int] = {}
+    for doc_id, s, e in spans:
+        assert 0 <= s < e <= n_toks[doc_id], (doc_id, s, e)
+        assert s >= prev.get(doc_id, 0), "overlapping spans in one doc"
+        prev[doc_id] = e
+    removed_by_doc: dict[str, int] = {}
+    for doc_id, s, e in spans:
+        removed_by_doc[doc_id] = removed_by_doc.get(doc_id, 0) + (e - s)
+    out = {r.doc_id: r for r in exact_substring_dedup(d, k=k).collect()}
+    assert set(out) == set(n_toks)
+    for doc_id, r in out.items():
+        assert r.n_tokens_removed == removed_by_doc.get(doc_id, 0)
+        kept_n = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept_n == n_toks[doc_id] - r.n_tokens_removed
+    # determinism
+    spans2 = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substring_spans(d, k=k).collect()
+    )
+    assert spans2 == spans
