@@ -57,6 +57,8 @@ def cosine_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_predicate=None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact top-k neighbors per query vector, expression tier.
 
@@ -64,13 +66,29 @@ def cosine_topk_bruteforce(
     scoring is map-side over the scan; only the scored candidates shuffle
     for the per-query rank. Exhaustive over N — the baseline every ANN
     variant is measured against.
-    """
+
+    ``pair_predicate`` generalizes WHICH pairs are scored (default: every
+    non-self pair). ``carry`` columns ride both sides as ``q_<c>`` /
+    ``n_<c>`` so the predicate can correlate query and corpus metadata —
+    e.g. hard-negative mining scores only label-mismatched pairs
+    (``F.col("n_label") != F.col("q_label")``). One definition for every
+    exact-scoring variant, so tie-break and cast discipline cannot drift
+    between them (review r10-3rd #5)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        *[F.col(c).alias(f"q_{c}") for c in carry],
     )
-    e = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    e = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        *[F.col(c).alias(f"n_{c}") for c in carry],
+    )
+    pred = (
+        pair_predicate
+        if pair_predicate is not None
+        else F.col("neighbor_id") != F.col("query_id")
+    )
     scored = (
-        e.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        e.join(F.broadcast(q), pred)
         .withColumn("cos", cosine_similarity("qv", "nv"))
         .select("query_id", "neighbor_id", "cos")
     )

@@ -612,11 +612,12 @@ def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT policy, n_pairs, leaked_pairs FROM (
       SELECT 'doc_level' AS policy, count(*)::BIGINT AS n_pairs,
-             CAST(sum(doc_leak) AS BIGINT) AS leaked_pairs, 1 AS o
+             CAST(coalesce(sum(doc_leak), 0) AS BIGINT) AS leaked_pairs,
+             1 AS o
       FROM judged
       UNION ALL
       SELECT 'group_level', count(*)::BIGINT,
-             CAST(sum(grp_leak) AS BIGINT), 2 FROM judged
+             CAST(coalesce(sum(grp_leak), 0) AS BIGINT), 2 FROM judged
     ) ORDER BY o
     """,
 )
@@ -660,16 +661,20 @@ def llm_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("ga") != F.col("gb")).cast("int").alias("grp_leak"),
         (F.col("da") != F.col("db")).cast("int").alias("doc_leak"),
     )
-    doc_row = judged.agg(
-        F.lit("doc_level").alias("policy"),
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.coalesce(F.sum("doc_leak"), F.lit(0)).cast("bigint")
-        .alias("leaked_pairs"),
+    # ONE aggregate over ONE pass of the pair pipeline, reshaped to two
+    # policy rows with stack — two separate global aggs would re-execute
+    # the LSH self-join and both tagged joins per row (alias-subtree
+    # re-execution; review r10-3rd #3)
+    return (
+        judged.agg(
+            F.count("*").cast("bigint").alias("np"),
+            F.coalesce(F.sum("doc_leak"), F.lit(0)).cast("bigint")
+            .alias("dl"),
+            F.coalesce(F.sum("grp_leak"), F.lit(0)).cast("bigint")
+            .alias("gl"),
+        )
+        .selectExpr(
+            "stack(2, 'doc_level', np, dl, 'group_level', np, gl) "
+            "AS (policy, n_pairs, leaked_pairs)"
+        )
     )
-    grp_row = judged.agg(
-        F.lit("group_level").alias("policy"),
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.coalesce(F.sum("grp_leak"), F.lit(0)).cast("bigint")
-        .alias("leaked_pairs"),
-    )
-    return doc_row.unionByName(grp_row)

@@ -910,21 +910,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier already implements) with this exact pass as its offline recall
     audit. Ranking is deterministic (cosine DESC, id tie-break)."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qv"),
+    out = S.cosine_topk_bruteforce(
+        emb, _query_set(spark, sf_dir), k=_K, carry=("label",),
+        pair_predicate=F.col("n_label") != F.col("q_label"),
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), "label",
-        F.col("embedding").alias("nv"),
-    )
-    from ..functions.vectors import cosine_similarity
-    from ..operators.similarity import _topk_from_scores
-
-    cand = (
-        c.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
-        .withColumn("cos", cosine_similarity("qv", "nv"))
-        .select("query_id", "neighbor_id", "cos")
-    )
-    return _topk_from_scores(cand, _K).withColumnRenamed("rank", "rnk")
+    return out.withColumnRenamed("rank", "rnk")

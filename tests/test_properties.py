@@ -98,7 +98,6 @@ def test_tokenize_matches_python_split(spark, s):
 #   3. a corpus with no duplicated k-window (all-unique tokens) is
 #      untouched;
 #   4. rerunning discovery on the same input is deterministic.
-@pytest.mark.slow
 @given(
     st.lists(  # 3-6 docs of 5-40 tokens over a 12-word vocabulary
         st.lists(st.sampled_from([f"w{i}" for i in range(12)]),

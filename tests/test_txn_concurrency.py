@@ -453,11 +453,11 @@ def test_vacuum_concurrent_with_live_writer_never_loses_data(spark, tmp_path):
 
     t = threading.Thread(target=writer)
     t.start()
-    refused = reaped = 0
+    refused = 0
+    reaped: set[str] = set()
     while t.is_alive():
         try:
-            deleted = T.vacuum_table(path, keep_epochs=3)
-            reaped += len(deleted)
+            reaped.update(T.vacuum_table(path, keep_epochs=3))
         except RuntimeError as exc:
             assert "live writer lease" in str(exc)
             refused += 1
@@ -465,6 +465,20 @@ def test_vacuum_concurrent_with_live_writer_never_loses_data(spark, tmp_path):
     t.join()
     assert not errs, errs
     assert refused > 0, "vacuum never hit a live lease despite 12 commits"
+    # anything a non-refusing vacuum DID reap was protocol-dead: no
+    # surviving manifest (any retained epoch) references a reaped file
+    import os
+
+    referenced: set[str] = set()
+    for e in range(1, T.read_manifest(path)["epoch"] + 1):
+        try:
+            m = T.read_manifest(path, e)
+        except ValueError:
+            continue
+        referenced.update(x["path"] for x in m["files"])
+    assert not (reaped & referenced), sorted(reaped & referenced)
+    for rel in reaped:
+        assert not os.path.exists(os.path.join(path, rel)), rel
     # final state: every committed row present and readable
     rows = sorted(
         tuple(r) for r in T.read_snapshot(spark, path).collect()
