@@ -777,6 +777,8 @@ def _finish_commit(
 ) -> int:
     """Harvest + manifest build + publish — the tail of commit_snapshot,
     split out so the writer lease wraps the whole commit in one try."""
+    import pyarrow.parquet as _pq
+
     new_entries = []
     for root, _dirs, fs in os.walk(snap_dir):
         for f in sorted(fs):
@@ -794,6 +796,14 @@ def _finish_commit(
                     # from the walk this loop already does (entries from
                     # pre-r9 manifests lack it; consumers tolerate)
                     "bytes": os.path.getsize(os.path.join(root, f)),
+                    # row count from the parquet footer (one local
+                    # metadata read): Delta's stats.numRecords — what
+                    # makes COUNT(*) a manifest sum instead of a scan
+                    # (count_rows; entries from pre-r10 manifests lack
+                    # it and count_rows falls back honestly)
+                    "rows": _pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows,
                 }
             )
     stats_cols = list(
@@ -1672,9 +1682,15 @@ def _delete_attempt(spark, path, man, hits, epoch, dv_dir, condition):
     retry loop."""
     hits.write.mode("overwrite").parquet(dv_dir)
     side = spark.read.parquet(dv_dir)
-    # driver metadata: affected files (≤ |manifest|) + a count
-    affected = {r[0] for r in side.select("rel").distinct().collect()}
-    n_deleted = side.count()
+    # driver metadata: per-file deleted-position counts (≤ |manifest|
+    # rows) — the dict doubles as the affected-file set AND the DV
+    # cardinality Delta records per file (count_rows subtracts it for
+    # the metadata-only COUNT)
+    affected = {
+        r["rel"]: r["n"]
+        for r in side.groupBy("rel").agg(F.count("*").alias("n")).collect()
+    }
+    n_deleted = sum(affected.values())
     if n_deleted == 0:
         import shutil
 
@@ -1694,8 +1710,13 @@ def _delete_attempt(spark, path, man, hits, epoch, dv_dir, condition):
         # to e["path"] for locally-written files, and what a shallow
         # clone's inherited "../src/..." references end with (the
         # scan's __rel is always the trailing triple)
-        if "/".join(e["path"].split("/")[-3:]) in affected:
+        triple = "/".join(e["path"].split("/")[-3:])
+        if triple in affected:
             e["dv"] = list(e.get("dv", [])) + dv_files
+            # accumulated DV cardinality: new sidecars never repeat an
+            # already-deleted position (matching runs on the dv-applied
+            # snapshot), so addition is exact
+            e["dv_rows"] = e.get("dv_rows", 0) + affected[triple]
         files.append(e)
     payload = json.dumps(
         {**{k: man[k] for k in man if k not in ("epoch", "files")},
@@ -2721,3 +2742,29 @@ def diff_schemas(path: str, epoch_a: int, epoch_b: int) -> dict:
         "renamed": renamed,
         "type_changed": type_changed,
     }
+
+
+def count_rows(path: str, epoch: int | None = None) -> int | None:
+    """Metadata-only COUNT(*): the snapshot's exact row count as a SUM
+    OVER THE MANIFEST — per-file ``rows`` harvested from parquet footers
+    at commit, minus per-file deletion-vector cardinality (``dv_rows``,
+    accumulated by delete_where exactly like Delta's numRecords minus DV
+    cardinality). O(|manifest|) driver metadata, zero executor work —
+    at 100 TB this is the difference between answering COUNT(*) from a
+    JSON read and scanning the table.
+
+    Returns None — "I don't know, scan instead" — whenever any entry
+    predates the harvest (pre-r10 commits lack ``rows``; a dv-carrying
+    entry from before cardinality tracking lacks ``dv_rows``): an
+    honest refusal beats a silently wrong count. Exactness across the
+    full DML lifecycle is pinned in tests/test_sinks.py."""
+    man = read_manifest(path, epoch) if epoch is not None else read_manifest(path)
+    assert man is not None, f"no committed table at {path}"
+    total = 0
+    for e in man["files"]:
+        if "rows" not in e:
+            return None
+        if e.get("dv") and "dv_rows" not in e:
+            return None
+        total += int(e["rows"]) - int(e.get("dv_rows", 0))
+    return total

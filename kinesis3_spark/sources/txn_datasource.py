@@ -692,10 +692,13 @@ class _TxnWriter(DataSourceWriter):
                 # maxBytesPerTrigger metadata); staged files are local
                 # to the table root at commit time
                 "bytes": os.path.getsize(os.path.join(self.path, rel)),
+                # row harvest (metadata-only COUNT — sinks/txn.count_rows):
+                # the task already counted what it staged
+                "rows": n,
             }
             for m in messages
             if m is not None
-            for (rel, b, _n) in m.files
+            for (rel, b, n) in m.files
         ]
         if self.stats_cols:
             fstats = _harvest_file_stats(
