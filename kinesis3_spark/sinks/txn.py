@@ -115,7 +115,8 @@ def _encode_stat(v):
 
 
 def _harvest_file_stats(
-    path: str, rel_paths: list[str], stats_cols: list[str]
+    path: str, rel_paths: list[str], stats_cols: list[str],
+    pf_cache: dict | None = None,
 ) -> dict[str, dict]:
     """Per-file min/max/null_count for `stats_cols`, read from the parquet
     FOOTERS of the just-written files (tiny metadata reads, O(new files)
@@ -128,7 +129,11 @@ def _harvest_file_stats(
 
     out: dict[str, dict] = {}
     for rel in rel_paths:
-        pf = pq.ParquetFile(os.path.join(path, rel))
+        # commit_snapshot's walk already opened these footers for the
+        # rows harvest — reuse instead of a second metadata read
+        pf = (pf_cache or {}).get(rel) or pq.ParquetFile(
+            os.path.join(path, rel)
+        )
         md = pf.metadata
         idx = {
             md.row_group(0).column(j).path_in_schema: j
@@ -780,6 +785,7 @@ def _finish_commit(
     import pyarrow.parquet as _pq
 
     new_entries = []
+    pf_cache: dict = {}
     for root, _dirs, fs in os.walk(snap_dir):
         for f in sorted(fs):
             if not f.endswith(".parquet") or f.startswith((".", "_")):
@@ -787,6 +793,7 @@ def _finish_commit(
             rel = os.path.relpath(os.path.join(root, f), path)
             part_dir = os.path.basename(os.path.dirname(rel))
             assert part_dir.startswith(f"{_BUCKET_COL}="), rel
+            pf_cache[rel] = _pq.ParquetFile(os.path.join(root, f))
             new_entries.append(
                 {
                     "path": rel,
@@ -796,14 +803,12 @@ def _finish_commit(
                     # from the walk this loop already does (entries from
                     # pre-r9 manifests lack it; consumers tolerate)
                     "bytes": os.path.getsize(os.path.join(root, f)),
-                    # row count from the parquet footer (one local
-                    # metadata read): Delta's stats.numRecords — what
-                    # makes COUNT(*) a manifest sum instead of a scan
-                    # (count_rows; entries from pre-r10 manifests lack
-                    # it and count_rows falls back honestly)
-                    "rows": _pq.ParquetFile(
-                        os.path.join(root, f)
-                    ).metadata.num_rows,
+                    # row count from the same footer open (Delta's
+                    # stats.numRecords — what makes COUNT(*) a manifest
+                    # sum instead of a scan; see count_rows. Entries
+                    # from pre-r10 manifests lack it and count_rows
+                    # falls back honestly)
+                    "rows": pf_cache[rel].metadata.num_rows,
                 }
             )
     stats_cols = list(
@@ -815,7 +820,8 @@ def _finish_commit(
         # footer harvest for the NEW files only; carried entries keep the
         # stats blobs they were committed with (files are immutable)
         fstats = _harvest_file_stats(
-            path, [e["path"] for e in new_entries], stats_cols
+            path, [e["path"] for e in new_entries], stats_cols,
+            pf_cache=pf_cache,
         )
         for e in new_entries:
             if e["path"] in fstats:
@@ -1712,11 +1718,18 @@ def _delete_attempt(spark, path, man, hits, epoch, dv_dir, condition):
         # scan's __rel is always the trailing triple)
         triple = "/".join(e["path"].split("/")[-3:])
         if triple in affected:
+            pre_tracking = bool(e.get("dv")) and "dv_rows" not in e
             e["dv"] = list(e.get("dv", [])) + dv_files
             # accumulated DV cardinality: new sidecars never repeat an
             # already-deleted position (matching runs on the dv-applied
-            # snapshot), so addition is exact
-            e["dv_rows"] = e.get("dv_rows", 0) + affected[triple]
+            # snapshot), so addition is exact — UNLESS the entry already
+            # carried dv sidecars from before cardinality tracking, in
+            # which case it stays POISONED (no dv_rows): initializing
+            # the counter here would count only the new positions and
+            # flip count_rows from its honest None to a silent
+            # overcount (review r10-4th #1)
+            if not pre_tracking:
+                e["dv_rows"] = e.get("dv_rows", 0) + affected[triple]
         files.append(e)
     payload = json.dumps(
         {**{k: man[k] for k in man if k not in ("epoch", "files")},
@@ -2758,7 +2771,7 @@ def count_rows(path: str, epoch: int | None = None) -> int | None:
     entry from before cardinality tracking lacks ``dv_rows``): an
     honest refusal beats a silently wrong count. Exactness across the
     full DML lifecycle is pinned in tests/test_sinks.py."""
-    man = read_manifest(path, epoch) if epoch is not None else read_manifest(path)
+    man = read_manifest(path, epoch)
     assert man is not None, f"no committed table at {path}"
     total = 0
     for e in man["files"]:

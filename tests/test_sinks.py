@@ -991,3 +991,37 @@ def test_count_rows_is_metadata_exact_across_dml_lifecycle(spark, tmp_path):
     del m["files"][0]["rows"]
     open(mpath, "w").write(_json.dumps(m))
     assert txn.count_rows(path) is None
+
+
+def test_count_rows_poisoned_dv_entry_stays_honest_none(spark, tmp_path):
+    """Mixed-version safety (review r10-4th #1): an entry carrying dv
+    sidecars WITHOUT dv_rows (deletes from before cardinality tracking)
+    must stay poisoned when a new delete touches the same file —
+    initializing the counter would count only the new positions and
+    turn count_rows' honest None into a silent overcount."""
+    import json as _json
+    import os
+
+    from kinesis3_spark.sinks import txn
+
+    path = str(tmp_path / "t")
+    txn.append_snapshot(
+        spark.createDataFrame([(i, i) for i in range(20)],
+                              "id bigint, v bigint"),
+        path, key="id", n_buckets=1,
+    )
+    txn.delete_where(spark, path, "v < 3")
+    assert txn.count_rows(path) == 17
+    # simulate the pre-tracking manifest: dv present, dv_rows gone
+    mpath = os.path.join(path, "_MANIFEST.json")
+    m = _json.load(open(mpath))
+    assert any(e.get("dv") for e in m["files"])
+    for e in m["files"]:
+        e.pop("dv_rows", None)
+    open(mpath, "w").write(_json.dumps(m))
+    assert txn.count_rows(path) is None  # honest refusal
+    # a NEW delete on the poisoned file must not resurrect the counter
+    txn.delete_where(spark, path, "v >= 3 AND v < 5")
+    assert txn.count_rows(path) is None, "poisoned entry grew a partial count"
+    # the data itself is still exact (both sidecar generations applied)
+    assert txn.read_snapshot(spark, path).count() == 15
