@@ -327,3 +327,63 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_freq_x100"),
     )
+
+
+@query(
+    "llm_bpe_first_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_TOKS}) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, count(*)::BIGINT AS f FROM words
+      WHERE length(w) >= 2 GROUP BY w
+    ),
+    pair_counts AS (
+      SELECT substr(w, i, 2) AS pair, CAST(sum(f) AS BIGINT) AS n
+      FROM freq, UNNEST(generate_series(1, length(w) - 1)) AS u(i)
+      GROUP BY substr(w, i, 2)
+    )
+    SELECT pair, n FROM pair_counts
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def llm_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step, distributed (Sennrich et al. 2016 —
+    what SentencePiece/HuggingFace tokenizer training computes round
+    after round): count ADJACENT SYMBOL PAIRS across the corpus,
+    weighted by word frequency, and rank merge candidates. Training a
+    tokenizer on your own corpus starts exactly here, and the shape is
+    the whole story at 100 TB: the corpus collapses to a WORD FREQUENCY
+    TABLE first (|vocab| rows — the classic BPE optimization: identical
+    words share their pair counts via the weight), so the per-symbol
+    explode runs over the vocabulary, not the corpus; subsequent merge
+    rounds iterate on the same table like PageRank's supersteps.
+
+    One corpus scan -> word-frequency agg (map-side combined) -> pair
+    explode over the vocab (substring(w, i, 2) per position — the pair
+    string is built once, never the full symbol list) -> pair agg ->
+    TakeOrderedAndProject top-20. Exact integer counts both engines."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    # substring with a COLUMN start position needs expr/substr form
+    pairs = freq.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
