@@ -559,6 +559,18 @@ def exact_substring_spans(
         F.row_number().over(wgo).alias("rn"),
     )
     dup = marked.where((F.col("cnt") >= 2) & (F.col("rn") > 1))
+    return _merge_spans(dup, k, id_col)
+
+
+def _merge_spans(dup: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of marked k-window positions (columns
+    ``__id``, ``pos``) into maximal spans [span_start, span_end) —
+    windows <= k apart overlap or touch and fuse. Shared by the
+    self-dedup (exact_substring_spans) and the benchmark-decontam
+    (contaminated_spans) marking rules; the doc-keyed groupBy rides the
+    island window's partitioning (no extra exchange)."""
+    from pyspark.sql.window import Window
+
     wd = Window.partitionBy("__id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(wd) <= k, F.lit(0)
@@ -607,6 +619,18 @@ def exact_substring_dedup(
     subtree a false economy; at 100 TB the span relation is tiny next
     to the corpus and broadcasts)."""
     spans = exact_substring_spans(d, k=k, id_col=id_col, text_col=text_col)
+    return _cut_spans(d, spans, id_col, text_col)
+
+
+def _cut_spans(
+    d: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild each document with ``spans`` cut out of its token stream —
+    the removal tail shared by exact_substring_dedup and the benchmark
+    decontaminator (decontaminate_spans): spans aggregate per doc into a
+    bounded struct array, LEFT-join back to the corpus scan, and a
+    JVM-side indexed higher-order filter keeps token i iff no span
+    contains it."""
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__rm")
     )
@@ -633,6 +657,64 @@ def exact_substring_dedup(
             (F.size("__toks") - F.size("__kept")).alias("n_tokens_removed"),
         )
     )
+
+
+def contaminated_spans(
+    d: DataFrame,
+    bench_grams: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-overlap spans: maximal token spans of ``d`` whose every
+    k-window also occurs in the BENCHMARK gram set (``bench_grams``: a
+    one-column ``gh`` relation of the eval set's k-gram hashes) — the
+    marking rule is a semi-join against the benchmark instead of
+    exact_substring_spans' corpus-global canonical rule; the island
+    merge is shared (_merge_spans). This is span-level DECONTAMINATION
+    (Lee et al.'s removal applied to eval overlap): the 13-gram tier
+    can only FLAG a contaminated document (queries/decontam.py) — this
+    locates and sizes the contaminated region so the document's clean
+    remainder survives instead of being dropped whole.
+
+    Scale: one corpus scan + posexplode; the bench gram set is the
+    decontam tier's AQE-sized broadcast-or-shuffle semi join; one doc
+    shuffle for the merge."""
+    from ..functions.text import ngram_hashes_from_tokens
+
+    toks_df = d.select(
+        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("toks")
+    )
+    occ = toks_df.select(
+        "__id",
+        F.posexplode(ngram_hashes_from_tokens(F.col("toks"), k)).alias(
+            "pos", "gh"
+        ),
+    )
+    dup = occ.join(bench_grams.select("gh"), "gh", "left_semi").select(
+        "__id", "pos"
+    )
+    return _merge_spans(dup, k, id_col)
+
+
+def decontaminate_spans(
+    d: DataFrame,
+    bench_grams: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination REMOVAL: cut every benchmark-overlap
+    span (contaminated_spans) out of the corpus — the middle ground
+    between doing nothing and dropping flagged documents whole, and
+    what production pipelines actually ship when eval contamination is
+    boilerplate-shaped (a shared license header should not cost the
+    whole document). Returns the same shape as exact_substring_dedup:
+    every input column + clean_text / n_spans / n_tokens_removed."""
+    spans = contaminated_spans(
+        d, bench_grams, k=k, id_col=id_col, text_col=text_col
+    )
+    return _cut_spans(d, spans, id_col, text_col)
 
 
 def leakage_split_expr(

@@ -333,3 +333,125 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("wt").cast("bigint").alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(25)
+
+
+_DSPAN_K = 13  # same gram length as the detection tier above
+
+
+@query(
+    "llm_decontam_span_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT array_to_string(t[i + 1 : i + {_DSPAN_K}], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(0, greatest(len(t) - {_DSPAN_K}, -1))) AS u(i)
+      WHERE source = 'src0' AND len(t) >= {_DSPAN_K}
+    ),
+    corpus AS (SELECT * FROM toks WHERE source <> 'src0'),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[i + 1 : i + {_DSPAN_K}], ' ') AS gram
+      FROM corpus,
+           UNNEST(generate_series(0, greatest(len(t) - {_DSPAN_K}, -1))) AS u(i)
+      WHERE len(t) >= {_DSPAN_K}
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM occ
+      WHERE gram IN (SELECT gram FROM bench)
+    ),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {_DSPAN_K}
+                  THEN 0 ELSE 1 END AS b
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_DSPAN_K} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tokpos AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM corpus, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, count(*) AS kept_n,
+             string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+      FROM tokpos tp
+      LEFT JOIN spans s
+        ON tp.doc_id = s.doc_id AND tp.pos >= s.s AND tp.pos < s.e
+      WHERE s.doc_id IS NULL
+      GROUP BY tp.doc_id
+    ),
+    per_doc AS (
+      SELECT c.doc_id, c.source, len(c.t) AS n_toks,
+             coalesce(k.kept_n, 0) AS kept_n,
+             coalesce(k.clean_text, '') AS clean_text,
+             coalesce(sp.n_spans, 0) AS n_spans
+      FROM corpus c
+      LEFT JOIN kept k USING (doc_id)
+      LEFT JOIN (
+        SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+      ) sp USING (doc_id)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(*) FILTER (WHERE n_toks > kept_n)::BIGINT
+             AS docs_affected,
+           CAST(sum(n_spans) AS BIGINT) AS spans_total,
+           CAST(sum(n_toks - kept_n) AS BIGINT) AS tokens_removed,
+           CAST(sum(('0x' || substr(md5(clean_text), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS clean_sig
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def llm_decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination REMOVAL — the third rung of the
+    decontamination ladder: detection FLAGS a contaminated document
+    (llm_decontaminate_13gram), containment MEASURES how much of it
+    overlaps (llm_containment_decontam), and this CUTS exactly the
+    benchmark-overlapping spans (every 13-token window also present in
+    the src0 eval slice, merged gaps-and-islands) so the document's
+    clean remainder stays in the training set — what pipelines ship
+    when contamination is boilerplate-shaped and dropping whole flagged
+    docs would cost clean tokens. Machinery shared with ExactSubstr
+    (operators/dedup: _merge_spans/_cut_spans — only the marking rule
+    differs: benchmark semi-join instead of corpus-global canonical).
+    clean_sig pins the rebuilt texts byte-for-byte per source.
+
+    Scale: one corpus scan + posexplode, the bench gram set in the
+    detection tier's AQE-sized semi-join, one doc-keyed merge shuffle,
+    one broadcast-size span join for the cut."""
+    from ..operators.dedup import decontaminate_spans, portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    bench = (
+        d.where(F.col("source") == "src0")
+        .select(F.explode(ngram_hashes(F.col("text"), _DSPAN_K)).alias("gh"))
+        .distinct()
+    )
+    cleaned = decontaminate_spans(
+        d.where(F.col("source") != "src0"), bench, k=_DSPAN_K
+    )
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_tokens_removed") > 0).cast("int"))
+            .cast("bigint").alias("docs_affected"),
+            F.sum("n_spans").cast("bigint").alias("spans_total"),
+            F.sum("n_tokens_removed").cast("bigint")
+            .alias("tokens_removed"),
+            F.sum(portable_hash60(F.col("clean_text")) % 1_000_000_000)
+            .cast("bigint").alias("clean_sig"),
+        )
+        .orderBy("source")
+    )

@@ -107,3 +107,38 @@ def test_adjacent_spans_merge_full_doc_removal(spark):
     assert sorted(removed.values()) == [0, 26]
     gone = [k for k, v in out.items() if v.n_tokens_removed]
     assert out[gone[0]].clean_text == ""
+
+
+def test_decontaminate_spans_cuts_benchmark_overlap_only(spark):
+    """Span-level decontamination: a train doc embedding a benchmark
+    passage loses EXACTLY the passage; clean docs and the clean parts
+    of contaminated docs are untouched; within-corpus duplication that
+    does NOT overlap the benchmark is NOT removed (the marking rule is
+    the benchmark semi-join, not the ExactSubstr canonical rule)."""
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.functions.text import ngram_hashes
+    from kinesis3_spark.operators.dedup import decontaminate_spans
+
+    BENCH = [f"q{i}" for i in range(14)]          # a 14-token eval passage
+    TRAIN_DUP = [f"d{i}" for i in range(14)]      # duplicated IN-corpus only
+    bench_doc = " ".join(BENCH)
+    t1 = " ".join(["a1", "a2"] + BENCH + ["a3", "a4"])   # embeds the passage
+    t2 = " ".join(TRAIN_DUP + ["b1"])                    # corpus-dup, clean
+    t3 = " ".join(["c1"] + TRAIN_DUP)                    # corpus-dup, clean
+    train = spark.createDataFrame(
+        [("t1", t1), ("t2", t2), ("t3", t3)], "doc_id string, text string"
+    )
+    bench_grams = (
+        spark.createDataFrame([("b", bench_doc)], "doc_id string, text string")
+        .select(F.explode(ngram_hashes(F.col("text"), K)).alias("gh"))
+        .distinct()
+    )
+    out = {r.doc_id: r for r in decontaminate_spans(
+        train, bench_grams, k=K
+    ).collect()}
+    assert out["t1"].n_tokens_removed == 14
+    assert out["t1"].clean_text == "a1 a2 a3 a4"
+    # in-corpus duplication is exact_substring's job, not decontam's
+    assert out["t2"].n_tokens_removed == 0 and out["t3"].n_tokens_removed == 0
+    assert out["t2"].clean_text == t2 and out["t3"].clean_text == t3
