@@ -262,6 +262,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = tf.orderBy(F.col("cnt").desc(), F.col("term")).limit(100)
     from pyspark.sql.window import Window
 
+    # scale-ok: input is the post-TakeOrderedAndProject top-100 rows only
     w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
     return (
         top.withColumn("rnk", F.row_number().over(w))

@@ -160,6 +160,7 @@ def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"), F.sqrt(F.sum("n_chars")).alias("wt")
     )
     tgt = (
+        # scale-ok: input is the per-source rollup — |sources| rows (~6)
         w.withColumn("sum_wt", F.sum("wt").over(Window.partitionBy()))
         .select(
             "source",

@@ -338,9 +338,12 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scalar-max subquery becomes an unpartitioned window max over the
-    ALREADY-AGGREGATED revenue view (|suppliers| rows, not |lineitem|), so
-    the single-partition step is bounded. Revenue is an exact integer-cents
+    """The scalar-max subquery is a 1-ROW AGGREGATE over the cached revenue
+    view, cross-broadcast back as an equality filter (the q11 global-
+    threshold pattern) — never a `Window.partitionBy()` global window,
+    which would funnel all |suppliers-in-quarter| rows (10k x SF) through
+    ONE task at extreme SF. Two cheap passes of the |suppliers| rollup
+    replace the single-partition sort. Revenue is an exact integer-cents
     sum (`_exact_revenue_spark`) so the max-equality can't split the winner
     across engines on float drift."""
     li = _t(spark, sf_dir, "lineitem").where(
@@ -350,9 +353,12 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _exact_revenue_spark().alias("total_revenue")
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("mx", F.max("total_revenue").over(w)).where(
-        F.col("total_revenue") == F.col("mx")
+    revenue = revenue.cache()
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("supplier_no", "total_revenue")
     )
     s = _t(spark, sf_dir, "supplier")
     return s.join(top, F.col("s_suppkey") == F.col("supplier_no")).select(

@@ -42,15 +42,21 @@ re-reads the winner's snapshot, re-merges its batch, and retries at N+1
 safety needs no locking because every attempt writes into its own
 uuid-suffixed ``snap-<epoch>-<nonce>/`` directory — a losing attempt's
 files are unreferenced garbage for vacuum, never a torn table. The
-vacuum/writer interaction is MACHINE-CHECKED (round 10): every commit
-heartbeats a lease file under ``_leases/`` for its duration, and
-vacuum refuses to run destructively while an unexpired lease exists
-(``force=True`` overrides; crashed writers' leases expire after
-_LEASE_TTL_SECONDS) — reaping a versioned manifest re-opens its epoch
-number to exclusive create, so the old rule "don't vacuum concurrently
-with stalled writers" is now enforced, not just documented; the commit
-additionally re-checks the current pointer after claiming to shrink
-the window a forced vacuum would leave.
+vacuum/writer interaction is MACHINE-CHECKED (round 10; staging gap
+closed round 11): every commit — including the DataSource batch
+writer's, whose lease now spans staging through publish rather than
+only the manifest claim — heartbeats a lease file under ``_leases/``
+for its duration, and vacuum refuses to run destructively while an
+unexpired lease exists (``force=True`` overrides; crashed writers'
+leases expire after _LEASE_TTL_SECONDS) — reaping a versioned manifest
+re-opens its epoch number to exclusive create, so the old rule "don't
+vacuum concurrently with stalled writers" is now enforced, not just
+documented; the commit additionally re-checks the current pointer
+after claiming to shrink the window a forced vacuum would leave. The
+one deliberate exception: a STREAMING txntable writer holds no
+stream-lifetime lease (that would wedge vacuum, not delay it) — its
+micro-batch staging rides the orphan grace, kept fresh by task-side
+and pre-publish touches.
 
 LOCAL-FILESYSTEM ASSUMPTION: every safety argument above rests on
 POSIX-local primitives — O_CREAT|O_EXCL exclusive create, atomic
@@ -116,7 +122,7 @@ def _encode_stat(v):
 
 def _harvest_file_stats(
     path: str, rel_paths: list[str], stats_cols: list[str],
-    pf_cache: dict | None = None,
+    md_cache: dict | None = None,
 ) -> dict[str, dict]:
     """Per-file min/max/null_count for `stats_cols`, read from the parquet
     FOOTERS of the just-written files (tiny metadata reads, O(new files)
@@ -129,12 +135,14 @@ def _harvest_file_stats(
 
     out: dict[str, dict] = {}
     for rel in rel_paths:
-        # commit_snapshot's walk already opened these footers for the
-        # rows harvest — reuse instead of a second metadata read
-        pf = (pf_cache or {}).get(rel) or pq.ParquetFile(
+        # commit_snapshot's walk already read these footers for the rows
+        # harvest — reuse the FileMetaData instead of a second read. The
+        # cache holds metadata objects, never open ParquetFile handles
+        # (ADVICE r10: one handle per new file until commit end risks fd
+        # exhaustion on many-bucket commits).
+        md = (md_cache or {}).get(rel) or pq.read_metadata(
             os.path.join(path, rel)
         )
-        md = pf.metadata
         idx = {
             md.row_group(0).column(j).path_in_schema: j
             for j in range(md.num_columns)
@@ -785,7 +793,7 @@ def _finish_commit(
     import pyarrow.parquet as _pq
 
     new_entries = []
-    pf_cache: dict = {}
+    md_cache: dict = {}
     for root, _dirs, fs in os.walk(snap_dir):
         for f in sorted(fs):
             if not f.endswith(".parquet") or f.startswith((".", "_")):
@@ -793,7 +801,10 @@ def _finish_commit(
             rel = os.path.relpath(os.path.join(root, f), path)
             part_dir = os.path.basename(os.path.dirname(rel))
             assert part_dir.startswith(f"{_BUCKET_COL}="), rel
-            pf_cache[rel] = _pq.ParquetFile(os.path.join(root, f))
+            # FileMetaData only — read_metadata opens, parses the footer
+            # and closes; caching open ParquetFile handles held one fd
+            # per new file until commit end (ADVICE r10)
+            md_cache[rel] = _pq.read_metadata(os.path.join(root, f))
             new_entries.append(
                 {
                     "path": rel,
@@ -808,7 +819,7 @@ def _finish_commit(
                     # sum instead of a scan; see count_rows. Entries
                     # from pre-r10 manifests lack it and count_rows
                     # falls back honestly)
-                    "rows": pf_cache[rel].metadata.num_rows,
+                    "rows": md_cache[rel].num_rows,
                 }
             )
     stats_cols = list(
@@ -821,7 +832,7 @@ def _finish_commit(
         # stats blobs they were committed with (files are immutable)
         fstats = _harvest_file_stats(
             path, [e["path"] for e in new_entries], stats_cols,
-            pf_cache=pf_cache,
+            md_cache=md_cache,
         )
         for e in new_entries:
             if e["path"] in fstats:
@@ -2225,7 +2236,11 @@ def vacuum_table(
     if man is None:
         return []
     if not dry_run:
-        live = _live_leases(path, gc_expired=not force)
+        # expired leases are GC'd on EVERY destructive run, forced or
+        # not (ADVICE r10: gc only on unforced runs let an always-force
+        # operator accumulate lease files indefinitely — the walk below
+        # never enters _leases/, so nothing else cleans them)
+        live = _live_leases(path, gc_expired=True)
         if live and not force:
             raise RuntimeError(
                 f"vacuum refused: live writer lease(s) {live} on {path}; "

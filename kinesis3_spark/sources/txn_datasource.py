@@ -464,19 +464,34 @@ class _TxnStreamReader(DataSourceStreamReader):
             # EVERY epoch in the range is checked, not just the end —
             # an A->B->A rename round-trip inside one catch-up batch
             # must still fail (Delta fails on the change commit itself;
-            # review r10 #5). Epochs outside vacuum retention fall back
-            # to the end-epoch compare (their mapping is unknowable).
+            # review r10 #5). The comparison BASELINE is the mapping at
+            # the range's START epoch, not the mapping pinned at reader
+            # init (ADVICE r10: the init mapping is the LATEST manifest's,
+            # so a rename committed while the stream was offline — outside
+            # the replayed range — false-failed the restart with an error
+            # claiming the change happened inside the range). Reaped
+            # history falls back to the first readable epoch's mapping:
+            # mappings of epochs outside vacuum retention are unknowable.
+            baseline: dict | None = None
+            if start["epoch"]:
+                baseline = dict(
+                    (man_a or {}).get("column_mapping") or {}
+                ) if man_a is not None else None
             for ep in range(start["epoch"] + 1, end["epoch"] + 1):
                 try:
                     m = read_manifest(self.path, ep)
                 except ValueError:
                     continue  # reaped history: no mapping to compare
                 live = dict((m or {}).get("column_mapping") or {})
-                if live != self.l2p:
+                if baseline is None:
+                    baseline = live
+                    continue
+                if live != baseline:
                     raise ValueError(
                         f"txntable stream over {self.path}: column "
                         f"mapping changed inside the streamed range "
-                        f"(pinned {sorted(self.l2p.items())} vs epoch "
+                        f"(epoch {start['epoch']} baseline "
+                        f"{sorted(baseline.items())} vs epoch "
                         f"{ep} {sorted(live.items())}) and "
                         "failOnMappingChange=true — restart the stream "
                         "from a fresh checkpoint to re-pin the mapping "
@@ -576,7 +591,27 @@ class _TxnWriter(DataSourceWriter):
     Python twin of the read side's _bucket_expr — so bucket-pruned reads
     and upsert touched-bucket merges see writer-produced files
     correctly. Keys must render to the same string Spark's CAST produces
-    (strings/integers; the table contract everywhere else too)."""
+    (strings/integers; the table contract everywhere else too).
+
+    VACUUM CONTRACT (ADVICE r10 medium): the whole write job — staging
+    through publish — runs under a heartbeat writer lease, exactly like
+    commit_snapshot. __init__ (Spark's planning worker) acquires it and
+    leaves the heartbeat thread running there; commit()/abort() execute
+    in a DIFFERENT worker on an unpickled copy, so they stop the beat by
+    REMOVING the lease file (_acquire_lease's beat loop exits on the
+    resulting utime OSError). A job that crashes without either call
+    takes the planner worker (a child of the driver) with it and the
+    lease ages out — vacuum is delayed at most the TTL, never wedged.
+    Belt-and-braces for lease-less gaps (force-vacuum, planner-worker
+    death): write() tasks re-touch their staged files while staging so
+    the orphan grace clock runs from last touch, and _publish re-touches
+    every reported file before the manifest claim."""
+
+    # stream subclass overrides: a continuous stream staging batches for
+    # its whole lifetime must NOT hold a permanent lease (vacuum would
+    # be wedged forever, not delayed); micro-batch staging is covered by
+    # the orphan grace + the task/commit touch discipline.
+    _job_lease = True
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         import uuid
@@ -630,8 +665,31 @@ class _TxnWriter(DataSourceWriter):
         # numeric second token keeps vacuum's epoch parse happy; nonce
         # isolates concurrent jobs' staging
         self.snap = f"snap-000000-{uuid.uuid4().hex[:8]}"
+        # ACQUIRE LAST — after every refusal above, so a rejected writer
+        # never leaks a lease waiting for TTL expiry. Plain str path on
+        # self (the handle's thread must not ride the executor pickle);
+        # None when the table dir doesn't exist yet (nothing to vacuum).
+        self._lease_path = None
+        if self._job_lease:
+            from ..sinks.txn import _acquire_lease
+
+            lease = _acquire_lease(self.path)
+            self._lease_path = str(lease) if lease is not None else None
+
+    def _drop_job_lease(self) -> None:
+        """Stop the planning worker's heartbeat (it exits on the utime
+        OSError) and release the lease — safe to call from any process,
+        any number of times, including on __new__-built test stubs."""
+        p = getattr(self, "_lease_path", None)
+        if p:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+            self._lease_path = None
 
     def write(self, iterator) -> _StagedFiles:
+        import threading
         import uuid
 
         import pyarrow as pa
@@ -640,6 +698,7 @@ class _TxnWriter(DataSourceWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from ..operators.dedup import portable_hash60_py
+        from ..sinks.txn import _ORPHAN_GRACE_SECONDS
 
         target = to_arrow_schema(
             StructType.fromJson(json.loads(self.schema_json))
@@ -654,26 +713,57 @@ class _TxnWriter(DataSourceWriter):
             b = portable_hash60_py(ks) % self.n_buckets
             per_bucket.setdefault(b, []).append(t)
         out: list[tuple[str, int, int]] = []
-        for b, rows in per_bucket.items():
-            rel = os.path.join(
-                self.snap,
-                f"__bucket={b}",
-                f"part-{uuid.uuid4().hex}.parquet",
-            )
-            full = os.path.join(self.path, rel)
-            os.makedirs(os.path.dirname(full), exist_ok=True)
-            cols = list(zip(*rows))
-            tbl = pa.table(
-                [pa.array(list(c), type=f.type)
-                 for c, f in zip(cols, target)],
-                schema=target,
-            )
-            pq.write_table(tbl, full)
-            out.append((rel, b, len(rows)))
+        # task-side freshness beat: re-touch already-staged files while
+        # the task is still writing, so the vacuum orphan-grace clock
+        # runs from the task's LAST activity, not first file creation —
+        # a single task staging many buckets for longer than the grace
+        # would otherwise expose its earliest files (ADVICE r10 medium;
+        # thread dies with the task, stopped in the finally either way)
+        staged: list[str] = []
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(_ORPHAN_GRACE_SECONDS / 3.0):
+                for f in list(staged):
+                    try:
+                        os.utime(f)
+                    except OSError:
+                        pass  # aborted/force-vacuumed concurrently
+
+        beater = threading.Thread(
+            target=_beat, name="k3s-staging-beat", daemon=True
+        )
+        beater.start()
+        try:
+            for b, rows in per_bucket.items():
+                rel = os.path.join(
+                    self.snap,
+                    f"__bucket={b}",
+                    f"part-{uuid.uuid4().hex}.parquet",
+                )
+                full = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                cols = list(zip(*rows))
+                tbl = pa.table(
+                    [pa.array(list(c), type=f.type)
+                     for c, f in zip(cols, target)],
+                    schema=target,
+                )
+                pq.write_table(tbl, full)
+                staged.append(full)
+                out.append((rel, b, len(rows)))
+        finally:
+            stop.set()
         return _StagedFiles(out)
 
     def commit(self, messages) -> None:
-        self._publish(messages)
+        try:
+            self._publish(messages)
+        finally:
+            # released on failure too: the staged garbage then ages out
+            # under the normal orphan-grace rule instead of a live lease
+            # wedging vacuum until TTL expiry
+            self._drop_job_lease()
 
     def _publish(self, messages, app_id=None, app_version=None) -> None:
         from ..sinks.txn import (
@@ -684,18 +774,30 @@ class _TxnWriter(DataSourceWriter):
             _publish_manifest,
         )
 
-        new_entries = [
-            {
+        def _entry(rel: str, b: int, n: int) -> dict:
+            full = os.path.join(self.path, rel)
+            # pre-publish freshness touch: the reported files enter the
+            # manifest claim with mtime=now, so a vacuum walk overlapping
+            # the publish can never age them past the orphan grace even
+            # in the lease-less gaps (stream writers, force-vacuum)
+            try:
+                os.utime(full)
+            except OSError:
+                pass
+            return {
                 "path": rel,
                 "bucket": b,
                 # size harvest mirrors commit_snapshot's (bin-packing /
                 # maxBytesPerTrigger metadata); staged files are local
                 # to the table root at commit time
-                "bytes": os.path.getsize(os.path.join(self.path, rel)),
+                "bytes": os.path.getsize(full),
                 # row harvest (metadata-only COUNT — sinks/txn.count_rows):
                 # the task already counted what it staged
                 "rows": n,
             }
+
+        new_entries = [
+            _entry(rel, b, n)
             for m in messages
             if m is not None
             for (rel, b, n) in m.files
@@ -772,7 +874,12 @@ class _TxnWriter(DataSourceWriter):
     def abort(self, messages) -> None:
         import shutil
 
-        shutil.rmtree(os.path.join(self.path, self.snap), ignore_errors=True)
+        try:
+            shutil.rmtree(
+                os.path.join(self.path, self.snap), ignore_errors=True
+            )
+        finally:
+            self._drop_job_lease()
 
 
 class _TxnStreamWriter(_TxnWriter, DataSourceStreamWriter):
@@ -784,7 +891,16 @@ class _TxnStreamWriter(_TxnWriter, DataSourceStreamWriter):
     batch re-stages files (garbage for vacuum) but the fenced commit
     publishes nothing, so the table never double-counts. outputMode
     append carries the current file list; complete replaces it per
-    batch (an MVCC truncate-and-load for aggregate sinks)."""
+    batch (an MVCC truncate-and-load for aggregate sinks).
+
+    No job lease (`_job_lease = False`): the staging instance lives for
+    the STREAM'S lifetime, and a lease spanning it would wedge vacuum
+    forever instead of delaying it by the TTL. Micro-batch staging is
+    protected by the task-side freshness beat + the pre-publish touch
+    (staged-to-committed gaps are micro-batch-scale), and the publish
+    itself holds _publish_manifest's own lease."""
+
+    _job_lease = False
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         super().__init__(options, schema, overwrite)

@@ -176,6 +176,32 @@ def test_scale_lint_sample_is_clean(spark, sf_dir):
     assert not bad, bad
 
 
+def test_scale_lint_static_window_rule(tmp_path):
+    """The static unpartitioned-window rule (VERDICT r10: q15's global
+    window slipped under the runtime row bound at test SF). Three pins:
+    (a) the shipped source tree is clean; (b) a planted bare
+    `Window.partitionBy()` / spec-starting `Window.orderBy(...)` IS
+    flagged; (c) the `# scale-ok:` pragma suppresses — on the call line
+    or the line above — while keyed specs never flag."""
+    from tools.scale_lint import static_window_findings
+
+    assert static_window_findings() == []
+
+    (tmp_path / "planted.py").write_text(
+        "from pyspark.sql.window import Window\n"
+        "w1 = Window.partitionBy()\n"
+        "w2 = Window.orderBy('x')\n"
+        "w3 = Window.partitionBy('k').orderBy('x')\n"
+        "# scale-ok: bounded top-100 input\n"
+        "w4 = Window.orderBy('y')\n"
+        "w5 = Window.partitionBy()  # scale-ok: |sources|-row rollup\n"
+    )
+    found = static_window_findings(str(tmp_path))
+    assert len(found) == 2
+    assert any(":2:" in f and "partitionBy" in f for f in found)
+    assert any(":3:" in f and "orderBy" in f for f in found)
+
+
 def test_scale_lint_sweep_set_is_registry():
     """The out-of-band full sweep must cover exactly the registry — a
     sweep set that trails new registrations silently voids the

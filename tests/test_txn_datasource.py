@@ -832,3 +832,93 @@ def test_fail_on_mapping_change_catches_rename_roundtrip(registered, tmp_path):
     # end-epoch mapping equals the pinned one, but epoch 2's does not
     with pytest.raises(ValueError, match="epoch 2"):
         strict.partitions({"epoch": 1}, {"epoch": 3})
+
+
+def test_batch_writer_job_lease_spans_staging(registered, tmp_path,
+                                              monkeypatch):
+    """ADVICE r10 (medium): the batch DS writer's lease spans the WHOLE
+    job — acquired at writer construction (before any task stages a
+    file), released by commit()/abort() even when those run on an
+    UNPICKLED copy in a different worker (the release removes the lease
+    file; the init-side heartbeat exits on the utime OSError). While the
+    lease lives, a destructive vacuum refuses — staged files can never
+    be reaped mid-write. Stream writers hold NO stream-lifetime lease."""
+    import pickle
+    import time
+
+    from pyspark.sql.types import StructType
+
+    from kinesis3_spark.sinks import txn as T
+    from kinesis3_spark.sources.txn_datasource import (
+        _StagedFiles,
+        _TxnStreamWriter,
+        _TxnWriter,
+    )
+
+    spark, path = registered, str(tmp_path / "t")
+    append_snapshot(_mk(spark, [("a", "g", 1)]).coalesce(1),
+                    path, key="id", n_buckets=1)
+    schema = StructType.fromDDL("id string, grp string, val bigint")
+    # short TTL so heartbeat/expiry assertions run in seconds (the beat
+    # closure and _live_leases both read the module global dynamically)
+    monkeypatch.setattr(T, "_LEASE_TTL_SECONDS", 2.0)
+
+    w = _TxnWriter({"path": path}, schema, overwrite=False)
+    assert T._live_leases(path), "no lease at writer construction"
+    with pytest.raises(RuntimeError, match="live writer lease"):
+        T.vacuum_table(path, keep_epochs=1)
+
+    # cross-process release: commit on a PICKLED COPY (plain-str lease
+    # path must survive the executor pickle) removes the file...
+    w2 = pickle.loads(pickle.dumps(w))
+    w2.commit([_StagedFiles([])])
+    assert T._live_leases(path) == []
+    # ...and the ORIGINAL writer's heartbeat cannot resurrect it (the
+    # beat re-touches via utime, never re-creates; give it one period)
+    time.sleep(T._LEASE_TTL_SECONDS / 3.0 + 0.5)
+    assert T._live_leases(path) == []
+    T.vacuum_table(path, keep_epochs=1)  # no raise: writer quiesced
+
+    # abort releases too
+    w3 = _TxnWriter({"path": path}, schema, overwrite=False)
+    assert T._live_leases(path)
+    w3.abort([])
+    assert T._live_leases(path) == []
+
+    # stream writers must NOT wedge vacuum for the stream's lifetime
+    sw = _TxnStreamWriter({"path": path}, schema, overwrite=False)
+    assert T._live_leases(path) == []
+    assert getattr(sw, "_lease_path", None) is None
+
+
+def test_fail_on_mapping_change_ignores_rename_outside_range(
+    registered, tmp_path
+):
+    """ADVICE r10: the strict check's baseline is the mapping at the
+    RANGE'S START EPOCH, never the mapping pinned at reader init (the
+    latest manifest's). A rename committed while the stream was offline
+    — entirely after the checkpointed range a restart replays — must not
+    fail that replay; the failure belongs to the batch whose range
+    CONTAINS the rename commit."""
+    from kinesis3_spark.sinks.txn import rename_column
+    from kinesis3_spark.sources.txn_datasource import _TxnStreamReader
+
+    spark, path = registered, str(tmp_path / "t")
+    append_snapshot(
+        _mk(spark, [("a", "g", 1)]).coalesce(1), path,
+        key="id", n_buckets=1,
+    )
+    append_snapshot(
+        _mk(spark, [("b", "g", 2)]).coalesce(1), path,
+        key="id", n_buckets=1,
+    )
+    rename_column(path, "val", "amount")   # epoch 3, while "offline"
+    # restart AFTER the rename: init pins the post-rename mapping; the
+    # engine first replays the checkpointed pre-rename range (1, 2]
+    strict = _TxnStreamReader(
+        {"path": path, "failonmappingchange": "true"}, "{}"
+    )
+    assert len(strict.partitions({"epoch": 1}, {"epoch": 2})) > 0
+    # ...and the batch that CONTAINS the rename commit still fails
+    with pytest.raises(ValueError, match="epoch 3"):
+        strict.partitions({"epoch": 2}, {"epoch": 3})

@@ -13,12 +13,24 @@ Allowlisted SinglePartition shapes: final 1-row global aggregates and
 TakeOrderedAndProject's driver-side final (bounded by k). The lint runs
 each query to completion (AQE-final metrics), so run it at a small SF.
 
+In addition to the runtime sweep, a STATIC pass (VERDICT r10 §wrong:
+q15's global window slipped under the runtime row bound because test-SF
+row counts are small by definition) flags every unpartitioned window
+spec in non-test source — `Window.partitionBy()` with no keys, or a
+spec that STARTS with `Window.orderBy(...)` — regardless of observed
+rows. A site whose input is provably bounded (post-TakeOrderedAndProject
+top-k, |dimension|-row rollup) carries a `# scale-ok: <justification>`
+pragma on the call line or the line above; everything else is a finding.
+
 Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/scale_lint.py [query ...]
+       python tools/scale_lint.py --static   (source-only pass, no Spark)
 """
 
 from __future__ import annotations
 
+import ast
 import os
+import pathlib
 import sys
 
 SINGLE_PARTITION_ROW_BOUND = 5_000  # rows one task may legitimately hold
@@ -52,6 +64,59 @@ ALLOWED_AMPLIFICATION = {
         "bounded query-set broadcast, offline recall audit"
     ),
 }
+
+
+_WINDOW_PRAGMA = "scale-ok:"
+
+
+def static_window_findings(src_root: str | None = None) -> list[str]:
+    """AST sweep of non-test source for unpartitioned window SPECS.
+
+    Flags `Window.partitionBy()` called with zero keys and `Window.orderBy
+    (...)` used as the spec start (an empty partition spec either way —
+    Spark plans both as Exchange SinglePartition + one-task sort over the
+    ENTIRE window input). The runtime SinglePartition row bound cannot
+    catch this class at test SF (q15 carried 100s of rows locally, 10k x SF
+    at scale), so the static rule flags the SHAPE and puts the burden of
+    proof on the author via the `# scale-ok:` pragma."""
+    root = pathlib.Path(src_root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "kinesis3_spark",
+    ))
+    findings: list[str] = []
+    for p in sorted(root.rglob("*.py")):
+        src = p.read_text()
+        if "Window" not in src:
+            continue
+        lines = src.splitlines()
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            if not (
+                isinstance(fn, ast.Attribute)
+                and isinstance(fn.value, ast.Name)
+                and fn.value.id == "Window"
+            ):
+                continue
+            global_spec = (
+                fn.attr == "partitionBy" and not node.args and not node.keywords
+            ) or fn.attr == "orderBy"
+            if not global_spec:
+                continue
+            ln = node.lineno
+            context = " ".join(lines[max(0, ln - 2): ln])
+            if _WINDOW_PRAGMA in context:
+                continue
+            findings.append(
+                f"{p.relative_to(root.parent)}:{ln}: unpartitioned window "
+                f"spec (Window.{fn.attr}) — Exchange SinglePartition over "
+                f"the full window input at scale; restructure as a 1-row "
+                f"aggregate broadcast (q11/q15 pattern) or, iff the input "
+                f"is provably bounded, annotate '# scale-ok: <why bounded>'"
+            )
+    return findings
 
 
 def _walk(node, out):
@@ -121,6 +186,14 @@ def sweep_names(argv: list[str]) -> list[str]:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    static = static_window_findings()
+    for f in static:
+        print(f"STATIC: {f}", flush=True)
+    print(f"-- static window findings: {len(static)}", flush=True)
+    if "--static" in sys.argv[1:]:
+        sys.exit(1 if static else 0)
+
     from kinesis3_spark.queries import QUERIES
     from kinesis3_spark.session import get_spark
 
