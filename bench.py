@@ -134,6 +134,10 @@ HEADLINE = [
     # + clean-text rebuild + signature; timing-relevant because the
     # whole pipeline is the production path (no O(N^2) audit inside).
     "llm_exact_substring_dedup",
+    # round 11: the full BPE merge loop — 3 supersteps over the cached
+    # word-frequency table; production path end-to-end (the argmax is
+    # 1 driver row per round), so timing-relevant.
+    "llm_bpe_merge_loop",
 ]
 
 

@@ -388,3 +388,136 @@ def llm_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge LOOP (VERDICT r10 agenda #2): the full iterated training pass.
+# ---------------------------------------------------------------------------
+# Symbol sequences are encoded as "(s1)(s2)...(sn)" strings: the corpus is
+# whitespace-tokenized and the trained words filtered to ^[a-z0-9]+$ (the
+# guard that makes the paren delimiters collision-free), so applying merge
+# (a,b) is a plain replace('(a)(b)' -> '(ab)') — sequential left-to-right
+# non-overlapping in BOTH engines (Java UTF8String.replace == DuckDB
+# replace), which is exactly BPE's greedy-left merge rule. No per-round
+# UDF, no fold: the whole superstep is whole-stage-codegen string ops over
+# the |vocab|-row frequency table.
+
+_BPE_ROUNDS = 3
+
+# one DuckDB superstep: pair-count v{r} -> argmax b{r} -> re-encode v{r+1}
+_BPE_STEP_SQL = """
+    p{r} AS (
+      SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+             CAST(sum(f) AS BIGINT) AS n
+      FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), ')(')
+                     AS syms, f
+            FROM v{r}) s,
+           UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+      GROUP BY 1
+    ),
+    b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+    v{nxt} AS (
+      SELECT replace(enc,
+                     '(' || replace(pair, ' ', ')(') || ')',
+                     '(' || replace(pair, ' ', '') || ')') AS enc, f
+      FROM v{r}, b{r}
+    )"""
+
+
+def _bpe_oracle() -> str:
+    steps = ",".join(
+        _BPE_STEP_SQL.format(r=r, nxt=r + 1)
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, pair, n FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest({_TOKS}) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, count(*)::BIGINT AS f FROM words
+      WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
+      GROUP BY w
+    ),
+    v1 AS (
+      SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, f FROM freq
+    ),
+    {steps}
+    {finals}
+    """
+
+
+# adjacent-pair list over the projected `syms` column (element_at indexed
+# access only — the split itself is computed ONCE in the child projection,
+# never re-evaluated per lambda element); single-symbol words yield an
+# empty list (sequence(1, 0) REVERSES in Spark, so the size guard is
+# load-bearing) and drop out at the explode
+_BPE_PAIRS_EXPR = (
+    "CASE WHEN size(syms) >= 2 THEN "
+    "transform(sequence(1, size(syms) - 1), "
+    "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))) "
+    "ELSE cast(array() AS array<string>) END"
+)
+
+
+@query("llm_bpe_merge_loop", oracle=_bpe_oracle())
+def llm_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE merge loop (Sennrich et al. 2016), N supersteps of
+    tokenizer training distributed PageRank-style: per round, count
+    frequency-weighted adjacent symbol pairs over the WORD-FREQUENCY
+    table (the vocab-collapse optimization — identical words share
+    their counts, so each superstep is O(|vocab|), never O(corpus)),
+    pick the argmax pair (ties: lexicographic — cross-engine exact),
+    apply it as a single whole-stage-codegen string replace, repeat.
+    Emits one row per round: (merge_round, winning pair, count).
+
+    Scale shape: ONE corpus scan builds the cached |vocab|-row frequency
+    table; each superstep is a pair-explode + map-side-combined agg over
+    that cache ending in a 1-row TakeOrderedAndProject (the argmax is
+    the only driver-side row per round — the pruned_star_join bounded-
+    collect discipline). The merge itself never shuffles: a projected
+    replace() on the cached table. The DuckDB oracle is the identical
+    unrolled CTE chain."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .where((F.length("w") >= 2) & F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(F.regexp_replace("w", "(.)", r"($1)").alias("enc"), "f")
+        .cache()
+    )
+    rows: list[tuple[int, str, int]] = []
+    cur = vocab
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            cur.select(
+                F.split(
+                    F.expr("substring(enc, 2, length(enc) - 2)"), r"\)\("
+                ).alias("syms"),
+                "f",
+            )
+            .select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("pair"), "f")
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()  # bounded: exactly 1 row per superstep
+        )
+        if not best:
+            break  # vocabulary fully merged before N rounds
+        pair, n = best[0]["pair"], best[0]["n"]
+        rows.append((r, pair, int(n)))
+        a, b = pair.split(" ")
+        # a, b are ^[a-z0-9]+$ by the vocab filter — safe literal inline
+        cur = cur.withColumn(
+            "enc", F.expr(f"replace(enc, '({a})({b})', '({a}{b})')")
+        )
+    return spark.createDataFrame(
+        rows, "merge_round bigint, pair string, n bigint"
+    )

@@ -1,0 +1,72 @@
+"""Planted-vocabulary test for the BPE merge loop (VERDICT r10 agenda
+#2): on a corpus whose pair statistics are computed by hand, the loop
+must reproduce the exact merge sequence — including the cross-round
+behavior where round 2 merges a pair of MERGED symbols (the part a
+single-round pair count can never exercise) and the greedy-left
+non-overlap rule inside repeated-symbol words."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from kinesis3_spark.queries import QUERIES
+
+
+def _plant(tmp_path, texts):
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = [
+        (i, t, "en", "src0", len(t)) for i, t in enumerate(texts)
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bpe_merge_loop_planted_sequence(spark, tmp_path):
+    """Corpus: 'abab' x3, 'abc' x2 (as whitespace tokens).
+
+    Round 1 pairs: abab -> (a,b) x2 + (b,a) x1, weight 3; abc -> (a,b)
+    + (b,c), weight 2. Totals: 'a b'=8, 'b a'=3, 'b c'=2 -> merge (a,b).
+    Round 2: abab=(ab)(ab) -> 'ab ab'=3; abc=(ab)(c) -> 'ab c'=2
+    -> merge (ab,ab) — a pair of symbols that only EXIST post-round-1.
+    Round 3: abab fully merged (single symbol, no pairs); 'ab c'=2."""
+    sf = _plant(
+        tmp_path, ["abab abab", "abab", "abc abc"]
+    )
+    got = [
+        (r["merge_round"], r["pair"], r["n"])
+        for r in QUERIES["llm_bpe_merge_loop"](spark, sf).collect()
+    ]
+    assert got == [(1, "a b", 8), (2, "ab ab", 3), (3, "ab c", 2)]
+
+
+def test_bpe_merge_is_greedy_left_nonoverlapping(spark, tmp_path):
+    """'aaa' with winning pair (a,a) merges LEFT-first: (aa)(a), never
+    (a)(aa) and never double-consuming the shared middle symbol — so
+    round 2's pair over 'aaa' is ('aa','a'), and words fully merged
+    drop out of later rounds instead of erroring on empty symbol
+    lists."""
+    # aaaa x5: round-1 pairs (a,a) x3, weight 5 -> 'a a'=15 + aaa x2
+    # adds (a,a) x2, weight 2 -> total 19. Merge (a,a):
+    #   aaaa -> (aa)(aa); aaa -> (aa)(a)   [greedy left]
+    # round 2: 'aa aa'=5, 'aa a'=2 -> merge (aa,aa); aaaa -> (aaaa)
+    # round 3: only aaa=(aa)(a) still has a pair -> 'aa a'=2
+    sf = _plant(tmp_path, ["aaaa aaaa aaaa", "aaaa aaaa", "aaa aaa"])
+    got = [
+        (r["merge_round"], r["pair"], r["n"])
+        for r in QUERIES["llm_bpe_merge_loop"](spark, sf).collect()
+    ]
+    assert got == [(1, "a a", 19), (2, "aa aa", 5), (3, "aa a", 2)]
+
+
+def test_bpe_loop_stops_when_vocabulary_fully_merges(spark, tmp_path):
+    """A corpus whose every word collapses before N rounds ends the
+    loop early with the rounds that existed — no empty-argmax crash."""
+    sf = _plant(tmp_path, ["ab ab ab"])
+    got = [
+        (r["merge_round"], r["pair"], r["n"])
+        for r in QUERIES["llm_bpe_merge_loop"](spark, sf).collect()
+    ]
+    assert got == [(1, "a b", 3)]
