@@ -696,6 +696,8 @@ def cosine_topk_ivfpq_rerank(
     vec_col: str = "embedding",
     index: tuple[np.ndarray, np.ndarray] | None = None,
     enc: DataFrame | None = None,
+    pair_predicate=None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Two-stage retrieve-then-rerank — the standard production recall
     lift over a compressed index (FAISS's refine/`k_factor`, Milvus's
@@ -717,23 +719,36 @@ def cosine_topk_ivfpq_rerank(
     into an equi-join against the corpus by id, so the raw-vector fetch
     is one map-side hash join over the corpus scan (at real scale the
     corpus is bucketed by id and this join is the point-lookup tier).
-    Exact scoring is a JVM-side expression over |Q| x fetch_r rows."""
+    Exact scoring is a JVM-side expression over |Q| x fetch_r rows.
+
+    ``pair_predicate``/``carry`` (same ``q_<c>``/``n_<c>`` contract as
+    cosine_topk_bruteforce) POST-FILTER the over-fetched candidates
+    between the ADC stage and the exact re-rank — the post-filter ANN
+    strategy (FAISS/Milvus filtered search over a compressed index):
+    fetch_r must over-provision for the predicate's miss rate, which is
+    why it composes with over-probe. Hard-negative mining at scale is
+    exactly this with ``n_label != q_label``."""
     cand = cosine_topk_ivfpq(
         emb, queries, k=fetch_r, nprobe=nprobe, n_centroids=n_centroids,
         id_col=id_col, vec_col=vec_col, index=index, enc=enc,
     ).select("query_id", "neighbor_id")
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        *[F.col(c).alias(f"q_{c}") for c in carry],
     )
     e = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        *[F.col(c).alias(f"n_{c}") for c in carry],
     )
     scored = (
         e.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cos", cosine_similarity("qv", "nv"))
-        .select("query_id", "neighbor_id", "cos")
     )
+    if pair_predicate is not None:
+        scored = scored.where(pair_predicate)
+    scored = scored.withColumn(
+        "cos", cosine_similarity("qv", "nv")
+    ).select("query_id", "neighbor_id", "cos")
     return _topk_from_scores(scored, k)
 
 

@@ -915,3 +915,77 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_predicate=F.col("n_label") != F.col("q_label"),
     )
     return out.withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "sim_hard_negative_mining_ann",
+    oracle=f"""
+    SELECT ({_N_QUERIES} * {_K})::BIGINT AS n_truth_pairs,
+           1 AS recall_ok, 1 AS labels_ok
+    """,
+)
+def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the PRODUCTION ANN path (VERDICT r10
+    agenda #3): persisted IVF-PQ probe (over-probe 12/16 cells,
+    partition-pruned to the probed cells' files) -> ADC over-fetch of
+    128 candidates per query -> label<>query-label POST-FILTER -> exact
+    re-rank of the survivors with raw vectors -> top-k hard negatives.
+    This is the composition sim_hard_negative_mining's docstring
+    promises as its 100 TB serving tier; here it is banded against that
+    exact pass (the offline audit, computed in the same job): recall@5
+    must clear 75% — MEASURED 94% at sf0.01, 84% at sf0.1 — and
+    labels_ok pins that every mined negative genuinely carries a
+    different label than its query (a broken post-filter flips it).
+
+    Scale: stage 1 touches only probed cells' files of the compressed
+    index (no raw-vector I/O); the post-filter costs fetch_r rows per
+    query and its miss rate (~1/|labels|) is what the over-fetch
+    over-provisions for; exact scoring is a broadcast point-lookup join
+    over O(|Q| x fetch_r) survivors. The truth pass stays the declared
+    offline audit. Truth and ANN results meet in ONE full-outer join so
+    neither subtree is referenced twice (SCALE.md alias-subtree rule)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = _query_set(spark, sf_dir)
+    C, books, path = _ivfpq_persisted_index(spark, sf_dir)
+    enc = S.read_ivfpq_index(spark, path)
+    pred = F.col("n_label") != F.col("q_label")
+    ann = S.cosine_topk_ivfpq_rerank(
+        emb, qset, k=_K, fetch_r=_RERANK_R, nprobe=_RERANK_NPROBE,
+        index=(C, books), enc=enc, pair_predicate=pred, carry=("label",),
+    ).select("query_id", "neighbor_id", F.lit(1).alias("in_ann"))
+    # re-attach labels to the mined pairs (bounded |Q| x k rows) so the
+    # label invariant is CHECKED, not assumed from the predicate
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    qlabels = qset.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    annx = (
+        labels.join(F.broadcast(ann), "neighbor_id")
+        .join(F.broadcast(qlabels), "query_id")
+    )
+    truth = S.cosine_topk_bruteforce(
+        emb, qset, k=_K, carry=("label",), pair_predicate=pred,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("in_truth"))
+    meet = truth.join(annx, ["query_id", "neighbor_id"], "full_outer")
+    return meet.agg(
+        F.sum(F.coalesce("in_truth", F.lit(0)))
+        .cast("bigint")
+        .alias("n_truth_pairs"),
+        F.sum(
+            F.coalesce("in_truth", F.lit(0)) * F.coalesce("in_ann", F.lit(0))
+        ).alias("n_hits"),
+        F.sum(
+            F.when(
+                F.col("in_ann").isNotNull() & (F.col("nl") == F.col("ql")),
+                1,
+            ).otherwise(0)
+        ).alias("n_label_violations"),
+    ).select(
+        "n_truth_pairs",
+        (F.col("n_hits") * 100 >= 75 * F.col("n_truth_pairs"))
+        .cast("int")
+        .alias("recall_ok"),
+        (F.col("n_label_violations") == 0).cast("int").alias("labels_ok"),
+    )

@@ -273,3 +273,29 @@ def test_index_meta_sidecar_enables_fresh_process_probe(
     bare = tmpdirs.mkdtemp(prefix="t_ivfpq_bare_") + "/index"
     S.persist_ivfpq_index(S.ivfpq_encode(emb, C3, books3), bare)
     assert S.read_ivfpq_index_meta(bare) is None
+
+
+def test_rerank_post_filter_mines_hard_negatives_exactly(spark, clustered_dir):
+    """pair_predicate/carry on the rerank tier (VERDICT r10 agenda #3):
+    with full cell coverage (nprobe = n_centroids) and fetch_r covering
+    the whole corpus, the post-filtered rerank must EQUAL the exact
+    brute-force hard-negative truth — the composition degrades to exact
+    when over-provisioned, so any mismatch is a wiring bug, not
+    approximation. Every mined negative must carry a different label."""
+    from pyspark.sql import functions as F
+
+    d, labels = clustered_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    C, books = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    qset = emb.where(F.col("vec_id").isin([0, 50, 100]))
+    pred = F.col("n_label") != F.col("q_label")
+    ann = sorted(map(tuple, S.cosine_topk_ivfpq_rerank(
+        emb, qset, k=5, fetch_r=200, nprobe=8, index=(C, books),
+        pair_predicate=pred, carry=("label",),
+    ).select("query_id", "rank", "neighbor_id").collect()))
+    want = sorted(map(tuple, S.cosine_topk_bruteforce(
+        emb, qset, k=5, pair_predicate=pred, carry=("label",),
+    ).select("query_id", "rank", "neighbor_id").collect()))
+    assert ann == want and len(ann) == 15
+    for qid, _rank, nid in ann:
+        assert labels[nid] != labels[qid]

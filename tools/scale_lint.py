@@ -63,6 +63,13 @@ ALLOWED_AMPLIFICATION = {
     "sim_cosine_topk_ivfpq_rerank": (
         "bounded query-set broadcast, offline recall audit"
     ),
+    # ANN-composed hard-negative mining: the serving path (persisted
+    # IVF-PQ probe -> label post-filter -> exact re-rank) is cell-pruned
+    # + broadcast-equi-join only; the flagged nested loop is the in-job
+    # exact truth pass it is banded against (same audit definition).
+    "sim_hard_negative_mining_ann": (
+        "bounded labeled query-set broadcast, offline recall audit"
+    ),
 }
 
 
