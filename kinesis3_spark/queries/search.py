@@ -367,3 +367,157 @@ def llm_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def bucketed_gram_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the src0 (canonical history) k-gram hash set as a
+    parquet table BUCKETED on `gh` (sinks/bucketed.py), once per sf_dir
+    — the stored shape incremental ExactSubstr rides: the history's
+    grams are hashed AND hash-partitioned once at ingest time, so every
+    subsequent daily batch's marking semi-join needs NO Exchange on the
+    history side, ever (the dedup_incremental_bucketed discipline
+    applied to gram space). Returns the catalog table name."""
+    import hashlib
+
+    from .. import tmpdirs
+    from ..functions.text import ngram_hashes_from_tokens, tokenize
+    from ..sinks.bucketed import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"bk_es_grams_{tag}"
+    if not spark.catalog.tableExists(name):
+        d = _t(spark, sf_dir, "documents")
+        grams = (
+            d.where(F.col("source") == "src0")
+            .select(
+                F.explode(
+                    ngram_hashes_from_tokens(tokenize(F.col("text")), _ES_K)
+                ).alias("gh")
+            )
+            .distinct()
+        )
+        base = tmpdirs.mkdtemp(prefix=f"k3s_es_grams_{tag}_")
+        write_bucketed(grams, name, ["gh"], 8, f"{base}/grams")
+    return name
+
+
+@query(
+    "llm_exact_substring_incremental",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ),
+    hist AS (
+      SELECT DISTINCT array_to_string(t[i + 1 : i + {_ES_K}], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(0, greatest(len(t) - {_ES_K}, -1))) AS u(i)
+      WHERE source = 'src0' AND len(t) >= {_ES_K}
+    ),
+    newt AS (SELECT * FROM toks WHERE source <> 'src0'),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[i + 1 : i + {_ES_K}], ' ') AS gram
+      FROM newt,
+           UNNEST(generate_series(0, greatest(len(t) - {_ES_K}, -1))) AS u(i)
+      WHERE len(t) >= {_ES_K}
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM occ
+      WHERE gram IN (SELECT gram FROM hist)
+    ),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {_ES_K}
+                  THEN 0 ELSE 1 END AS b
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_ES_K} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tokpos AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM newt, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, count(*) AS kept_n,
+             string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+      FROM tokpos tp
+      LEFT JOIN spans s
+        ON tp.doc_id = s.doc_id AND tp.pos >= s.s AND tp.pos < s.e
+      WHERE s.doc_id IS NULL
+      GROUP BY tp.doc_id
+    ),
+    per_doc AS (
+      SELECT tk.doc_id, tk.source, len(tk.t) AS n_toks,
+             coalesce(k.kept_n, 0) AS kept_n,
+             coalesce(k.clean_text, '') AS clean_text,
+             coalesce(sp.n_spans, 0) AS n_spans
+      FROM newt tk
+      LEFT JOIN kept k USING (doc_id)
+      LEFT JOIN (
+        SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+      ) sp USING (doc_id)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(*) FILTER (WHERE n_toks > kept_n)::BIGINT
+             AS docs_affected,
+           CAST(sum(n_spans) AS BIGINT) AS spans_total,
+           CAST(sum(n_toks - kept_n) AS BIGINT) AS tokens_removed,
+           CAST(sum(('0x' || substr(md5(clean_text), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS clean_sig
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def llm_exact_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL ExactSubstr (VERDICT r10 agenda #4) — the daily-ingest
+    twin of llm_exact_substring_dedup: every >=25-token substring of a
+    NEW batch document that already occurs in the STORED CANONICAL
+    history (src0's bucketed gram-hash index) is cut from the new
+    document; history text is never touched or rescanned. Marking is a
+    semi-join of the batch's per-position window hashes against the
+    index (operators/dedup.contaminated_spans — the decontam machinery
+    with the history as the 'benchmark'); the span merge and the
+    indexed-HOF cut are the shared _merge_spans/_cut_spans tails. New-
+    batch-INTERNAL duplicates are deliberately NOT cut here — they are
+    tomorrow's history problem once today's batch is admitted and its
+    grams appended to the index (exactly incremental_dedup's contract
+    at span granularity).
+
+    Scale: daily cost is keyed on BATCH size, never corpus size — the
+    history side reads pre-hash-partitioned on gh (zero Exchange,
+    pinned in tests/test_exact_substring.py), the batch contributes one
+    gh shuffle + one doc-keyed merge shuffle, and the cut is a
+    broadcast span join. The per-source rollup's clean_sig (commutative
+    portable-hash of every rebuilt text) pins the removal byte-exact
+    against the oracle's independent string-gram rebuild."""
+    from ..operators.dedup import decontaminate_spans, portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    hist = spark.table(bucketed_gram_index(spark, sf_dir))
+    cleaned = decontaminate_spans(
+        d.where(F.col("source") != "src0"), hist, k=_ES_K
+    )
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_tokens_removed") > 0).cast("int"))
+            .cast("bigint").alias("docs_affected"),
+            F.sum("n_spans").cast("bigint").alias("spans_total"),
+            F.sum("n_tokens_removed").cast("bigint")
+            .alias("tokens_removed"),
+            F.sum(portable_hash60(F.col("clean_text")) % 1_000_000_000)
+            .cast("bigint").alias("clean_sig"),
+        )
+        .orderBy("source")
+    )

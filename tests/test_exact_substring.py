@@ -142,3 +142,84 @@ def test_decontaminate_spans_cuts_benchmark_overlap_only(spark):
     # in-corpus duplication is exact_substring's job, not decontam's
     assert out["t2"].n_tokens_removed == 0 and out["t3"].n_tokens_removed == 0
     assert out["t2"].clean_text == t2 and out["t3"].clean_text == t3
+
+
+def test_incremental_cuts_new_batch_only_against_history(spark, tmp_path):
+    """Two-batch incremental ExactSubstr (VERDICT r10 agenda #4): with
+    batch 1 (src0) admitted as canonical history, batch 2's duplicates
+    OF BATCH-1 TEXT are cut while (a) batch 1 is never touched — it is
+    not even in the query's output domain — and (b) batch-2-INTERNAL
+    duplicates survive untouched (they are not in the history; batch
+    ExactSubstr would have cut them, the incremental contract must
+    not). Also pins: the marking semi-join's history side reads the
+    BUCKETED gram index with zero Exchange."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.operators.dedup import decontaminate_spans
+    from kinesis3_spark.queries import QUERIES
+    from kinesis3_spark.queries.search import _ES_K, bucketed_gram_index
+
+    A = [f"a{i}" for i in range(_ES_K + 5)]   # 30 tokens of history text
+    B = [f"b{i}" for i in range(_ES_K + 5)]   # 30 tokens, NEW both times
+    rows = [
+        # batch 1 = src0 (the canonical history)
+        (0, " ".join(A), "en", "src0", 1),
+        # batch 2 = src1: doc 1 embeds ALL of A between unique sentinels
+        (1, " ".join(["u1", "u2"] + A + ["v1", "v2"]), "en", "src1", 1),
+        # doc 2: unique text
+        (2, " ".join(f"z{i}" for i in range(40)), "en", "src1", 1),
+        # docs 3 + 4: identical NEW text — internal dup, NOT in history
+        (3, " ".join(B), "en", "src1", 1),
+        (4, " ".join(B), "en", "src1", 1),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["source"]: r
+        for r in QUERIES["llm_exact_substring_incremental"](
+            spark, str(d)
+        ).collect()
+    }
+    # output domain is the NEW batch only — src0 never appears
+    assert set(got) == {"src1"}
+    r = got["src1"]
+    # doc 1 loses exactly the embedded A run: tokens [2, 2+30) = 30
+    assert (r["n_docs"], r["docs_affected"]) == (4, 1)
+    assert (r["spans_total"], r["tokens_removed"]) == (1, 30)
+
+    # per-doc view: the cut is byte-exact and docs 2-4 are untouched
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+    hist = spark.table(bucketed_gram_index(spark, str(d)))
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in decontaminate_spans(
+            docs.where(F.col("source") != "src0"), hist, k=_ES_K
+        ).collect()
+    }
+    assert cleaned[1] == "u1 u2 v1 v2"
+    assert cleaned[2] == rows[2][1]
+    assert cleaned[3] == " ".join(B) and cleaned[4] == " ".join(B)
+
+    # history side never shuffles: spans subplan with broadcast disabled
+    from kinesis3_spark.operators.dedup import contaminated_spans
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spans = contaminated_spans(
+            docs.where(F.col("source") != "src0"), hist, k=_ES_K
+        )
+        spans.count()
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftSemi" in plan
+        # exactly the batch's two shuffles (gh marking + doc merge);
+        # a third would mean the bucketed history side shuffled
+        assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
