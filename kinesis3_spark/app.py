@@ -213,21 +213,40 @@ class Collector:
         }
 
     def serve_stats(self, port: int) -> int:
-        """Serve GET /stats as JSON on localhost (stdlib, daemon thread).
+        """Serve the reference's full endpoint surface on localhost
+        (stdlib, daemon thread; reference core.clj:68-88): ``HEAD /`` →
+        200 empty, ``GET /`` → "ok", ``GET /ping`` → "pong" (the load-
+        balancer health trio), ``GET /stats`` → the JSON stats snapshot.
         Returns the bound port (pass 0 to pick a free one)."""
         collector = self
 
         class Handler(BaseHTTPRequestHandler):
-            def do_GET(self):  # noqa: N802 (stdlib API name)
-                if self.path.rstrip("/") not in ("", "/stats"):
-                    self.send_error(404)
-                    return
-                body = json.dumps(collector.stats()).encode()
+            def _send(self, body: bytes, ctype: str) -> None:
                 self.send_response(200)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_HEAD(self):  # noqa: N802 (stdlib API name)
+                if self.path.rstrip("/") == "":
+                    self._send(b"", "text/plain")
+                else:
+                    self.send_error(404)
+
+            def do_GET(self):  # noqa: N802 (stdlib API name)
+                route = self.path.rstrip("/")
+                if route == "":
+                    self._send(b"ok", "text/plain")
+                elif route == "/ping":
+                    self._send(b"pong", "text/plain")
+                elif route == "/stats":
+                    self._send(
+                        json.dumps(collector.stats()).encode(),
+                        "application/json",
+                    )
+                else:
+                    self.send_error(404)
 
             def log_message(self, *a):  # silence per-request stderr noise
                 pass

@@ -550,7 +550,7 @@ def read_manifest(path: str, epoch: int | None = None) -> dict | None:
             )
     try:
         with open(_manifest_path(path, epoch)) as fh:
-            return json.load(fh)
+            man = json.load(fh)
     except FileNotFoundError:
         if epoch is not None:
             raise ValueError(
@@ -558,6 +558,59 @@ def read_manifest(path: str, epoch: int | None = None) -> dict | None:
                 f"{path}"
             ) from None
         return None
+    _check_protocol(man, path)
+    return man
+
+
+# -- protocol versioning (Delta's protocol action, VERDICT r10 agenda #7):
+# the manifest format has grown 15+ features; a reader from BEFORE a
+# feature existed must refuse a table that REQUIRES it rather than
+# silently misread (e.g. ignore deletion vectors -> resurrect deleted
+# rows). Every commit stamps `protocol` = the minimum reader version +
+# the read-critical features the table's CURRENT state actually uses
+# (Delta's feature-gated protocol bumps: an unused feature never locks
+# out old readers). Enforcement lives in read_manifest — the single
+# choke point both scan engines (sinks/txn read_snapshot and the
+# txntable DataSource) and every writer's base-state read go through.
+_READER_VERSION = 1
+# features that change how committed DATA must be interpreted; skip
+# hints (stats/bloom) are deliberately absent — a reader that ignores
+# them reads correctly, just slower
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"deletion_vectors", "column_mapping"}
+)
+
+
+def _required_reader_features(man: dict) -> list[str]:
+    """The read-critical features this manifest's state USES (stamped at
+    publish; also derivable from any legacy manifest for enforcement)."""
+    feats = []
+    if any(e.get("dv") for e in man.get("files", [])):
+        feats.append("deletion_vectors")
+    if man.get("column_mapping") or man.get("dropped_cols"):
+        feats.append("column_mapping")
+    return sorted(feats)
+
+
+def _check_protocol(man: dict, path: str) -> None:
+    proto = man.get("protocol") or {}
+    ver = int(proto.get("min_reader_version", 1))
+    if ver > _READER_VERSION:
+        raise ValueError(
+            f"table {path} requires reader version {ver}; this engine "
+            f"supports {_READER_VERSION} — upgrade before reading "
+            "(Delta-style protocol gate: a newer writer committed a "
+            "format this reader predates)"
+        )
+    unknown = set(proto.get("reader_features") or []) - (
+        _SUPPORTED_READER_FEATURES
+    )
+    if unknown:
+        raise ValueError(
+            f"table {path} requires reader feature(s) {sorted(unknown)} "
+            "this engine does not implement — refusing to read rather "
+            "than misinterpret committed data"
+        )
 
 
 def _evolved_schema(man: dict | None, written) -> dict:
@@ -890,16 +943,23 @@ def _publish_manifest(
     ``op`` stamps the commit with its operation record (Delta's
     DESCRIBE HISTORY row): ``{"name": ..., **params}`` plus a UTC
     timestamp — injected last, so a payload that copied the previous
-    manifest's keys never carries a stale operation forward."""
+    manifest's keys never carries a stale operation forward. The
+    ``protocol`` stamp (min reader version + the read-critical features
+    this state actually uses) is likewise derived fresh here, never
+    carried, so it can only reflect the published content."""
+    d = json.loads(payload)
+    d["protocol"] = {
+        "min_reader_version": _READER_VERSION,
+        "reader_features": _required_reader_features(d),
+    }
     if op is not None:
-        d = json.loads(payload)
         d["op"] = {
             **op,
             "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(
                 timespec="seconds"
             ),
         }
-        payload = json.dumps(d, indent=1)
+    payload = json.dumps(d, indent=1)
     import fcntl
 
     # WRITER LEASE: held across the claim/swap window (and re-created

@@ -15,6 +15,7 @@ pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
 
 import json
 import os
+import urllib.error
 import urllib.request
 
 from pyspark.sql import functions as F
@@ -75,6 +76,21 @@ def test_collector_end_to_end(spark, sf_dir, tmp_path):
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=10) as r:
             http_stats = json.load(r)
         assert http_stats["message-ingested"]["count"] == 200
+        # health trio (reference core.clj:69-71): HEAD / -> 200 empty,
+        # GET / -> "ok", GET /ping -> "pong"; unknown routes 404
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/", method="HEAD")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200 and r.read() == b""
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10) as r:
+            assert r.status == 200 and r.read() == b"ok"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/ping", timeout=10) as r:
+            assert r.status == 200 and r.read() == b"pong"
+        for bad in ("/nope", "/ping/x"):
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}{bad}", timeout=10)
+                raise AssertionError(f"{bad} should 404")
+            except urllib.error.HTTPError as ex:
+                assert ex.code == 404
     finally:
         c.stop()
 
@@ -160,3 +176,31 @@ def test_cli_query_subcommands(spark, sf_dir, capsys):
     assert len(lines) == 2 and _json.loads(lines[0])["passed"] in (0, 1)
 
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_jdbc_upsert_writer_gate_and_delete_sql(spark):
+    """The literal Postgres path (reference db.clj:113-134) as code:
+    (a) the pure DELETE-statement builder chunks key lists and escapes
+    literals correctly; (b) without a JDBC driver on the classpath the
+    writer raises the actionable --packages gate (pinned both ways like
+    the Kinesis source gate — this env has no driver jar)."""
+    import pytest
+
+    from kinesis3_spark.sinks.jdbc import (
+        _delete_statements,
+        jdbc_upsert_batch_writer,
+    )
+
+    stmts = _delete_statements("events", "id", ["a", "o'k", 3, None], chunk=2)
+    assert stmts == [
+        "DELETE FROM events WHERE id IN ('a', 'o''k')",
+        "DELETE FROM events WHERE id IN (3, NULL)",
+    ]
+    assert _delete_statements("t", "id", []) == []
+
+    wb = jdbc_upsert_batch_writer(
+        "jdbc:postgresql://localhost/db", "events", key="id"
+    )
+    df = spark.createDataFrame([("x", 1)], "id string, v int")
+    with pytest.raises(NotImplementedError, match="--packages"):
+        wb(df, 0)
