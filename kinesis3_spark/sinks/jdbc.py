@@ -1,7 +1,8 @@
 """JDBC upsert sink — the reference's literal Postgres path (db.clj:
 113-134): each batch is applied as DELETE-the-batch's-keys followed by
-INSERT-the-batch (last-writer-wins at row granularity, the exact
-``upsert-records`` sequence the reference runs inside one transaction).
+INSERT-the-batch inside ONE transaction (last-writer-wins at row
+granularity, the exact ``upsert-records`` sequence the reference runs
+through clojure.java.jdbc's ``with-db-transaction``).
 
 This module closes the K3 parity gap the r10 verdict ranked #2: the
 upsert/MERGE/txn-table family covers the SEMANTICS, but a user pointing
@@ -14,13 +15,22 @@ classpath raises the exact spark-submit incantation. Everything
 upstream is sink-agnostic — swapping the collector's store sink for
 this is one ``foreachBatch`` argument.
 
-At scale the DELETE phase is driver-side metadata (one statement per
-key chunk over the batch's bounded key set — batches are micro-batch
-sized by definition), and the INSERT phase is Spark's parallel
-per-partition JDBC append; the transaction boundary is per-statement
-(the reference tolerates replayed duplicates via its unique-violation
-handling, db.clj:123-130 — here the DELETE makes replays structurally
-idempotent, the same argument as sinks/upsert.py)."""
+ATOMICITY: the whole batch runs on one driver-side java.sql connection
+with autocommit off — DELETE chunks, then a PreparedStatement
+executeBatch INSERT, then COMMIT (rollback on any error). A replayed
+micro-batch re-deletes its own previous insert before re-inserting;
+a crash anywhere before COMMIT leaves the table at the previous
+batch's state. (An earlier draft used Spark's parallel JDBC append for
+the INSERT phase — review r11 #1 killed it: a task-level retry after a
+committed per-partition transaction re-inserts that partition with no
+replay left to repair it. Single-transaction is also what the
+reference does.) The driver-side collect is bounded by definition —
+one micro-batch, the same unit the reference held in memory. At a
+scale where single-batch rows outgrow the driver, the right shape is
+per-partition writers with INSERT ... ON CONFLICT DO UPDATE (true
+row-level idempotence, no global transaction) — documented here as the
+upgrade path because this adapter's contract is collector-batch-sized.
+"""
 
 from __future__ import annotations
 
@@ -28,7 +38,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-_DEFAULT_CHUNK = 1000  # keys per DELETE statement (Postgres IN-list sane)
+_DEFAULT_CHUNK = 1000  # keys per DELETE / rows per INSERT executeBatch
 
 
 def _delete_statements(
@@ -54,6 +64,14 @@ def _delete_statements(
     ]
 
 
+def _insert_sql(table: str, columns: list[str]) -> str:
+    """INSERT INTO table (cols) VALUES (?, ...) — the PreparedStatement
+    template executeBatch fills per row. Pure function, unit-tested."""
+    cols = ", ".join(columns)
+    marks = ", ".join("?" for _ in columns)
+    return f"INSERT INTO {table} ({cols}) VALUES ({marks})"
+
+
 def jdbc_upsert_batch_writer(
     url: str,
     table: str,
@@ -63,18 +81,18 @@ def jdbc_upsert_batch_writer(
     chunk: int = _DEFAULT_CHUNK,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch(df, batch_id)`` callable implementing the
-    reference's delete-then-insert upsert against a JDBC database:
+    reference's transactional delete-then-insert upsert against a JDBC
+    database:
 
         (collector stream).writeStream.foreachBatch(
             jdbc_upsert_batch_writer("jdbc:postgresql://host/db",
                                      "events", key="id",
                                      properties={"user": ..., ...}))
 
-    Phase 1 collects the batch's key column (bounded: one micro-batch)
-    and issues chunked DELETEs through a driver-side java.sql
-    connection; phase 2 appends the batch via Spark's parallel JDBC
-    writer. A replayed batch deletes its own previous insert first —
-    idempotent without unique-violation handling."""
+    One connection, one transaction: chunked DELETEs of the batch's key
+    set, a batched PreparedStatement INSERT of the batch's rows, COMMIT
+    — rollback on any failure, so partial application is impossible and
+    replays are idempotent (module docstring)."""
     props = dict(properties or {})
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
@@ -89,24 +107,40 @@ def jdbc_upsert_batch_writer(
                 "--jars equivalent for your database) and re-start the "
                 "stream; the writer wiring is database-agnostic."
             ) from ex
-        keys = [r[0] for r in df.select(key).distinct().collect()]
-        if keys:
-            jprops = jvm.java.util.Properties()
-            for pk, pv in props.items():
-                jprops.setProperty(pk, str(pv))
-            conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
-            try:
-                st = conn.createStatement()
-                for sql in _delete_statements(table, key, keys, chunk):
-                    st.executeUpdate(sql)
-                st.close()
-            finally:
-                conn.close()
-        writer = df.write.mode("append").format("jdbc").option(
-            "url", url
-        ).option("dbtable", table).option("driver", driver)
+        rows = df.collect()  # bounded: one micro-batch (module docstring)
+        if not rows:
+            return
+        columns = df.columns
+        ki = columns.index(key)
+        jprops = jvm.java.util.Properties()
         for pk, pv in props.items():
-            writer = writer.option(pk, str(pv))
-        writer.save()
+            jprops.setProperty(pk, str(pv))
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            keys = sorted({r[ki] for r in rows}, key=lambda k: (k is None, k))
+            for sql in _delete_statements(table, key, keys, chunk):
+                st.executeUpdate(sql)
+            st.close()
+            ps = conn.prepareStatement(_insert_sql(table, columns))
+            pending = 0
+            for r in rows:
+                for j, v in enumerate(r):
+                    ps.setObject(j + 1, v)
+                ps.addBatch()
+                pending += 1
+                if pending >= chunk:
+                    ps.executeBatch()
+                    pending = 0
+            if pending:
+                ps.executeBatch()
+            ps.close()
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
 
     return write_batch

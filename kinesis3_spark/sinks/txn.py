@@ -581,6 +581,16 @@ _SUPPORTED_READER_FEATURES = frozenset(
 )
 
 
+class ProtocolUnsupported(ValueError):
+    """A manifest requires a reader version/feature this engine predates.
+
+    A DEDICATED subtype because several reader loops legitimately
+    `except ValueError` around read_manifest to mean "vacuum-reaped
+    history, skip it" — a protocol refusal caught by those handlers
+    would silently SKIP the epoch a newer writer committed instead of
+    surfacing it (review r11 #2); such loops re-raise this type."""
+
+
 def _required_reader_features(man: dict) -> list[str]:
     """The read-critical features this manifest's state USES (stamped at
     publish; also derivable from any legacy manifest for enforcement)."""
@@ -596,7 +606,7 @@ def _check_protocol(man: dict, path: str) -> None:
     proto = man.get("protocol") or {}
     ver = int(proto.get("min_reader_version", 1))
     if ver > _READER_VERSION:
-        raise ValueError(
+        raise ProtocolUnsupported(
             f"table {path} requires reader version {ver}; this engine "
             f"supports {_READER_VERSION} — upgrade before reading "
             "(Delta-style protocol gate: a newer writer committed a "
@@ -606,7 +616,7 @@ def _check_protocol(man: dict, path: str) -> None:
         _SUPPORTED_READER_FEATURES
     )
     if unknown:
-        raise ValueError(
+        raise ProtocolUnsupported(
             f"table {path} requires reader feature(s) {sorted(unknown)} "
             "this engine does not implement — refusing to read rather "
             "than misinterpret committed data"
@@ -960,8 +970,6 @@ def _publish_manifest(
             ),
         }
     payload = json.dumps(d, indent=1)
-    import fcntl
-
     # WRITER LEASE: held across the claim/swap window (and re-created
     # on every retry — the heartbeat), so a concurrent vacuum refuses
     # instead of reaping this writer's claim or versioned manifest
@@ -2189,6 +2197,8 @@ def table_history(path: str) -> list[dict]:
     for ep in range(cur["epoch"], 0, -1):
         try:
             m = cur if ep == cur["epoch"] else read_manifest(path, ep)
+        except ProtocolUnsupported:
+            raise  # future-writer epoch: surface, never truncate lineage
         except ValueError:
             break  # vacuumed below this epoch — history ends here
         op = dict(m.get("op") or {})
@@ -2321,6 +2331,8 @@ def vacuum_table(
         for v in range(keep_from - 1, 0, -1):
             try:
                 m = read_manifest(path, v)
+            except ProtocolUnsupported:
+                raise  # never shrink an SLA window on an unreadable epoch
             except ValueError:
                 break
             ts = ((m or {}).get("op") or {}).get("ts")
@@ -2332,6 +2344,11 @@ def vacuum_table(
     for e in range(keep_from, man["epoch"] + 1):
         try:
             m = read_manifest(path, e)
+        except ProtocolUnsupported:
+            # a retained epoch this engine cannot parse: skipping would
+            # classify its files as unreferenced and REAP committed data
+            # of a newer writer — refuse the whole vacuum instead
+            raise
         except ValueError:
             continue
         if m:
@@ -2352,6 +2369,8 @@ def vacuum_table(
     for e in range(1, keep_from):
         try:
             m = read_manifest(path, e)
+        except ProtocolUnsupported:
+            raise  # same reap hazard as the retained-epoch walk above
         except ValueError:
             continue
         if m:

@@ -45,7 +45,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..sinks.txn import read_manifest
+from ..sinks.txn import ProtocolUnsupported, read_manifest
 
 
 def _norm_path(options: dict) -> str:
@@ -421,6 +421,8 @@ class _TxnStreamReader(DataSourceStreamReader):
                 end, prev = ep, cur
             self._fs_cache = (end, prev)
             return end
+        except ProtocolUnsupported:
+            raise  # future-writer epoch in range: fail loudly, never skip
         except ValueError:
             return latest  # history outside retention: no diff to count
 
@@ -480,6 +482,11 @@ class _TxnStreamReader(DataSourceStreamReader):
             for ep in range(start["epoch"] + 1, end["epoch"] + 1):
                 try:
                     m = read_manifest(self.path, ep)
+                except ProtocolUnsupported:
+                    # review r11 #2: a protocol-refused epoch is NOT
+                    # reaped history — swallowing it would absorb a
+                    # rename committed by a newer writer
+                    raise
                 except ValueError:
                     continue  # reaped history: no mapping to compare
                 live = dict((m or {}).get("column_mapping") or {})

@@ -197,6 +197,11 @@ def test_jdbc_upsert_writer_gate_and_delete_sql(spark):
         "DELETE FROM events WHERE id IN (3, NULL)",
     ]
     assert _delete_statements("t", "id", []) == []
+    from kinesis3_spark.sinks.jdbc import _insert_sql
+
+    assert _insert_sql("events", ["id", "v"]) == (
+        "INSERT INTO events (id, v) VALUES (?, ?)"
+    )
 
     wb = jdbc_upsert_batch_writer(
         "jdbc:postgresql://localhost/db", "events", key="id"

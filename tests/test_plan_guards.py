@@ -189,17 +189,24 @@ def test_scale_lint_static_window_rule(tmp_path):
 
     (tmp_path / "planted.py").write_text(
         "from pyspark.sql.window import Window\n"
+        "from pyspark.sql.window import Window as W\n"
         "w1 = Window.partitionBy()\n"
         "w2 = Window.orderBy('x')\n"
         "w3 = Window.partitionBy('k').orderBy('x')\n"
         "# scale-ok: bounded top-100 input\n"
         "w4 = Window.orderBy('y')\n"
         "w5 = Window.partitionBy()  # scale-ok: |sources|-row rollup\n"
+        # frame-only specs and import aliases are the same global shape
+        "w6 = Window.rowsBetween(Window.unboundedPreceding, 0)\n"
+        "w7 = W.orderBy('z')\n"
+        "w8 = Window.partitionBy('k').rowsBetween(-3, 0)\n"
     )
     found = static_window_findings(str(tmp_path))
-    assert len(found) == 2
-    assert any(":2:" in f and "partitionBy" in f for f in found)
-    assert any(":3:" in f and "orderBy" in f for f in found)
+    assert len(found) == 4
+    assert any(":3:" in f and "partitionBy" in f for f in found)
+    assert any(":4:" in f and "orderBy" in f for f in found)
+    assert any(":9:" in f and "rowsBetween" in f for f in found)
+    assert any(":10:" in f and "orderBy" in f for f in found)
 
 
 def test_scale_lint_sweep_set_is_registry():

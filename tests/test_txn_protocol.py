@@ -102,3 +102,36 @@ def test_legacy_manifest_without_protocol_still_reads(spark, table):
     assert {r["id"] for r in T.read_snapshot(spark, table).collect()} == {
         "a", "b",
     }
+
+
+def test_protocol_refusal_is_not_swallowed_as_reaped_history(spark, table):
+    """Review r11 #2: several walks `except ValueError` around
+    read_manifest to mean 'vacuum-reaped, skip'. A protocol refusal is
+    a DEDICATED subtype those handlers re-raise — otherwise vacuum
+    would classify a future-writer epoch's files as unreferenced
+    garbage and REAP committed data, and history/stream walks would
+    silently skip the epoch."""
+    # second epoch, then stamp EPOCH 2's retained manifest with an
+    # unknown feature (epoch 3 = current stays readable)
+    T.append_snapshot(
+        _mk(spark, [("c", "g", 3)]).coalesce(1),
+        table, key="id", n_buckets=1,
+    )
+    T.append_snapshot(
+        _mk(spark, [("d", "g", 4)]).coalesce(1),
+        table, key="id", n_buckets=1,
+    )
+    vp = os.path.join(table, "_MANIFEST.v000002.json")
+    with open(vp) as fh:
+        man = json.load(fh)
+    man["protocol"]["reader_features"] = ["time_crystals"]
+    with open(vp, "w") as fh:
+        json.dump(man, fh, indent=1)
+
+    with pytest.raises(T.ProtocolUnsupported, match="time_crystals"):
+        T.table_history(table)
+    with pytest.raises(T.ProtocolUnsupported, match="time_crystals"):
+        T.vacuum_table(table, keep_epochs=2, dry_run=True)
+    # the current epoch itself stays readable — refusal is scoped to
+    # walks that must interpret the refused epoch
+    assert T.read_snapshot(spark, table).count() == 4

@@ -97,6 +97,15 @@ def static_window_findings(src_root: str | None = None) -> list[str]:
             continue
         lines = src.splitlines()
         tree = ast.parse(src)
+        # every local name the Window class is bound to in this file
+        # ("Window", plus any `import ... as W` alias — an alias must
+        # not dodge the rule)
+        window_names = {"Window"}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                for a in node.names:
+                    if a.name == "Window" and a.asname:
+                        window_names.add(a.asname)
         for node in ast.walk(tree):
             if not isinstance(node, ast.Call):
                 continue
@@ -104,17 +113,25 @@ def static_window_findings(src_root: str | None = None) -> list[str]:
             if not (
                 isinstance(fn, ast.Attribute)
                 and isinstance(fn.value, ast.Name)
-                and fn.value.id == "Window"
+                and fn.value.id in window_names
             ):
                 continue
+            # any spec STARTING with orderBy/rowsBetween/rangeBetween
+            # has an empty partition spec — all three class methods
+            # build a global window (frame-only specs included)
             global_spec = (
                 fn.attr == "partitionBy" and not node.args and not node.keywords
-            ) or fn.attr == "orderBy"
+            ) or fn.attr in ("orderBy", "rowsBetween", "rangeBetween")
             if not global_spec:
                 continue
             ln = node.lineno
-            context = " ".join(lines[max(0, ln - 2): ln])
-            if _WINDOW_PRAGMA in context:
+            # pragma scope: the call line itself, or a PURE COMMENT line
+            # directly above — a trailing pragma on the previous line
+            # belongs to THAT line's call and must not leak downward
+            above = lines[ln - 2].strip() if ln >= 2 else ""
+            if _WINDOW_PRAGMA in lines[ln - 1] or (
+                above.startswith("#") and _WINDOW_PRAGMA in above
+            ):
                 continue
             findings.append(
                 f"{p.relative_to(root.parent)}:{ln}: unpartitioned window "
