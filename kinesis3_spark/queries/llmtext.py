@@ -405,6 +405,7 @@ def llm_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 # one DuckDB superstep: pair-count v{r} -> argmax b{r} -> re-encode v{r+1}
+# (w rides along untouched so the encode query can compare before/after)
 _BPE_STEP_SQL = """
     p{r} AS (
       SELECT syms[i] || ' ' || syms[i + 1] AS pair,
@@ -417,24 +418,15 @@ _BPE_STEP_SQL = """
     ),
     b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
     v{nxt} AS (
-      SELECT replace(enc,
+      SELECT w,
+             replace(enc,
                      '(' || replace(pair, ' ', ')(') || ')',
                      '(' || replace(pair, ' ', '') || ')') AS enc, f
       FROM v{r}, b{r}
     )"""
 
-
-def _bpe_oracle() -> str:
-    steps = ",".join(
-        _BPE_STEP_SQL.format(r=r, nxt=r + 1)
-        for r in range(1, _BPE_ROUNDS + 1)
-    )
-    finals = "\n    UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_round, pair, n FROM b{r}"
-        for r in range(1, _BPE_ROUNDS + 1)
-    )
-    return f"""
-    WITH words AS (
+_BPE_BASE_CTES = f"""
+    words AS (
       SELECT unnest({_TOKS}) AS w FROM documents
     ),
     freq AS (
@@ -443,9 +435,25 @@ def _bpe_oracle() -> str:
       GROUP BY w
     ),
     v1 AS (
-      SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, f FROM freq
-    ),
-    {steps}
+      SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, f FROM freq
+    )"""
+
+
+def _bpe_steps_sql() -> str:
+    return ",".join(
+        _BPE_STEP_SQL.format(r=r, nxt=r + 1)
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+
+
+def _bpe_oracle() -> str:
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, pair, n FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_BPE_BASE_CTES},
+    {_bpe_steps_sql()}
     {finals}
     """
 
@@ -481,18 +489,32 @@ def llm_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect discipline). The merge itself never shuffles: a projected
     replace() on the cached table. The DuckDB oracle is the identical
     unrolled CTE chain."""
+    _final, merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_round bigint, pair string, n bigint"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> tuple[DataFrame, list[tuple[int, str, int]]]:
+    """The shared training loop: returns (final vocab DataFrame with
+    columns (w, enc, f) — every merge applied to `enc` — and the merge
+    list [(round, pair, n)]). One definition for the merge-sequence
+    query and the corpus-encode query, so tie-break/guard semantics
+    cannot drift between them."""
     d = _t(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
         .where((F.length("w") >= 2) & F.col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w")
         .agg(F.count("*").alias("f"))
-        .select(F.regexp_replace("w", "(.)", r"($1)").alias("enc"), "f")
+        .select("w", F.regexp_replace("w", "(.)", r"($1)").alias("enc"), "f")
         .cache()
     )
-    rows: list[tuple[int, str, int]] = []
+    merges: list[tuple[int, str, int]] = []
     cur = vocab
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pairs = (
             cur.select(
                 F.split(
@@ -512,12 +534,75 @@ def llm_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not best:
             break  # vocabulary fully merged before N rounds
         pair, n = best[0]["pair"], best[0]["n"]
-        rows.append((r, pair, int(n)))
+        merges.append((r, pair, int(n)))
         a, b = pair.split(" ")
         # a, b are ^[a-z0-9]+$ by the vocab filter — safe literal inline
         cur = cur.withColumn(
             "enc", F.expr(f"replace(enc, '({a})({b})', '({a}{b})')")
         )
-    return spark.createDataFrame(
-        rows, "merge_round bigint, pair string, n bigint"
+    return cur, merges
+
+
+@query(
+    "llm_bpe_encode_corpus",
+    oracle=f"""
+    WITH {_BPE_BASE_CTES},
+    {_bpe_steps_sql()}
+    , final AS (
+      SELECT w, f,
+             string_split(substr(enc, 2, length(enc) - 2), ')(') AS syms
+      FROM v{_BPE_ROUNDS + 1}
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_words,
+             CAST(sum(f) AS BIGINT) AS word_occurrences,
+             CAST(sum(f * length(w)) AS BIGINT) AS symbols_before,
+             CAST(sum(f * len(syms)) AS BIGINT) AS symbols_after
+      FROM final
+    ),
+    va AS (
+      SELECT count(DISTINCT s)::BIGINT AS vocab_after
+      FROM (SELECT unnest(syms) AS s FROM final)
+    )
+    SELECT n_words, word_occurrences, symbols_before, symbols_after,
+           CAST({_BPE_ROUNDS} AS BIGINT) AS merges_applied, vocab_after
+    FROM stats, va
+    """,
+)
+def llm_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained tokenizer — the consumer half of the BPE
+    story (train -> apply): run the merge loop, then measure what the
+    learned merges buy on the corpus itself: total symbol count before
+    (characters — the initial symbol per char) vs after all merges,
+    weighted by word frequency, plus the resulting symbol-vocabulary
+    size. symbols_after / symbols_before is the compression the
+    tokenizer achieves at this vocab size — the curve tokenizer
+    training sweeps. All integers, both engines exact.
+
+    Scale: training as in llm_bpe_merge_loop (cached |vocab|-row table,
+    one bounded argmax per round); encoding adds ONE aggregate over the
+    same cache plus a distinct-symbol count (explode over |vocab| rows
+    — symbol space, never the corpus)."""
+    final, merges = _bpe_train(spark, sf_dir)
+    syms = final.select(
+        "w", "f",
+        F.split(
+            F.expr("substring(enc, 2, length(enc) - 2)"), r"\)\("
+        ).alias("syms"),
+    )
+    stats = syms.agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("f").cast("bigint").alias("word_occurrences"),
+        F.sum(F.col("f") * F.length("w")).cast("bigint")
+        .alias("symbols_before"),
+        F.sum(F.col("f") * F.size("syms")).cast("bigint")
+        .alias("symbols_after"),
+    )
+    va = syms.select(F.explode("syms").alias("s")).agg(
+        F.countDistinct("s").cast("bigint").alias("vocab_after")
+    )
+    return stats.crossJoin(F.broadcast(va)).select(
+        "n_words", "word_occurrences", "symbols_before", "symbols_after",
+        F.lit(len(merges)).cast("bigint").alias("merges_applied"),
+        "vocab_after",
     )

@@ -70,3 +70,18 @@ def test_bpe_loop_stops_when_vocabulary_fully_merges(spark, tmp_path):
         for r in QUERIES["llm_bpe_merge_loop"](spark, sf).collect()
     ]
     assert got == [(1, "a b", 3)]
+
+
+def test_bpe_encode_corpus_counts(spark, tmp_path):
+    """Encode stats on the planted corpus: 'abab' x3 + 'abc' x2, after
+    merges (a,b), (ab,ab), (ab,c):
+      abab -> (abab): 1 symbol (was 4 chars);  abc -> (abc): 1 (was 3)
+    symbols_before = 3*4 + 2*3 = 18; symbols_after = 3 + 2 = 5;
+    vocab_after = {abab, abc} = 2."""
+    sf = _plant(tmp_path, ["abab abab", "abab", "abc abc"])
+    rows = QUERIES["llm_bpe_encode_corpus"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_words"], r["word_occurrences"]) == (2, 5)
+    assert (r["symbols_before"], r["symbols_after"]) == (18, 5)
+    assert (r["merges_applied"], r["vocab_after"]) == (3, 2)
