@@ -405,7 +405,13 @@ def llm_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 # one DuckDB superstep: pair-count v{r} -> argmax b{r} -> re-encode v{r+1}
-# (w rides along untouched so the encode query can compare before/after)
+# (w rides along untouched so the encode query can compare before/after).
+# s{r} is the EARLY-STOP sentinel (review r11-2nd #2): when the
+# vocabulary fully merges before round r, b{r} is empty and a bare
+# CROSS JOIN would empty the whole v-chain — the scalar-subquery
+# coalesce keeps exactly one row with pair = '', whose pattern '()()'
+# can never occur in an encoding (symbols are non-empty), so the round
+# is a no-op exactly like the Spark side's loop break.
 _BPE_STEP_SQL = """
     p{r} AS (
       SELECT syms[i] || ' ' || syms[i + 1] AS pair,
@@ -417,12 +423,13 @@ _BPE_STEP_SQL = """
       GROUP BY 1
     ),
     b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+    s{r} AS (SELECT coalesce((SELECT pair FROM b{r}), '') AS pair),
     v{nxt} AS (
       SELECT w,
              replace(enc,
-                     '(' || replace(pair, ' ', ')(') || ')',
-                     '(' || replace(pair, ' ', '') || ')') AS enc, f
-      FROM v{r}, b{r}
+                     '(' || replace(s.pair, ' ', ')(') || ')',
+                     '(' || replace(s.pair, ' ', '') || ')') AS enc, f
+      FROM v{r}, s{r} s
     )"""
 
 _BPE_BASE_CTES = f"""
@@ -565,7 +572,12 @@ def _bpe_train(
       FROM (SELECT unnest(syms) AS s FROM final)
     )
     SELECT n_words, word_occurrences, symbols_before, symbols_after,
-           CAST({_BPE_ROUNDS} AS BIGINT) AS merges_applied, vocab_after
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              {' UNION ALL '.join(
+                  f'SELECT pair FROM b{r}'
+                  for r in range(1, _BPE_ROUNDS + 1))}
+           )) AS merges_applied,
+           vocab_after
     FROM stats, va
     """,
 )

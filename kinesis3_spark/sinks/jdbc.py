@@ -16,60 +16,92 @@ upstream is sink-agnostic — swapping the collector's store sink for
 this is one ``foreachBatch`` argument.
 
 ATOMICITY: the whole batch runs on one driver-side java.sql connection
-with autocommit off — DELETE chunks, then a PreparedStatement
-executeBatch INSERT, then COMMIT (rollback on any error). A replayed
-micro-batch re-deletes its own previous insert before re-inserting;
-a crash anywhere before COMMIT leaves the table at the previous
-batch's state. (An earlier draft used Spark's parallel JDBC append for
-the INSERT phase — review r11 #1 killed it: a task-level retry after a
-committed per-partition transaction re-inserts that partition with no
-replay left to repair it. Single-transaction is also what the
-reference does.) The driver-side collect is bounded by definition —
-one micro-batch, the same unit the reference held in memory. At a
-scale where single-batch rows outgrow the driver, the right shape is
-per-partition writers with INSERT ... ON CONFLICT DO UPDATE (true
-row-level idempotence, no global transaction) — documented here as the
-upgrade path because this adapter's contract is collector-batch-sized.
+with autocommit off — chunked DELETE statements, chunked multi-row
+INSERT statements, COMMIT (rollback on any error). A replayed
+micro-batch re-deletes its own previous insert before re-inserting; a
+crash anywhere before COMMIT leaves the table at the previous batch's
+state. Two review passes shaped this: Spark's parallel JDBC append was
+NOT replay-idempotent under task-level retry (a committed-then-retried
+partition double-inserts with no replay left to repair it — r11 #1),
+and a PreparedStatement filled per-cell through py4j both crashed on
+datetime values (py4j cannot serialize them) and paid rows x cols
+blocking JVM round-trips (r11-2nd #1/#3) — so both phases RENDER SQL
+text in Python (one py4j call per chunk) with an explicit typed-literal
+renderer. NULL keys are REFUSED up front: NULL never matches a DELETE
+IN-list, so a replayed NULL-keyed row would duplicate — the reference's
+id column is NOT NULL and this adapter keeps that contract explicit.
+
+The driver-side collect is bounded by definition — one micro-batch, the
+same unit the reference held in memory. At a scale where single-batch
+rows outgrow the driver, the right shape is per-partition writers with
+INSERT ... ON CONFLICT DO UPDATE (true row-level idempotence, no global
+transaction) — documented as the upgrade path because this adapter's
+contract is collector-batch-sized.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
-_DEFAULT_CHUNK = 1000  # keys per DELETE / rows per INSERT executeBatch
+_DEFAULT_CHUNK = 1000  # keys per DELETE / rows per multi-row INSERT
+
+
+def _sql_literal(v) -> str:
+    """Render one Python value as an ANSI SQL literal. Typed and closed:
+    anything outside the supported scalar set raises (arrays/structs/
+    binary need database-specific syntax this adapter does not guess)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, _decimal.Decimal)):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise TypeError(
+        f"jdbc upsert sink cannot render {type(v).__name__} as a SQL "
+        "literal (supported: NULL, bool, int, float, Decimal, datetime, "
+        "date, str)"
+    )
 
 
 def _delete_statements(
     table: str, key: str, keys: list, chunk: int = _DEFAULT_CHUNK
 ) -> list[str]:
     """The DELETE ... WHERE key IN (...) statements for one batch's key
-    set, chunked so no statement's IN-list grows unbounded. Keys render
-    as SQL literals: strings quote-escaped, numbers verbatim, None as
-    NULL-safe no-op (NULL never matches an IN-list; the reference's id
-    column is NOT NULL). Pure function — unit-tested without a
-    database."""
-    def lit(k) -> str:
-        if k is None:
-            return "NULL"
-        if isinstance(k, (int, float)):
-            return str(k)
-        return "'" + str(k).replace("'", "''") + "'"
-
+    set, chunked so no statement's IN-list grows unbounded. Pure
+    function — unit-tested without a database. (NULL keys never reach
+    here: write_batch refuses them up front, module docstring.)"""
     return [
         f"DELETE FROM {table} WHERE {key} IN "
-        f"({', '.join(lit(k) for k in keys[i:i + chunk])})"
+        f"({', '.join(_sql_literal(k) for k in keys[i:i + chunk])})"
         for i in range(0, len(keys), chunk)
     ]
 
 
-def _insert_sql(table: str, columns: list[str]) -> str:
-    """INSERT INTO table (cols) VALUES (?, ...) — the PreparedStatement
-    template executeBatch fills per row. Pure function, unit-tested."""
+def _insert_statements(
+    table: str, columns: list[str], rows: list, chunk: int = _DEFAULT_CHUNK
+) -> list[str]:
+    """Chunked multi-row INSERT statements with typed literals — the
+    whole batch crosses the py4j bridge as O(rows/chunk) strings, never
+    one call per cell. Pure function — unit-tested."""
     cols = ", ".join(columns)
-    marks = ", ".join("?" for _ in columns)
-    return f"INSERT INTO {table} ({cols}) VALUES ({marks})"
+    return [
+        f"INSERT INTO {table} ({cols}) VALUES "
+        + ", ".join(
+            "(" + ", ".join(_sql_literal(v) for v in r) + ")"
+            for r in rows[i:i + chunk]
+        )
+        for i in range(0, len(rows), chunk)
+    ]
 
 
 def jdbc_upsert_batch_writer(
@@ -90,13 +122,29 @@ def jdbc_upsert_batch_writer(
                                      properties={"user": ..., ...}))
 
     One connection, one transaction: chunked DELETEs of the batch's key
-    set, a batched PreparedStatement INSERT of the batch's rows, COMMIT
-    — rollback on any failure, so partial application is impossible and
-    replays are idempotent (module docstring)."""
+    set, chunked multi-row INSERTs, COMMIT — rollback on any failure,
+    so partial application is impossible and replays of non-NULL-keyed
+    batches are idempotent (NULL keys are refused; module docstring)."""
     props = dict(properties or {})
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
+        rows = df.collect()  # bounded: one micro-batch (module docstring)
+        if not rows:
+            return
+        columns = df.columns
+        ki = columns.index(key)
+        keys = {r[ki] for r in rows}
+        # data contract BEFORE the driver gate: bad data is refused even
+        # in environments where the driver never loads (also what makes
+        # this branch testable in the jar-less sandbox)
+        if None in keys:
+            raise ValueError(
+                f"jdbc upsert sink: NULL values in key column {key!r} — "
+                "NULL never matches the DELETE IN-list, so replayed "
+                "batches would duplicate those rows; filter or key them "
+                "upstream (the reference's id column is NOT NULL)"
+            )
         jvm = spark._sc._jvm  # noqa: SLF001 (py4j bridge is the API here)
         try:
             jvm.java.lang.Class.forName(driver)
@@ -107,11 +155,6 @@ def jdbc_upsert_batch_writer(
                 "--jars equivalent for your database) and re-start the "
                 "stream; the writer wiring is database-agnostic."
             ) from ex
-        rows = df.collect()  # bounded: one micro-batch (module docstring)
-        if not rows:
-            return
-        columns = df.columns
-        ki = columns.index(key)
         jprops = jvm.java.util.Properties()
         for pk, pv in props.items():
             jprops.setProperty(pk, str(pv))
@@ -119,26 +162,18 @@ def jdbc_upsert_batch_writer(
         try:
             conn.setAutoCommit(False)
             st = conn.createStatement()
-            keys = sorted({r[ki] for r in rows}, key=lambda k: (k is None, k))
-            for sql in _delete_statements(table, key, keys, chunk):
+            for sql in _delete_statements(table, key, sorted(keys), chunk):
+                st.executeUpdate(sql)
+            for sql in _insert_statements(table, columns, rows, chunk):
                 st.executeUpdate(sql)
             st.close()
-            ps = conn.prepareStatement(_insert_sql(table, columns))
-            pending = 0
-            for r in rows:
-                for j, v in enumerate(r):
-                    ps.setObject(j + 1, v)
-                ps.addBatch()
-                pending += 1
-                if pending >= chunk:
-                    ps.executeBatch()
-                    pending = 0
-            if pending:
-                ps.executeBatch()
-            ps.close()
             conn.commit()
         except Exception:
-            conn.rollback()
+            try:
+                conn.rollback()
+            except Exception:
+                pass  # dead connection: teardown discards the txn; the
+                # ORIGINAL failure must stay the propagated exception
             raise
         finally:
             conn.close()

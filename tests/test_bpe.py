@@ -85,3 +85,32 @@ def test_bpe_encode_corpus_counts(spark, tmp_path):
     assert (r["n_words"], r["word_occurrences"]) == (2, 5)
     assert (r["symbols_before"], r["symbols_after"]) == (18, 5)
     assert (r["merges_applied"], r["vocab_after"]) == (3, 2)
+
+
+def test_bpe_oracles_match_spark_on_early_collapse(spark, tmp_path):
+    """Review r11-2nd #2: the DuckDB oracles must agree with Spark even
+    when the vocabulary fully merges before N rounds — the sentinel
+    no-op round (pair = '', pattern '()()' unmatched) keeps the CTE
+    chain alive where a bare CROSS JOIN against an empty argmax would
+    empty it. Pins BOTH oracles against both queries on the collapsing
+    corpus, value-for-value."""
+    import duckdb
+
+    from kinesis3_spark.queries import ORACLE
+
+    sf = _plant(tmp_path, ["ab ab ab"])
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    for name in ("llm_bpe_merge_loop", "llm_bpe_encode_corpus"):
+        s = QUERIES[name](spark, sf).toPandas()
+        d = con.sql(ORACLE[name]).df()
+        cols = sorted(s.columns)
+        assert cols == sorted(d.columns), name
+        got = sorted(map(tuple, s[cols].astype(str).values.tolist()))
+        want = sorted(map(tuple, d[cols].astype(str).values.tolist()))
+        assert got == want, (name, got, want)
+    enc = QUERIES["llm_bpe_encode_corpus"](spark, sf).collect()[0]
+    assert (enc["merges_applied"], enc["symbols_after"]) == (1, 3)

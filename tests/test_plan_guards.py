@@ -196,17 +196,24 @@ def test_scale_lint_static_window_rule(tmp_path):
         "# scale-ok: bounded top-100 input\n"
         "w4 = Window.orderBy('y')\n"
         "w5 = Window.partitionBy()  # scale-ok: |sources|-row rollup\n"
-        # frame-only specs and import aliases are the same global shape
+        # frame-only specs and EVERY alias form are the same global
+        # shape: from-import alias, module-import alias, assignment
         "w6 = Window.rowsBetween(Window.unboundedPreceding, 0)\n"
         "w7 = W.orderBy('z')\n"
         "w8 = Window.partitionBy('k').rowsBetween(-3, 0)\n"
+        "import pyspark.sql.window as winmod\n"
+        "w9 = winmod.Window.orderBy('m')\n"
+        "Alias = Window\n"
+        "w10 = Alias.partitionBy()\n"
     )
     found = static_window_findings(str(tmp_path))
-    assert len(found) == 4
+    assert len(found) == 6
     assert any(":3:" in f and "partitionBy" in f for f in found)
     assert any(":4:" in f and "orderBy" in f for f in found)
     assert any(":9:" in f and "rowsBetween" in f for f in found)
     assert any(":10:" in f and "orderBy" in f for f in found)
+    assert any(":13:" in f and "orderBy" in f for f in found)
+    assert any(":15:" in f and "partitionBy" in f for f in found)
 
 
 def test_scale_lint_sweep_set_is_registry():

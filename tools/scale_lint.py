@@ -97,23 +97,55 @@ def static_window_findings(src_root: str | None = None) -> list[str]:
             continue
         lines = src.splitlines()
         tree = ast.parse(src)
-        # every local name the Window class is bound to in this file
-        # ("Window", plus any `import ... as W` alias — an alias must
-        # not dodge the rule)
+        # every local name the Window class is bound to in this file:
+        # "Window", `from ... import Window as W`, `W = Window`
+        # assignment aliases, and `import pyspark.sql.window as m`
+        # module aliases (reached as m.Window.<spec>) — review r11-2nd
+        # #4: any alias form must not dodge the rule
         window_names = {"Window"}
+        module_names = set()
         for node in ast.walk(tree):
             if isinstance(node, ast.ImportFrom):
                 for a in node.names:
                     if a.name == "Window" and a.asname:
                         window_names.add(a.asname)
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name == "pyspark.sql.window":
+                        module_names.add(a.asname or "pyspark.sql.window")
+            elif isinstance(node, ast.Assign) and isinstance(
+                node.value, ast.Name
+            ):
+                for tgt in node.targets:
+                    if (
+                        isinstance(tgt, ast.Name)
+                        and node.value.id in window_names
+                    ):
+                        window_names.add(tgt.id)
+
+        def _is_window_ref(expr) -> bool:
+            # Window / W  (direct or assignment alias)
+            if isinstance(expr, ast.Name) and expr.id in window_names:
+                return True
+            # m.Window / pyspark.sql.window.Window (module alias; the
+            # dotted module path parses as nested Attributes)
+            if isinstance(expr, ast.Attribute) and expr.attr == "Window":
+                parts = []
+                v = expr.value
+                while isinstance(v, ast.Attribute):
+                    parts.append(v.attr)
+                    v = v.value
+                if isinstance(v, ast.Name):
+                    parts.append(v.id)
+                    return ".".join(reversed(parts)) in module_names
+            return False
+
         for node in ast.walk(tree):
             if not isinstance(node, ast.Call):
                 continue
             fn = node.func
             if not (
-                isinstance(fn, ast.Attribute)
-                and isinstance(fn.value, ast.Name)
-                and fn.value.id in window_names
+                isinstance(fn, ast.Attribute) and _is_window_ref(fn.value)
             ):
                 continue
             # any spec STARTING with orderBy/rowsBetween/rangeBetween
