@@ -740,9 +740,11 @@ def topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus scan — at 100 TB the corpus is bucketed by id and this
     is the point-lookup tier. The brute truth pass is the OFFLINE audit
     component, present because the recall claim is the product. Since
-    r10 the probed index carries its codebook sidecar (_INDEX_META.json)
-    — this note re-fronts the query for official re-certification on
-    the sidecar-writing path."""
+    r11 the rerank operator carries the pair_predicate/carry
+    post-filter stage (ANN hard-negative mining rides it; this path
+    runs with both defaulted — identical plan) — this note re-fronts
+    the query for official re-certification on the extended
+    operator."""
     emb = _t(spark, sf_dir, "embeddings")
     qset = _query_set(spark, sf_dir)
     C, books, path = _ivfpq_persisted_index(spark, sf_dir)
