@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.text import ngram_hashes, tokenize
 from .decontam import _DUCK_TOKS
 from .relational import _t
-from . import query
+from . import ORACLE, query
 
 # BM25 free parameters (the Robertson defaults used by Lucene).
 _K1 = 1.2
@@ -509,6 +509,96 @@ def llm_exact_substring_incremental(
     )
     return (
         cleaned.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_tokens_removed") > 0).cast("int"))
+            .cast("bigint").alias("docs_affected"),
+            F.sum("n_spans").cast("bigint").alias("spans_total"),
+            F.sum("n_tokens_removed").cast("bigint")
+            .alias("tokens_removed"),
+            F.sum(portable_hash60(F.col("clean_text")) % 1_000_000_000)
+            .cast("bigint").alias("clean_sig"),
+        )
+        .orderBy("source")
+    )
+
+
+# one materialization per sf_dir: the streaming drain writes its cleaned
+# batches once; re-runs read the parquet back (the _REWRITE_CACHE shape —
+# every availableNow drain goes through await_or_raise, never a partial)
+_STREAM_ES_CACHE: dict[str, str] = {}
+
+
+def _stream_es_materialize(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from .. import tmpdirs
+    from ..operators.dedup import decontaminate_spans
+    from ..streaming import stream_documents
+    from ..streaming.run import await_or_raise
+
+    path = _STREAM_ES_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    out = tmpdirs.mkdtemp(prefix="k3s_stream_es_") + "/cleaned"
+    ck = tmpdirs.mkdtemp(prefix="k3s_stream_es_ck_")
+    hist = spark.table(bucketed_gram_index(spark, sf_dir))
+
+    def cut_batch(bdf, batch_id: int) -> None:
+        cleaned = decontaminate_spans(
+            bdf.where(F.col("source") != "src0"), hist, k=_ES_K
+        )
+        (
+            cleaned.select(
+                "doc_id", "source", "clean_text", "n_spans",
+                "n_tokens_removed",
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream_documents(spark, sf_dir)
+        .writeStream.foreachBatch(cut_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    _STREAM_ES_CACHE[sf_dir] = out
+    return out
+
+
+@query(
+    "stream_exact_substring_ingest",
+    oracle=ORACLE["llm_exact_substring_incremental"],
+)
+def stream_exact_substring_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ExactSubstr as a REAL STREAMING ingest job — the
+    word 'streaming' in VERDICT r10 agenda #4 made literal: new corpus
+    shards stream in (file source), and each micro-batch's duplicated-
+    against-history spans are cut in foreachBatch via the same
+    decontaminate_spans machinery against the same bucketed src0 gram
+    index, cleaned batches appended to the silver corpus. Because a
+    document's cut depends ONLY on the static history index — never on
+    its co-batched neighbors (batch-internal dups deliberately survive,
+    the incremental contract) — the result is batch-split-invariant,
+    which is what makes the batch query's oracle THIS query's oracle
+    verbatim: same per-source rollup, same byte-exact clean_sig.
+
+    Scale: per micro-batch cost is the incremental query's (batch gh
+    shuffle + doc merge + broadcast span cut; zero-Exchange history
+    side); state is NONE (no streaming aggregation — the cut is
+    stateless given the index), so the job runs forever at constant
+    memory. The checkpointed file source gives exactly-once per
+    shard."""
+    from ..operators.dedup import portable_hash60
+
+    out = spark.read.parquet(_stream_es_materialize(spark, sf_dir))
+    return (
+        out.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum((F.col("n_tokens_removed") > 0).cast("int"))
