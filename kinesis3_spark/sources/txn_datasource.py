@@ -642,16 +642,43 @@ class _TxnWriter(DataSourceWriter):
         if man is not None and (
             man.get("column_mapping") or man.get("dropped_cols")
         ):
-            # the writer speaks the table's logical names but stages
-            # files under the incoming schema verbatim; without the
-            # logical->physical translation a write would fork renamed
-            # columns into phantom physical twins — refuse loudly
-            # (read path: the same guard on _TxnBatchReader)
-            raise ValueError(
-                f"txntable writer does not support column-mapped tables "
-                f"yet (renamed/dropped columns at {self.path}); write "
-                "through append_snapshot/upsert_manifest_txn instead"
+            # COLUMN-MAPPED TABLES (refusal lifted r11): callers speak
+            # logical names; staged files must store PHYSICAL names
+            # (the read side presents logical via the manifest mapping)
+            # — the same logical->physical discipline as commit_snapshot
+            # (sinks/txn.py:807-824), including both its guards.
+            cmap = dict(man.get("column_mapping") or {})
+            dropped = set(man.get("dropped_cols") or [])
+            incoming = [f.name for f in schema.fields]
+            hijack = (set(incoming) - set(cmap)) & set(cmap.values())
+            if hijack:
+                raise ValueError(
+                    f"column name(s) {sorted(hijack)} are the PHYSICAL "
+                    "storage of renamed columns; a new logical column "
+                    "under a renamed-away name would silently alias onto "
+                    "the renamed column's data (pick another name, or "
+                    "rename the column back first)"
+                )
+            reused = {cmap.get(c, c) for c in incoming} & dropped
+            if reused:
+                raise ValueError(
+                    f"column name(s) {sorted(reused)} were DROPPED from "
+                    "this table; re-adding a dropped physical name would "
+                    "resurrect old files' data under it (needs a full "
+                    "rewrite/vacuum of history first)"
+                )
+            from pyspark.sql.types import StructField
+
+            schema = StructType(
+                [
+                    StructField(
+                        cmap.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
             )
+            self.schema_json = json.dumps(json.loads(schema.json()))
+            self.key = cmap.get(self.key, self.key)
         if man is not None and (man.get("generated_cols") or {}):
             # generated columns are computed/validated with distributed
             # SQL expressions at commit; the DS writer stages raw rows

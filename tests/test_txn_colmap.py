@@ -211,16 +211,46 @@ def test_cdf_across_drop_epoch_is_empty(spark, table):
     assert T.table_changes(spark, table, ep0, ep1, key="id").count() == 0
 
 
-def test_ds_writer_refuses_and_stream_handles_mapped_tables(spark, table):
+def test_ds_writer_translates_and_stream_handles_mapped_tables(spark, table):
     T.rename_column(table, "val", "amount")
     from kinesis3_spark.sources.txn_datasource import (
+        TxnTableDataSource,
         _TxnStreamReader,
         _TxnWriter,
     )
     from pyspark.sql.types import StructType
 
-    with pytest.raises(ValueError, match="column-mapped"):
-        _TxnWriter({"path": table}, StructType([]), overwrite=False)
+    # r11 lift of the r8 refusal: the DS writer speaks LOGICAL names and
+    # stages PHYSICAL files (commit_snapshot's discipline), so a write
+    # through Spark's writer path round-trips on a renamed table
+    spark.dataSource.register(TxnTableDataSource)
+    (
+        spark.createDataFrame([(100, 999, 1)], "id long, amount long, grp long")
+        .coalesce(1)
+        .write.format("txntable")
+        .mode("append")
+        .option("key", "id")
+        .save(table)
+    )
+    got = T.read_snapshot(spark, table)
+    assert set(got.columns) == {"id", "amount", "grp"}
+    assert got.where(F.col("id") == 100).first()["amount"] == 999
+    # files on disk store the PHYSICAL name (val), never the logical
+    man = T.read_manifest(table)
+    newest = [e["path"] for e in man["files"] if "snap-000000-" in e["path"]]
+    assert newest
+    import pyarrow.parquet as pq
+
+    cols = pq.read_schema(os.path.join(table, newest[0])).names
+    assert "val" in cols and "amount" not in cols
+    # commit_snapshot's guards carry over: physical-name hijack and
+    # dropped-name reuse refuse loudly
+    with pytest.raises(ValueError, match="PHYSICAL storage"):
+        _TxnWriter(
+            {"path": table},
+            StructType.fromDDL("id long, val long"),
+            overwrite=False,
+        )
     # a mapping CONSTANT across the streamed range (renamed before the
     # stream started) — per-batch translation applies
     sr = _TxnStreamReader({"path": table}, "{}")
