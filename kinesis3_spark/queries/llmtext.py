@@ -409,9 +409,10 @@ _BPE_ROUNDS = 3
 # s{r} is the EARLY-STOP sentinel (review r11-2nd #2): when the
 # vocabulary fully merges before round r, b{r} is empty and a bare
 # CROSS JOIN would empty the whole v-chain — the scalar-subquery
-# coalesce keeps exactly one row with pair = '', whose pattern '()()'
-# can never occur in an encoding (symbols are non-empty), so the round
-# is a no-op exactly like the Spark side's loop break.
+# coalesce keeps exactly one row with pair = '', for which pattern AND
+# replacement both render as '()' (an IDENTITY replace — the no-op is
+# pattern == replacement, not pattern non-occurrence), so the round
+# changes nothing, exactly like the Spark side's loop break.
 _BPE_STEP_SQL = """
     p{r} AS (
       SELECT syms[i] || ' ' || syms[i + 1] AS pair,

@@ -349,10 +349,23 @@ def llm_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: 2 keyed long-shuffles for span discovery + one broadcast-
     size span join for removal (operator docstring); the final rollup
     is a map-side-combined groupBy(source)."""
-    from ..operators.dedup import exact_substring_dedup, portable_hash60
+    from ..operators.dedup import exact_substring_dedup
 
     d = _t(spark, sf_dir, "documents")
     cleaned = exact_substring_dedup(d, k=_ES_K)
+    return _es_rollup(cleaned)
+
+
+
+def _es_rollup(cleaned: DataFrame) -> DataFrame:
+    """The per-source ExactSubstr removal rollup SHARED by the corpus
+    self-dedup query, the batch incremental query, and its streaming
+    twin (review r11-3rd #6: the incremental/streaming pair's byte-exact
+    agreement IS the certification contract — one definition makes
+    drift structurally impossible). clean_sig is the commutative
+    portable-hash set signature of every rebuilt text."""
+    from ..operators.dedup import portable_hash60
+
     return (
         cleaned.groupBy("source")
         .agg(
@@ -500,27 +513,14 @@ def llm_exact_substring_incremental(
     broadcast span join. The per-source rollup's clean_sig (commutative
     portable-hash of every rebuilt text) pins the removal byte-exact
     against the oracle's independent string-gram rebuild."""
-    from ..operators.dedup import decontaminate_spans, portable_hash60
+    from ..operators.dedup import decontaminate_spans
 
     d = _t(spark, sf_dir, "documents")
     hist = spark.table(bucketed_gram_index(spark, sf_dir))
     cleaned = decontaminate_spans(
         d.where(F.col("source") != "src0"), hist, k=_ES_K
     )
-    return (
-        cleaned.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum((F.col("n_tokens_removed") > 0).cast("int"))
-            .cast("bigint").alias("docs_affected"),
-            F.sum("n_spans").cast("bigint").alias("spans_total"),
-            F.sum("n_tokens_removed").cast("bigint")
-            .alias("tokens_removed"),
-            F.sum(portable_hash60(F.col("clean_text")) % 1_000_000_000)
-            .cast("bigint").alias("clean_sig"),
-        )
-        .orderBy("source")
-    )
+    return _es_rollup(cleaned)
 
 
 # one materialization per sf_dir: the streaming drain writes its cleaned
@@ -594,20 +594,5 @@ def stream_exact_substring_ingest(
     stateless given the index), so the job runs forever at constant
     memory. The checkpointed file source gives exactly-once per
     shard."""
-    from ..operators.dedup import portable_hash60
-
     out = spark.read.parquet(_stream_es_materialize(spark, sf_dir))
-    return (
-        out.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum((F.col("n_tokens_removed") > 0).cast("int"))
-            .cast("bigint").alias("docs_affected"),
-            F.sum("n_spans").cast("bigint").alias("spans_total"),
-            F.sum("n_tokens_removed").cast("bigint")
-            .alias("tokens_removed"),
-            F.sum(portable_hash60(F.col("clean_text")) % 1_000_000_000)
-            .cast("bigint").alias("clean_sig"),
-        )
-        .orderBy("source")
-    )
+    return _es_rollup(out)

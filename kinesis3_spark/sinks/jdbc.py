@@ -53,14 +53,41 @@ _DEFAULT_CHUNK = 1000  # keys per DELETE / rows per multi-row INSERT
 def _sql_literal(v) -> str:
     """Render one Python value as an ANSI SQL literal. Typed and closed:
     anything outside the supported scalar set raises (arrays/structs/
-    binary need database-specific syntax this adapter does not guess)."""
+    binary need database-specific syntax this adapter does not guess).
+
+    STRING CONTRACT: quotes are doubled and backslashes pass through
+    LITERALLY — the ANSI rule, which is Postgres' default
+    (standard_conforming_strings=on since 9.1, and Postgres is the
+    reference's target). On a backslash-escaping dialect (MySQL's
+    default sql_mode) a backslash in DATA would terminate the literal
+    early — set NO_BACKSLASH_ESCAPES there, or use the per-partition
+    ON CONFLICT upgrade path (module docstring). Non-finite floats
+    render as quoted 'NaN'/'Infinity' literals (Postgres coerces the
+    unknown-typed literal in float context; a bare nan token is a
+    syntax error). Timezone-AWARE datetimes are refused rather than
+    silently stripped to a naive literal the server would reinterpret
+    in its own zone."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):  # before int: bool is an int subclass
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return "'NaN'" if v != v else (
+            "'Infinity'" if v > 0 else "'-Infinity'"
+        )
+    if isinstance(v, _decimal.Decimal) and not v.is_finite():
+        return "'NaN'" if v.is_nan() else (
+            "'Infinity'" if v > 0 else "'-Infinity'"
+        )
     if isinstance(v, (int, float, _decimal.Decimal)):
         return str(v)
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            raise TypeError(
+                "jdbc upsert sink refuses timezone-aware datetimes: a "
+                "naive TIMESTAMP literal would shift the instant on the "
+                "server; normalize to UTC-naive upstream"
+            )
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
@@ -176,6 +203,10 @@ def jdbc_upsert_batch_writer(
                 # ORIGINAL failure must stay the propagated exception
             raise
         finally:
-            conn.close()
+            try:
+                conn.close()
+            except Exception:
+                pass  # dead connection: closing it must not supersede
+                # the in-flight exception (same rule as rollback)
 
     return write_batch

@@ -215,6 +215,14 @@ def test_jdbc_upsert_writer_gate_and_delete_sql(spark):
     )
     with pytest.raises(TypeError, match="bytes"):
         _sql_literal(b"\x00")
+    # non-finite floats render as quoted literals (bare nan/inf is a SQL
+    # syntax error); tz-aware datetimes are refused, never zone-stripped
+    assert _sql_literal(float("nan")) == "'NaN'"
+    assert _sql_literal(float("inf")) == "'Infinity'"
+    assert _sql_literal(float("-inf")) == "'-Infinity'"
+    assert _sql_literal(Decimal("NaN")) == "'NaN'"
+    with pytest.raises(TypeError, match="timezone-aware"):
+        _sql_literal(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))
 
     ins = _insert_statements(
         "events", ["id", "ts"],

@@ -251,6 +251,13 @@ def test_ds_writer_translates_and_stream_handles_mapped_tables(spark, table):
             StructType.fromDDL("id long, val long"),
             overwrite=False,
         )
+    T.drop_column(table, "grp")
+    with pytest.raises(ValueError, match="DROPPED"):
+        _TxnWriter(
+            {"path": table},
+            StructType.fromDDL("id long, amount long, grp long"),
+            overwrite=False,
+        )
     # a mapping CONSTANT across the streamed range (renamed before the
     # stream started) — per-batch translation applies
     sr = _TxnStreamReader({"path": table}, "{}")

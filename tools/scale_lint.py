@@ -109,6 +109,10 @@ def static_window_findings(src_root: str | None = None) -> list[str]:
                 for a in node.names:
                     if a.name == "Window" and a.asname:
                         window_names.add(a.asname)
+                    # `from pyspark.sql import window [as w]` binds the
+                    # MODULE — reached as w.Window.<spec> (r11-3rd #3)
+                    if node.module == "pyspark.sql" and a.name == "window":
+                        module_names.add(a.asname or "window")
             elif isinstance(node, ast.Import):
                 for a in node.names:
                     if a.name == "pyspark.sql.window":
