@@ -79,7 +79,18 @@ def _sql_literal(v) -> str:
         return "'NaN'" if v.is_nan() else (
             "'Infinity'" if v > 0 else "'-Infinity'"
         )
-    if isinstance(v, (int, float, _decimal.Decimal)):
+    if isinstance(v, float):
+        # ALWAYS exponent form: a plain decimal-form literal is typed
+        # DECIMAL/numeric by ANSI engines, and at least one (DuckDB)
+        # casts DECIMAL->DOUBLE via scaled-integer division in double
+        # space, corrupting values near 2^53*scale (found by
+        # tests/test_jdbc_property.py: 1801439850948199.0 came back
+        # .2). An exponent literal is approximate-numeric per the SQL
+        # grammar — parsed straight into a double by correctly-rounding
+        # strtod, so Python's shortest repr round-trips bit-exactly.
+        s = repr(v)
+        return s if "e" in s or "E" in s else s + "e0"
+    if isinstance(v, (int, _decimal.Decimal)):
         return str(v)
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:

@@ -114,3 +114,88 @@ def test_bpe_oracles_match_spark_on_early_collapse(spark, tmp_path):
         assert got == want, (name, got, want)
     enc = QUERIES["llm_bpe_encode_corpus"](spark, sf).collect()[0]
     assert (enc["merges_applied"], enc["symbols_after"]) == (1, 3)
+
+
+def _bpe_reference(texts, rounds):
+    """Pure-Python BPE (Sennrich et al. 2016) on whitespace words:
+    frequency-weighted adjacent pair counts over the word-frequency
+    table, argmax with (count DESC, pair ASC) tie-break, greedy-left
+    non-overlapping merge — the independent oracle the distributed
+    implementation is propertied against."""
+    from collections import Counter
+
+    freq = Counter(
+        w for t in texts for w in t.split()
+        if len(w) >= 2 and w.isalnum() and w == w.lower()
+    )
+    vocab = {w: [list(w), f] for w, f in freq.items()}
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs = Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        merges.append((r, f"{a} {b}", n))
+        for w, (syms, f) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = [out, f]
+    return merges, vocab
+
+
+def test_bpe_loop_matches_pure_python_reference_on_random_corpora(
+    spark, tmp_path
+):
+    """Property-style sweep: on randomized small corpora (letters a-d so
+    pair collisions, ties, repeated symbols and full collapses all
+    actually occur), the distributed merge loop must equal an
+    independent pure-Python BPE — merge sequence AND final encoding
+    stats. Seeded RNG: deterministic, no flaky shrinking."""
+    import random
+
+    rng = random.Random(1107)
+    for case in range(8):
+        n_docs = rng.randint(1, 6)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+                for _ in range(rng.randint(1, 10))
+            )
+            for _ in range(n_docs)
+        ]
+        d = tmp_path / f"sf{case}"
+        d.mkdir()
+        import pandas as pd
+
+        pd.DataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ).to_parquet(str(d / "documents.parquet"))
+
+        want_merges, want_vocab = _bpe_reference(texts, 3)
+        got = [
+            (r["merge_round"], r["pair"], r["n"])
+            for r in QUERIES["llm_bpe_merge_loop"](spark, str(d)).collect()
+        ]
+        assert got == want_merges, (case, texts, got, want_merges)
+
+        if not want_vocab:
+            continue
+        enc = QUERIES["llm_bpe_encode_corpus"](spark, str(d)).collect()[0]
+        want_after = sum(len(s) * f for s, f in want_vocab.values())
+        want_before = sum(len(w) * f for w, (_s, f) in want_vocab.items())
+        want_vocab_n = len({t for s, _f in want_vocab.values() for t in s})
+        assert enc["symbols_before"] == want_before, (case, texts)
+        assert enc["symbols_after"] == want_after, (case, texts)
+        assert enc["vocab_after"] == want_vocab_n, (case, texts)
+        assert enc["merges_applied"] == len(want_merges), (case, texts)
