@@ -88,9 +88,17 @@ def _sql_literal(v) -> str:
         # .2). An exponent literal is approximate-numeric per the SQL
         # grammar — parsed straight into a double by correctly-rounding
         # strtod, so Python's shortest repr round-trips bit-exactly.
-        s = repr(v)
+        s = repr(float(v))  # float(): a subclass repr (numpy 2.x
+        # 'np.float64(1.5)') would render an invalid literal
         return s if "e" in s or "E" in s else s + "e0"
-    if isinstance(v, (int, _decimal.Decimal)):
+    if isinstance(v, _decimal.Decimal):
+        # ALWAYS plain decimal form: str(Decimal) goes scientific for
+        # large adjusted exponents, and exponent literals are typed
+        # approximate-numeric DOUBLE by ANSI engines — the float bug
+        # class inverted, silently rounding exact decimals past 17
+        # digits (review r11-4th #1)
+        return f"{v:f}"
+    if isinstance(v, int):
         return str(v)
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
@@ -99,7 +107,15 @@ def _sql_literal(v) -> str:
                 "naive TIMESTAMP literal would shift the instant on the "
                 "server; normalize to UTC-naive upstream"
             )
-        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        # explicit 4-digit year: strftime('%Y') does NOT zero-pad years
+        # < 1000 on Linux, and Postgres reinterprets short leading
+        # fields via DateStyle ordering — a silent instant shift
+        # (review r11-4th #2; the date path's isoformat() already pads)
+        return (
+            f"TIMESTAMP '{v.year:04d}-{v.month:02d}-{v.day:02d} "
+            f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}."
+            f"{v.microsecond:06d}'"
+        )
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
     if isinstance(v, str):

@@ -122,11 +122,15 @@ def _bpe_reference(texts, rounds):
     table, argmax with (count DESC, pair ASC) tie-break, greedy-left
     non-overlapping merge — the independent oracle the distributed
     implementation is propertied against."""
+    import re
     from collections import Counter
 
+    # EXACTLY the pipeline's gate: lowercase first (T.tokenize), then
+    # ASCII ^[a-z0-9]+$ (review r11-4th #3: isalnum()+case-check diverged
+    # on uppercase and non-ASCII tokens)
     freq = Counter(
-        w for t in texts for w in t.split()
-        if len(w) >= 2 and w.isalnum() and w == w.lower()
+        w for t in texts for w in (x.lower() for x in t.split())
+        if len(w) >= 2 and re.fullmatch(r"[a-z0-9]+", w)
     )
     vocab = {w: [list(w), f] for w, f in freq.items()}
     merges = []
@@ -168,7 +172,9 @@ def test_bpe_loop_matches_pure_python_reference_on_random_corpora(
         n_docs = rng.randint(1, 6)
         texts = [
             " ".join(
-                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+                "".join(
+                    rng.choice("abcdABé") for _ in range(rng.randint(1, 7))
+                )
                 for _ in range(rng.randint(1, 10))
             )
             for _ in range(n_docs)

@@ -122,6 +122,23 @@ def test_nonfinite_floats_coerce_in_float_context():
     assert got[2] == float("-inf")
 
 
+def test_renderer_edge_forms():
+    """Review r11-4th: (a) scientific-form Decimals render PLAIN (an
+    exponent literal is typed approximate-numeric and silently rounds
+    exact decimals past 17 digits); (b) sub-1000 years render 4-digit
+    (strftime %Y does not zero-pad on Linux and Postgres reinterprets
+    short leading fields via DateStyle)."""
+    v = Decimal("1.2345678901234567890123E+25")
+    lit = _sql_literal(v)
+    assert "e" not in lit.lower()
+    got = duckdb.sql(f"SELECT CAST({lit} AS DECIMAL(38, 4)) AS v").fetchone()[0]
+    assert Decimal(str(got)) == v
+    assert _sql_literal(dt.datetime(1, 2, 3, 4, 5, 6, 7)) == (
+        "TIMESTAMP '0001-02-03 04:05:06.000007'"
+    )
+    assert _sql_literal(dt.date(9, 9, 9)) == "DATE '0009-09-09'"
+
+
 def test_renderer_refusals_are_closed_set():
     with pytest.raises(TypeError):
         _sql_literal(b"bytes")
