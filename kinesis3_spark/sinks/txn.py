@@ -591,6 +591,21 @@ class ProtocolUnsupported(ValueError):
     surfacing it (review r11 #2); such loops re-raise this type."""
 
 
+# the WRITER half of forward compatibility: every payload builder copies
+# the previous manifest's state key-by-key, so a top-level key this
+# engine has never heard of — a future feature's metadata — would be
+# silently STRIPPED from the next epoch by a current-version writer
+# committing on top of a newer table (Delta gates this with writer
+# features). _publish_manifest refuses when the CURRENT manifest carries
+# keys outside this closed set; reads stay unaffected (a key that
+# changes read semantics must also appear in reader_features).
+_KNOWN_MANIFEST_KEYS = frozenset({
+    "epoch", "n_buckets", "stats_cols", "bloom_cols", "schema", "apps",
+    "constraints", "column_mapping", "dropped_cols", "generated_cols",
+    "files", "op", "protocol",
+})
+
+
 def _required_reader_features(man: dict) -> list[str]:
     """The read-critical features this manifest's state USES (stamped at
     publish; also derivable from any legacy manifest for enforcement)."""
@@ -956,7 +971,22 @@ def _publish_manifest(
     manifest's keys never carries a stale operation forward. The
     ``protocol`` stamp (min reader version + the read-critical features
     this state actually uses) is likewise derived fresh here, never
-    carried, so it can only reflect the published content."""
+    carried, so it can only reflect the published content. Before
+    claiming, the CURRENT manifest is checked for top-level keys this
+    engine does not know (_KNOWN_MANIFEST_KEYS): the payload was built
+    by copying known state, so publishing over a newer-format table
+    would silently strip the future feature's metadata — refuse
+    instead (the writer half of the protocol gate)."""
+    cur = read_manifest(path)
+    if cur is not None:
+        unknown = set(cur) - _KNOWN_MANIFEST_KEYS
+        if unknown:
+            raise ProtocolUnsupported(
+                f"table {path} carries manifest key(s) {sorted(unknown)} "
+                "this engine does not implement — committing would strip "
+                "a newer writer's feature metadata from the next epoch; "
+                "upgrade before writing"
+            )
     d = json.loads(payload)
     d["protocol"] = {
         "min_reader_version": _READER_VERSION,

@@ -135,3 +135,26 @@ def test_protocol_refusal_is_not_swallowed_as_reaped_history(spark, table):
     # the current epoch itself stays readable — refusal is scoped to
     # walks that must interpret the refused epoch
     assert T.read_snapshot(spark, table).count() == 4
+
+
+def test_writer_refuses_unknown_manifest_keys(spark, table):
+    """The WRITER half of the protocol gate: every payload builder
+    copies known state key-by-key, so committing on top of a manifest
+    carrying an unknown top-level key (a future feature's metadata)
+    would silently STRIP it from the next epoch — _publish_manifest
+    refuses instead. Reads stay unaffected: a key that changes read
+    semantics must also appear in reader_features."""
+    _rewrite_manifest(
+        table, lambda m: m.update({"row_tracking": {"enabled": True}})
+    )
+    # reading is fine — the unknown key is not read-critical by contract
+    assert T.read_snapshot(spark, table).count() == 2
+    with pytest.raises(T.ProtocolUnsupported, match="row_tracking"):
+        T.append_snapshot(
+            _mk(spark, [("c", "g", 3)]).coalesce(1),
+            table, key="id", n_buckets=1,
+        )
+    with pytest.raises(T.ProtocolUnsupported, match="row_tracking"):
+        T.delete_where(spark, table, "val = 1")
+    # the unknown key is still there, untouched
+    assert "row_tracking" in T.read_manifest(table)
