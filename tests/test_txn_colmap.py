@@ -370,3 +370,35 @@ def test_datasource_pushdown_translates_logical_predicates(spark, tmp_path):
     r = _TxnBatchReaderPushdown({"path": path}, schema)
     r._push_filters([GreaterThanOrEqual(("amount",), 500)])
     assert len(r.partitions()) == 1  # the lo commit pruned via 'val' stats
+
+
+def test_stream_writer_translates_on_mapped_table(spark, table, tmp_path):
+    """The STREAM writer shares _TxnWriter's logical->physical
+    translation (r11 colmap lift): micro-batches written through
+    writeStream.format('txntable') on a renamed table land under
+    physical names and read back logical."""
+    from kinesis3_spark.sources.txn_datasource import TxnTableDataSource
+
+    T.rename_column(table, "val", "amount")
+    spark.dataSource.register(TxnTableDataSource)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(500, 1000, 2)], "id long, amount long, grp long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema("id long, amount long, grp long")
+        .parquet(src)
+        .writeStream.format("txntable")
+        .option("path", table)
+        .option("key", "id")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = T.read_snapshot(spark, table)
+    assert set(got.columns) == {"id", "amount", "grp"}
+    assert got.where(F.col("id") == 500).first()["amount"] == 1000
+    phys = {f["name"] for f in T.read_manifest(table)["schema"]["fields"]}
+    assert phys == {"id", "val", "grp"}
