@@ -138,6 +138,14 @@ HEADLINE = [
     # word-frequency table; production path end-to-end (the argmax is
     # 1 driver row per round), so timing-relevant.
     "llm_bpe_merge_loop",
+    # round 11b: LM perplexity gate (train + join-score, the CCNet shape)
+    # and the lexicon composition report — both production paths
+    # end-to-end. embed_random_projection stays OUT: its registered form
+    # is the bounded 190-pair distance audit (the production projection is
+    # a per-row map with nothing to time at sf0.1).
+    "llm_perplexity_filter",
+    "llm_domain_tagging",
+    "llm_epoch_shuffle_shards",
 ]
 
 

@@ -868,3 +868,74 @@ def pq_encode(
     return emb.select(id_col, vec_col).mapInPandas(
         encode_batches, schema="id long, codes array<int>, err_micro long"
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas 2003 sign matrix).
+# --------------------------------------------------------------------------
+
+def jl_sign(k: int, j: int, salt: str = "rp") -> float:
+    """Deterministic +-1 projection-matrix entry R[k][j] from md5 parity —
+    engine-portable model config (any SQL engine, and any future run,
+    rebuilds the identical matrix; no RNG state to ship)."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(f"{salt}:{k}:{j}".encode()).hexdigest(), 16) & 1 else -1.0
+
+
+def jl_signs(out_dim: int, in_dim: int, salt: str = "rp") -> list[list[float]]:
+    return [[jl_sign(k, j, salt) for j in range(in_dim)] for k in range(out_dim)]
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    salt: str = "rp",
+) -> DataFrame:
+    """Append an `out_dim`-element array<double> column:
+    proj[k] = (1/sqrt(out_dim)) * sum_j v[j] * R[k][j], R the +-1
+    Achlioptas sign matrix (sparse-JL variant with density 1: E preserves
+    inner products, JL distortion ~ sqrt(2/out_dim)).
+
+    Scale: a pure per-row fold — O(in_dim * out_dim) multiply-adds in the
+    scan stage, no shuffle, no Python. The sign matrix is ONE array
+    literal and the fold is transform/zip_with/aggregate, so the Catalyst
+    tree stays ~matrix-size-independent (an unrolled element_at chain
+    measured ~12 s of analyzer time at 64x16 — the loop form plans in
+    milliseconds). Use out_dim a power of four so the 1/sqrt scale is an
+    exact double (16 -> 0.25).
+
+    Cross-engine parity: `aggregate` folds left-to-right from an exact
+    0.0 seed over exact float->double casts, so any engine evaluating the
+    same left-associated '+' chain reproduces each double bit-for-bit
+    (0.0 + t1 == t1 for every finite t1 except -0.0, which a nonzero
+    vector never yields for ALL terms).
+    """
+    scale = 1.0 / (out_dim ** 0.5)
+    signs = jl_signs(out_dim, in_dim, salt)
+    R = F.array(*[F.array(*[F.lit(s) for s in row]) for row in signs])
+    vd = F.col(vec_col).cast("array<double>")
+    proj = F.transform(
+        R,
+        lambda row: F.aggregate(
+            F.zip_with(vd, row, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        * F.lit(scale),
+    )
+    return df.withColumn(out_col, proj)
+
+
+def squared_l2(a, b):
+    """Sum of squared element differences between two array<double>
+    columns — the same left-fold order as an explicit '+' chain (see
+    random_project's parity note; squares are never -0.0)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )

@@ -69,4 +69,5 @@ from . import graphq  # noqa: E402,F401
 from . import pipelinex  # noqa: E402,F401
 from . import search  # noqa: E402,F401
 from . import dataquality  # noqa: E402,F401
+from . import lmquality  # noqa: E402,F401
 from . import roundtrip  # noqa: E402,F401

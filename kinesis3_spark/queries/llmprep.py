@@ -361,3 +361,71 @@ def export_manifest_consistent_read(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(sig).cast("bigint").alias("id_sig"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch reshuffle + shard assignment: training runs want a
+# different document order every epoch WITHOUT rewriting the corpus — order
+# epoch-e = sort by md5("epoch{e}:" || doc_id), shard = key mod n_shards.
+# Membership and order are pure functions of (epoch, doc_id): stable across
+# cluster sizes, re-runs, and retries, and a new document lands in exactly
+# one shard without moving any existing one.
+# --------------------------------------------------------------------------
+
+EPOCH_SHARDS = 8
+EPOCH_SALT = "epoch1:"
+
+
+@query(
+    "llm_epoch_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('{EPOCH_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    )
+    SELECT (k % {EPOCH_SHARDS})::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           bit_xor(k) AS key_xor,
+           arg_min(doc_id, k) AS first_doc
+    FROM keyed GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard audit of the epoch-1 reshuffle: doc/token balance, an
+    order-free membership digest (bit_xor of the 60-bit keys — sums
+    overflow bigint at 2^60-scale keys), and the first document in the
+    shard's sort order (min_by on the key; keys are effectively unique at
+    60 bits — a composite tie-break only matters past ~2^30 documents).
+
+    The shard's FULL order needs no order-sensitive digest: order within a
+    shard is BY KEY by definition, so membership (key_xor) + the sort rule
+    pin the permutation exactly.
+
+    Scale: one projection (md5 in the scan stage) + one partial-aggregable
+    groupBy on the shard key — every output column map-side combines, so
+    the shuffle carries |shards| rows per task no matter the corpus size.
+    The physical epoch write is `repartition(shard).sortWithinPartitions
+    (key)` with this audit as its acceptance check."""
+    from ..operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        portable_hash60(
+            F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string"))
+        ).alias("k"),
+        _wc(F.col("text")).alias("n_toks"),
+    )
+    return (
+        keyed.groupBy(F.pmod(F.col("k"), F.lit(EPOCH_SHARDS)).cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.bit_xor("k").alias("key_xor"),
+            F.min_by("doc_id", "k").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )

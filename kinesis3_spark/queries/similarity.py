@@ -991,3 +991,92 @@ def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_ok"),
         (F.col("n_label_violations") == 0).cast("int").alias("labels_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas 2003): 64 -> 16 dims
+# with a portable +-1 sign matrix, plus the pairwise distance-preservation
+# audit the JL lemma promises. The projection itself (operators/similarity
+# .random_project) is a per-row codegen fold that runs in the scan stage at
+# any corpus size; the AUDIT pairs are bounded to vec_id < _RP_AUDIT_N
+# (|pairs| = 190), the declared bounded-audit tier.
+# --------------------------------------------------------------------------
+
+_RP_OUT = 16  # power of four => 1/sqrt = 0.25, an exact double
+_RP_AUDIT_N = 20
+
+
+def _rp_oracle() -> str:
+    """DuckDB mirror of random_project + the pair audit: the sign matrix is
+    regenerated from the same md5 parity (operators.similarity.jl_signs),
+    and every float fold is written as the SAME left-associated chain the
+    Spark side evaluates, so ratios match bit-for-bit before rounding."""
+    signs = S.jl_signs(_RP_OUT, _DIM)
+    proj_cols = []
+    for k in range(_RP_OUT):
+        chain = " + ".join(
+            f"(v[{j + 1}] * {signs[k][j]!r})" for j in range(_DIM)
+        )
+        proj_cols.append(f"({chain}) * 0.25 AS y{k}")
+    d2o = " + ".join(
+        f"(a.v[{j + 1}] - b.v[{j + 1}]) * (a.v[{j + 1}] - b.v[{j + 1}])"
+        for j in range(_DIM)
+    )
+    d2p = " + ".join(f"(a.y{k} - b.y{k}) * (a.y{k} - b.y{k})" for k in range(_RP_OUT))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {_RP_AUDIT_N}
+    ),
+    proj AS (SELECT vec_id, v, {", ".join(proj_cols)} FROM e),
+    pairs AS (
+      SELECT ({d2p}) / ({d2o}) AS r
+      FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+      WHERE ({d2o}) > 0
+    )
+    SELECT count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN abs(r - 1) <= 0.25 THEN 1 ELSE 0 END)::BIGINT
+             AS n_within_25pct,
+           sum(CASE WHEN abs(r - 1) <= 0.5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_within_50pct,
+           round(min(r), 4) AS min_ratio,
+           round(max(r), 4) AS max_ratio,
+           round(avg(r), 4) AS avg_ratio
+    FROM pairs
+    """
+
+
+@query("embed_random_projection", oracle=_rp_oracle())
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL distance-preservation audit: project the bounded audit set with
+    the +-1 sign matrix and report how squared L2 distances survive
+    (ratio = proj/orig; JL distortion at out_dim=16 is ~sqrt(2/16)=0.35,
+    so the 50% band should hold nearly all pairs — the counts are exact
+    cross-engine because every double on both sides is bitwise equal)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < _RP_AUDIT_N)
+    proj = S.random_project(emb, _DIM, _RP_OUT).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "proj"
+    )
+    a = proj.select([F.col(c).alias(f"a_{c}") for c in proj.columns])
+    b = proj.select([F.col(c).alias(f"b_{c}") for c in proj.columns])
+    pairs = (
+        a.join(b, F.col("a_vec_id") < F.col("b_vec_id"))
+        .select(
+            S.squared_l2(F.col("a_v"), F.col("b_v")).alias("d2o"),
+            S.squared_l2(F.col("a_proj"), F.col("b_proj")).alias("d2p"),
+        )
+        .where(F.col("d2o") > 0)
+        .select((F.col("d2p") / F.col("d2o")).alias("r"))
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.abs(F.col("r") - 1) <= 0.25, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_25pct"),
+        F.sum(F.when(F.abs(F.col("r") - 1) <= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_50pct"),
+        F.round(F.min("r"), 4).alias("min_ratio"),
+        F.round(F.max("r"), 4).alias("max_ratio"),
+        F.round(F.avg("r"), 4).alias("avg_ratio"),
+    )
