@@ -146,6 +146,8 @@ HEADLINE = [
     "llm_perplexity_filter",
     "llm_domain_tagging",
     "llm_epoch_shuffle_shards",
+    "dq_token_drift_psi",
+    "stream_perplexity_admission",
 ]
 
 

@@ -220,3 +220,137 @@ def dq_numeric_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-distribution drift (PSI): the data-drift monitor a training
+# pipeline runs between a reference corpus window and each incoming slice.
+# PSI is computed over BINNED distributions — here the top-K reference
+# tokens + an '(other)' bucket, the standard binning that keeps the state
+# |sources| x (K+1) no matter how large the vocabulary grows (a raw-vocab
+# PSI needs the dense sources x vocab grid: measured 15 Exchanges / 4
+# corpus scans on the rejected draft; this shape does ONE corpus pass).
+# --------------------------------------------------------------------------
+
+PSI_REF_SOURCE = "src0"
+PSI_TOP_K = 20
+PSI_SMOOTH = 0.5  # add-k on bucket counts: a source missing a top token
+# (or the ref missing '(other)') still yields a finite term
+
+# mirrors functions.text.tokenize (regexp edge-strip, not spaces-only trim)
+_DQ_TOKS = "string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+
+
+def token_drift_psi(
+    docs: DataFrame,
+    ref_source: str = PSI_REF_SOURCE,
+    top_k: int = PSI_TOP_K,
+) -> DataFrame:
+    """Per-source Population Stability Index of the token distribution
+    against `ref_source`: PSI = sum_bucket (p_s - p_ref) * ln(p_s / p_ref)
+    over the top-K reference tokens + '(other)', add-k smoothed.
+    PSI(ref) = 0 by construction — a free self-check row.
+
+    Plan: TakeOrderedAndProject picks the K bin tokens (never a full
+    sort), the bin set broadcasts into the token stream (model config,
+    bounded by construction), ONE map-side-combined (source, bucket)
+    aggregate crosses the wire, and everything downstream operates on the
+    persisted |sources| x (K+1) bucket table — re-deriving ref counts,
+    totals, and the bucket grid from it costs nothing and never rescans
+    the corpus."""
+    from ..functions import text as T
+
+    toks = docs.select("source", F.explode(T.tokenize("text")).alias("tok"))
+    ref_top = (
+        toks.where(F.col("source") == ref_source)
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(top_k)
+        .select("tok", F.lit(1).alias("is_top"))
+    )
+    bucket = F.when(F.col("is_top") == 1, F.col("tok")).otherwise(F.lit("(other)"))
+    counts = (
+        toks.join(F.broadcast(ref_top), "tok", "left")
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(F.count("*").alias("c"))
+        .persist()  # |sources| x (K+1) rows, bounded by construction
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n_tokens"))
+    buckets = counts.select("bucket").distinct()
+    ref = (
+        counts.where(F.col("source") == ref_source)
+        .select("bucket", F.col("c").alias("c_ref"))
+    )
+    ref_total = (
+        totals.where(F.col("source") == ref_source)
+        .select(F.col("n_tokens").alias("n_ref"))
+    )
+    k = F.lit(PSI_SMOOTH)
+    nb = F.lit(top_k + 1)
+    grid = totals.crossJoin(F.broadcast(buckets))
+    joined = (
+        grid.join(counts, ["source", "bucket"], "left")
+        .join(F.broadcast(ref), ["bucket"], "left")
+        .join(F.broadcast(ref_total))
+    )
+    p_s = (F.coalesce(F.col("c"), F.lit(0)) + k) / (F.col("n_tokens") + k * nb)
+    p_r = (F.coalesce(F.col("c_ref"), F.lit(0)) + k) / (F.col("n_ref") + k * nb)
+    return (
+        joined.select(
+            "source", "n_tokens", ((p_s - p_r) * F.log(p_s / p_r)).alias("term")
+        )
+        .groupBy("source", "n_tokens")
+        .agg(F.round(F.sum("term"), 4).alias("psi"))
+        .select("source", F.col("n_tokens").cast("bigint").alias("n_tokens"), "psi")
+        .orderBy("source")
+    )
+
+
+@query(
+    "dq_token_drift_psi",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_DQ_TOKS}) AS tok FROM documents),
+    ref_top AS (
+      SELECT tok FROM toks WHERE source = '{PSI_REF_SOURCE}'
+      GROUP BY tok ORDER BY count(*) DESC, tok LIMIT {PSI_TOP_K}
+    ),
+    bucketed AS (
+      SELECT source,
+             CASE WHEN tok IN (SELECT tok FROM ref_top) THEN tok
+                  ELSE '(other)' END AS bucket
+      FROM toks
+    ),
+    counts AS (SELECT source, bucket, count(*) AS c FROM bucketed GROUP BY 1, 2),
+    totals AS (SELECT source, sum(c) AS n_tokens FROM counts GROUP BY 1),
+    buckets AS (SELECT DISTINCT bucket FROM counts),
+    ref AS (SELECT bucket, c AS c_ref FROM counts WHERE source = '{PSI_REF_SOURCE}'),
+    ref_total AS (SELECT n_tokens AS n_ref FROM totals
+                  WHERE source = '{PSI_REF_SOURCE}'),
+    grid AS (SELECT t.source, t.n_tokens, b.bucket FROM totals t CROSS JOIN buckets b),
+    terms AS (
+      SELECT g.source, g.n_tokens,
+             ((coalesce(c, 0) + {PSI_SMOOTH})
+                / (g.n_tokens + {PSI_SMOOTH} * {PSI_TOP_K + 1})
+              - (coalesce(c_ref, 0) + {PSI_SMOOTH})
+                / (n_ref + {PSI_SMOOTH} * {PSI_TOP_K + 1}))
+             * ln(((coalesce(c, 0) + {PSI_SMOOTH})
+                     / (g.n_tokens + {PSI_SMOOTH} * {PSI_TOP_K + 1}))
+                  / ((coalesce(c_ref, 0) + {PSI_SMOOTH})
+                     / (n_ref + {PSI_SMOOTH} * {PSI_TOP_K + 1})))
+             AS term
+      FROM grid g
+      LEFT JOIN counts ON g.source = counts.source AND g.bucket = counts.bucket
+      LEFT JOIN ref ON g.bucket = ref.bucket
+      CROSS JOIN ref_total
+    )
+    SELECT source, n_tokens::BIGINT AS n_tokens, round(sum(term), 4) AS psi
+    FROM terms GROUP BY 1, 2 ORDER BY source
+    """,
+)
+def dq_token_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor: binned PSI of each source's token
+    distribution vs the reference slice (industry bands: <0.1 stable,
+    0.1-0.25 drifting, >0.25 shifted — the synthetic word-soup sources
+    land near 0, with the reference row exactly 0 as a self-check)."""
+    return token_drift_psi(_t(spark, sf_dir, "documents"))

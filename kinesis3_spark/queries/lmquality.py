@@ -94,14 +94,17 @@ def train_bigram_lm(docs: DataFrame, train_source: str = LM_TRAIN_SOURCE):
     return bg_counts, ug_counts, vocab
 
 
-def score_perplexity(docs: DataFrame, train_source: str = LM_TRAIN_SOURCE) -> DataFrame:
-    """Per-document average negative log-likelihood (nats/bigram) under the
-    add-k bigram LM trained on `train_source`. Documents with <2 tokens
-    have no bigrams and drop out (CCNet drops them too — nothing to score).
-    avg NLL is monotone with perplexity (ppl = exp(nll)); the exp is left
-    to the caller so the filter threshold stays in ulp-stable log space."""
-    bg_counts, ug_counts, vocab = train_bigram_lm(docs, train_source)
-    pairs = docs.where(F.col("source") != train_source).select(
+def score_docs_with_lm(
+    docs: DataFrame,
+    bg_counts: DataFrame,
+    ug_counts: DataFrame,
+    vocab: DataFrame,
+) -> DataFrame:
+    """Score `docs` under an ALREADY-TRAINED add-k bigram LM — the apply
+    half, factored out so the streaming admission gate can train once
+    (static) and score per micro-batch. Documents with <2 tokens have no
+    bigrams and drop out (CCNet drops them too — nothing to score)."""
+    pairs = docs.select(
         "doc_id",
         "source",
         F.explode(_bigram_pairs(F.col("text"))).alias("bg"),
@@ -120,9 +123,22 @@ def score_perplexity(docs: DataFrame, train_source: str = LM_TRAIN_SOURCE) -> Da
     )
 
 
-@query(
-    "llm_perplexity_filter",
-    oracle=f"""
+def score_perplexity(docs: DataFrame, train_source: str = LM_TRAIN_SOURCE) -> DataFrame:
+    """Per-document average negative log-likelihood (nats/bigram) under the
+    add-k bigram LM trained on `train_source`, for every doc OUTSIDE the
+    training slice. avg NLL is monotone with perplexity (ppl = exp(nll));
+    the exp is left to the caller so the filter threshold stays in
+    ulp-stable log space."""
+    bg_counts, ug_counts, vocab = train_bigram_lm(docs, train_source)
+    return score_docs_with_lm(
+        docs.where(F.col("source") != train_source), bg_counts, ug_counts, vocab
+    )
+
+
+# Shared oracle CTE: the DuckDB twin of train_bigram_lm + score_docs_with_lm
+# (both registered LM queries derive from it, so the model definition can
+# never drift between the batch filter and the streaming admission gate).
+_SCORED_CTE = f"""
     WITH toksv AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
     bigrams AS (
       SELECT doc_id, source, t[i + 1] AS prev, t[i + 2] AS w
@@ -149,6 +165,13 @@ def score_perplexity(docs: DataFrame, train_source: str = LM_TRAIN_SOURCE) -> Da
       WHERE b.source <> '{LM_TRAIN_SOURCE}'
       GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "llm_perplexity_filter",
+    oracle=f"""
+    {_SCORED_CTE}
     SELECT source,
            count(*)::BIGINT AS n_docs,
            sum(CASE WHEN nll <= {LM_NLL_KEEP} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
@@ -267,4 +290,99 @@ def llm_domain_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.groupBy("source", "domain")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("source", "domain")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming perplexity admission: the CCNet gate as a live ingest job.
+# --------------------------------------------------------------------------
+
+_STREAM_PPL_CACHE: dict[str, str] = {}
+
+
+def _stream_ppl_materialize(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the document stream through the LM admission gate once per
+    (process, sf_dir); returns the admitted-docs parquet path."""
+    import os
+
+    from .. import tmpdirs
+    from ..streaming import stream_documents
+    from ..streaming.run import await_or_raise
+
+    path = _STREAM_PPL_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    out = tmpdirs.mkdtemp(prefix="k3s_stream_ppl_") + "/admitted"
+    ck = tmpdirs.mkdtemp(prefix="k3s_stream_ppl_ck_")
+    # Train ONCE from the static trusted slice; a production job persists
+    # these two tables and re-reads them, here they stay lazy DataFrames
+    # re-joined per micro-batch (tiny at test SF).
+    bg_counts, ug_counts, vocab = train_bigram_lm(_t(spark, sf_dir, "documents"))
+
+    def admit_batch(bdf, batch_id: int) -> None:
+        scored = score_docs_with_lm(
+            bdf.where(F.col("source") != LM_TRAIN_SOURCE), bg_counts, ug_counts, vocab
+        )
+        (
+            scored.where(F.col("nll") <= LM_NLL_KEEP)
+            .select("doc_id", "source", "nll")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream_documents(spark, sf_dir)
+        .writeStream.foreachBatch(admit_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    _STREAM_PPL_CACHE[sf_dir] = out
+    return out
+
+
+@query(
+    "stream_perplexity_admission",
+    oracle=f"""
+    {_SCORED_CTE}
+    SELECT source,
+           count(*)::BIGINT AS n_admitted,
+           CAST(coalesce(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                             % 1000000000), 0) AS BIGINT) AS admitted_sig
+    FROM scored WHERE nll <= {LM_NLL_KEEP}
+    GROUP BY source ORDER BY source
+    """,
+)
+def stream_perplexity_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity gate as a REAL streaming ingest job: document shards
+    stream in (checkpointed file source, exactly-once per shard), each
+    micro-batch is scored in foreachBatch against the STATIC bigram LM
+    and only docs under the NLL threshold append to the admitted corpus.
+
+    Admission depends only on (doc, static model) — never on co-batched
+    neighbors — so the result is batch-split-invariant and the batch
+    filter's scored set is this query's oracle verbatim (same rollup,
+    same membership digest). State is NONE (stateless given the model):
+    the job runs forever at constant memory; per-batch cost is the batch
+    scorer's on the batch alone.
+
+    Scale: at 100 TB the model tables persist once (parquet/txn table)
+    instead of recomputing lazily, and the bigram-stream joins broadcast
+    the model under AQE exactly as in llm_perplexity_filter."""
+    from ..operators.dedup import portable_hash60
+
+    admitted = spark.read.parquet(_stream_ppl_materialize(spark, sf_dir))
+    return (
+        admitted.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_admitted"),
+            F.coalesce(
+                F.sum(portable_hash60(F.col("doc_id").cast("string")) % 1_000_000_000),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("admitted_sig"),
+        )
+        .orderBy("source")
     )

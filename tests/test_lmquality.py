@@ -168,3 +168,47 @@ def test_random_project_preserves_expected_norm(spark):
         .first()
     )
     assert 0.7 <= out.mean_ratio <= 1.3
+
+
+# --------------------------------------------------------------------------
+# PSI drift + streaming admission
+# --------------------------------------------------------------------------
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    from kinesis3_spark.queries.dataquality import token_drift_psi
+
+    same = "the cat sat on the mat " * 10
+    shifted = "zebra quark lattice " * 20
+    d = spark.createDataFrame(
+        [(0, "src0", same), (1, "mirror", same), (2, "drifted", shifted)],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r.psi for r in token_drift_psi(d).collect()}
+    assert got["src0"] == 0.0  # self-check row
+    assert got["mirror"] == 0.0  # identical distribution
+    assert got["drifted"] > 0.25  # 'shifted' band: all mass in (other)
+
+
+def test_stream_admission_matches_batch_filter(spark, sf_dir):
+    """Batch-split invariance end-to-end: the streamed admitted set must be
+    exactly the batch scorer's kept set (same model, same threshold)."""
+    from kinesis3_spark.queries import QUERIES
+    from kinesis3_spark.queries.lmquality import (
+        LM_NLL_KEEP,
+        score_perplexity,
+    )
+    from kinesis3_spark.queries.relational import _t
+
+    streamed = {
+        (r.source, r.n_admitted)
+        for r in QUERIES["stream_perplexity_admission"](spark, sf_dir).collect()
+    }
+    batch = (
+        score_perplexity(_t(spark, sf_dir, "documents"))
+        .where(F.col("nll") <= LM_NLL_KEEP)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert streamed == {(r.source, r.n) for r in batch}
