@@ -148,6 +148,10 @@ HEADLINE = [
     "llm_epoch_shuffle_shards",
     "dq_token_drift_psi",
     "stream_perplexity_admission",
+    # sim_contrastive_triplets stays OUT (bounded exact-audit tier, like
+    # the other brute passes); the MAD detector is a full events scan +
+    # two exact percentile aggs — timing-relevant.
+    "stats_daily_anomaly_mad",
 ]
 
 

@@ -1080,3 +1080,67 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("r"), 4).alias("max_ratio"),
         F.round(F.avg("r"), 4).alias("avg_ratio"),
     )
+
+
+@query(
+    "sim_contrastive_triplets",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label = q.label AS same_label,
+             list_dot_product(q.v, c.v)
+               / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    pos AS (
+      SELECT query_id, neighbor_id AS pos_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id) AS rk
+        FROM s WHERE same_label
+      ) WHERE rk = 1
+    ),
+    neg AS (
+      SELECT query_id, neighbor_id AS neg_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id) AS rk
+        FROM s WHERE NOT same_label
+      ) WHERE rk = 1
+    )
+    SELECT query_id, pos_id, neg_id
+    FROM pos JOIN neg USING (query_id) ORDER BY query_id
+    """,
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard negative) triplet export — the actual
+    training artifact a contrastive/embedding run consumes (DPR-style:
+    positive = most-similar SAME-label vector, negative = most-similar
+    DIFFERENT-label vector, i.e. the maximally confusable wrong answer).
+    Composes the one bruteforce definition twice with correlated pair
+    predicates, so tie-break/cast discipline is shared with every other
+    exact tier. IDs only in the output (cosine VALUES stay internal —
+    double-summation noise moves values, never these ranks; the module
+    header's discipline).
+
+    Scale: both passes broadcast the bounded query set over one corpus
+    scan each; at 100 TB positives/negatives come from the persisted
+    IVF-PQ probe + label post-filter + exact re-rank (the
+    sim_hard_negative_mining_ann composition) with THIS pass as the
+    offline audit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = _query_set(spark, sf_dir)
+    pos = S.cosine_topk_bruteforce(
+        emb, qset, k=1, carry=("label",),
+        pair_predicate=(
+            (F.col("n_label") == F.col("q_label"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        ),
+    ).select("query_id", F.col("neighbor_id").alias("pos_id"))
+    neg = S.cosine_topk_bruteforce(
+        emb, qset, k=1, carry=("label",),
+        pair_predicate=F.col("n_label") != F.col("q_label"),
+    ).select("query_id", F.col("neighbor_id").alias("neg_id"))
+    return pos.join(neg, "query_id").orderBy("query_id")

@@ -185,3 +185,78 @@ def win_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "stats_daily_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(n, 0.5) AS med
+      FROM daily GROUP BY event_type
+    ),
+    mad AS (
+      SELECT d.event_type, quantile_cont(abs(n - med), 0.5) AS mad
+      FROM daily d JOIN med USING (event_type) GROUP BY d.event_type
+    )
+    SELECT d.event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           round(CASE WHEN mad <> 0
+                      THEN 0.6745 * (n - med) / mad END, 4) AS rz,
+           CAST(CASE WHEN mad <> 0
+                      AND abs(0.6745 * (n - med) / mad) > 3.5
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM daily d JOIN med USING (event_type) JOIN mad USING (event_type)
+    ORDER BY event_type, day
+    """,
+)
+def stats_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection: the median/MAD twin of
+    stats_daily_anomaly_zscore (Iglewicz-Hodges modified z-score,
+    0.6745*(x-med)/MAD, |rz| > 3.5 flags). mean/stddev anomaly detection
+    is itself corrupted by the outliers it hunts — one bad day inflates
+    sigma and masks the next bad day; median/MAD has a 50% breakdown
+    point, which is why production volume monitors prefer it.
+
+    Cross-engine parity: daily counts are exact bigints, interpolated
+    medians of integers are exact halves, so every double on both sides
+    is bitwise equal before the 4-dp round (F.percentile and DuckDB
+    quantile_cont share the linear-interpolation definition — probed:
+    both give 3.0 on [1,2,4,8]). MAD == 0 (>=half the days identical)
+    yields a deterministic NULL rz / 0 flag on both engines, the sigma==0
+    discipline of the z-score twin.
+
+    Scale: raw stream touched once (raw -> daily), then two exact
+    per-type percentile aggregates over |types| x |days| rows (bounded by
+    calendar x type — the percentile state is the day vector, fine at any
+    event volume) and a broadcast of the |types|-row med/mad tables back
+    onto daily rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("n") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    rz = F.when(
+        F.col("mad") != 0, 0.6745 * (F.col("n") - F.col("med")) / F.col("mad")
+    )
+    return (
+        daily.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(rz, 4).alias("rz"),
+            F.when(F.abs(rz) > 3.5, 1).otherwise(0).cast("bigint").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -354,3 +354,48 @@ def test_session_paths_cap_and_gap(spark):
 
     got = {r.path: r.n_sessions for r in seq_topk_session_paths(spark, d).collect()}
     assert got == {">".join(f"t{i}" for i in range(8)): 1, "late": 1}
+
+
+def test_mad_anomaly_survives_masked_outlier(spark):
+    """The robust detector's reason to exist: TWO extreme days inflate
+    stddev enough that the classic z-score stays under its threshold,
+    while median/MAD still flags both (50% breakdown point)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    # 11 quiet days cycling 4/5/6 events (identical quiet days would make
+    # MAD itself 0 — the detector needs natural variation) + 3 spike days
+    # of 80: mu=21, sigma~32 => z(spike)~1.85 stays under 2, while
+    # med=5, MAD=1 => rz(spike)~50 fires.
+    for d in range(14):
+        n = 80 if d >= 11 else 4 + (d % 3)
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=d), 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma"),
+        F.percentile("n", F.lit(0.5)).alias("med"),
+    )
+    mad = (
+        daily.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("n") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    j = daily.join(stats, "event_type").join(mad, "event_type").select(
+        "day", "n",
+        ((F.col("n") - F.col("mu")) / F.col("sigma")).alias("z"),
+        (0.6745 * (F.col("n") - F.col("med")) / F.col("mad")).alias("rz"),
+    )
+    spikes = [r for r in j.collect() if r.n == 80]
+    assert all(abs(r.z) <= 2.0 for r in spikes)  # classic detector masked
+    assert all(abs(r.rz) > 3.5 for r in spikes)  # robust detector fires

@@ -147,3 +147,35 @@ def test_semdedup_cell_count_derives_from_corpus_size(spark):
         }
         assert found <= truth
         assert pairs <= found, f"planted dup lost at N={emb.count()}"
+
+
+def test_contrastive_triplets_pick_planted_pos_and_neg(spark):
+    """Labels make the argmax choices exact: the positive must be the
+    planted same-label near-dup, the negative the planted cross-label
+    near-dup, never the other way around."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.operators.similarity import cosine_topk_bruteforce
+
+    rng = np.random.RandomState(13)
+    anchor = rng.standard_normal(DIM)
+    pos = anchor + 0.01 * rng.standard_normal(DIM)  # same label, cos~1
+    neg = anchor + 0.02 * rng.standard_normal(DIM)  # diff label, cos~1
+    rows = [(0, 1, anchor.tolist()), (1, 1, pos.tolist()), (2, 2, neg.tolist())]
+    rows += [(10 + i, 1 + (i % 2), rng.standard_normal(DIM).tolist()) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 0)
+    got_pos = cosine_topk_bruteforce(
+        emb, q, k=1, carry=("label",),
+        pair_predicate=(
+            (F.col("n_label") == F.col("q_label"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        ),
+    ).first()
+    got_neg = cosine_topk_bruteforce(
+        emb, q, k=1, carry=("label",),
+        pair_predicate=F.col("n_label") != F.col("q_label"),
+    ).first()
+    assert got_pos.neighbor_id == 1
+    assert got_neg.neighbor_id == 2

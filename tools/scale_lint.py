@@ -70,6 +70,12 @@ ALLOWED_AMPLIFICATION = {
     "sim_hard_negative_mining_ann": (
         "bounded labeled query-set broadcast, offline recall audit"
     ),
+    # contrastive triplet export, exact tier: two correlated-predicate
+    # passes of the bounded labeled query-set broadcast (positive =
+    # same-label argmax, negative = diff-label argmax); at scale both
+    # come from the IVF-PQ probe + label post-filter + re-rank with this
+    # pass as the offline audit (query docstring).
+    "sim_contrastive_triplets": "bounded labeled query-set broadcast",
 }
 
 
