@@ -152,6 +152,8 @@ HEADLINE = [
     # the other brute passes); the MAD detector is a full events scan +
     # two exact percentile aggs — timing-relevant.
     "stats_daily_anomaly_mad",
+    "embed_centroid_outliers",
+    "pipeline_dataset_card",
 ]
 
 

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from ..functions.text import ngram_hashes
 from ..operators.dedup import portable_hash60
 from .decontam import _DUCK_TOKS
+from .lmquality import _lexicon_values_sql
 from .relational import _t
 from . import query
 
@@ -170,4 +171,106 @@ def pipeline_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("picks_sum"),
         )
         .orderBy("source", "split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset card: the publishable composition report of the corpus — one
+# (section, key, n) artifact unioning the stats every data card carries.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang, {_DUCK_TOKS} AS t FROM documents
+    ),
+    size_rows AS (
+      SELECT 'size' AS section, 'docs' AS key, count(*)::BIGINT AS n FROM documents
+      UNION ALL
+      SELECT 'size', 'tokens', CAST(sum(len(t)) AS BIGINT) FROM toks
+    ),
+    lang_rows AS (
+      SELECT 'lang' AS section, lang AS key, count(*)::BIGINT AS n
+      FROM documents GROUP BY lang
+    ),
+    domain_rows AS (
+      SELECT 'domain' AS section, domain AS key, count(*)::BIGINT AS n FROM (
+        SELECT d.doc_id, coalesce(b.domain, 'general') AS domain
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, domain FROM (
+            SELECT doc_id, domain,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, domain) AS rk
+            FROM (
+              SELECT doc_id, domain, count(*) AS hits
+              FROM (SELECT doc_id, unnest(t) AS term FROM toks) tk
+              JOIN (VALUES {{LEX}}) AS lexicon(term, domain) USING (term)
+              GROUP BY 1, 2
+            )
+          ) WHERE rk = 1
+        ) b USING (doc_id)
+      ) GROUP BY domain
+    ),
+    dup_rows AS (
+      SELECT 'dedup' AS section, 'exact_dup_docs' AS key,
+             CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n
+      FROM (
+        SELECT md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+        FROM toks
+      )
+    )
+    SELECT section, key, n FROM (
+      SELECT * FROM size_rows
+      UNION ALL SELECT * FROM lang_rows
+      UNION ALL SELECT * FROM domain_rows
+      UNION ALL SELECT * FROM dup_rows
+    ) ORDER BY section, key
+    """.replace("{LEX}", _lexicon_values_sql()),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card's composition tables as ONE artifact: corpus size
+    (docs, tokens), language distribution, lexicon-domain distribution,
+    and the exact-duplicate count — each section reusing the exact
+    semantics its standalone query certifies (text.tokenize,
+    lmquality.tag_domains, functions.text.fingerprint), so this query
+    certifies the COMPOSED report, not new logic.
+
+    Scale: each section is an independent bounded-output aggregate over
+    the corpus (a report build, not a hot path — sections share the scan
+    via Spark's columnar cache when the card is built alongside the prep
+    pipeline); the union of |sections| tiny frames is driver-negligible."""
+    from ..functions import text as T
+    from .lmquality import tag_domains
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokenize("text")
+    size_rows = docs.agg(
+        F.count("*").cast("bigint").alias("docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("tokens"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("docs"), F.col("docs"), F.lit("tokens"), F.col("tokens")
+            )
+        ).alias("key", "n")
+    ).select(F.lit("size").alias("section"), "key", "n")
+    lang_rows = docs.groupBy(F.col("lang").alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(F.lit("lang").alias("section"), "key", "n")
+    domain_rows = tag_domains(docs).groupBy(F.col("domain").alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(F.lit("domain").alias("section"), "key", "n")
+    fp = T.fingerprint(F.col("text"))
+    dup_rows = docs.select(fp.alias("fp")).agg(
+        (F.count("*") - F.count_distinct("fp")).cast("bigint").alias("n")
+    ).select(
+        F.lit("dedup").alias("section"), F.lit("exact_dup_docs").alias("key"), "n"
+    )
+    return (
+        size_rows.unionByName(lang_rows)
+        .unionByName(domain_rows)
+        .unionByName(dup_rows)
+        .orderBy("section", "key")
     )

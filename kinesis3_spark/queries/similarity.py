@@ -1144,3 +1144,79 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_predicate=F.col("n_label") != F.col("q_label"),
     ).select("query_id", F.col("neighbor_id").alias("neg_id"))
     return pos.join(neg, "query_id").orderBy("query_id")
+
+
+@query(
+    "embed_centroid_outliers",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label, u.i AS pos,
+             CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS xm
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    ),
+    dims AS (
+      SELECT label, pos, sum(xm)::BIGINT AS sm, count(*)::BIGINT AS n
+      FROM x GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT vec_id, x.label,
+             sum(CAST(xm * n - sm AS HUGEINT) * (xm * n - sm)) AS d2
+      FROM x JOIN dims ON x.label = dims.label AND x.pos = dims.pos
+      GROUP BY 1, 2
+    )
+    SELECT label, rnk, vec_id FROM (
+      SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk
+      FROM d2
+    ) WHERE rnk <= 3 ORDER BY label, rnk
+    """,
+)
+def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based outlier filtering: per label, the top-3 vectors
+    FURTHEST from their class centroid — the quality gate that drops
+    mislabeled / out-of-distribution rows before contrastive or
+    classifier training (the embedding-space analogue of the text
+    quality filters).
+
+    Exactness: ranking distance is computed entirely in integers — the
+    micro-quantized trick of embed_label_centroids taken one step
+    further: d2 = sum_pos (xm*n - sum_micro)^2 is n^2 * the squared
+    distance to the mean in micro units, summed as DECIMAL (Spark) /
+    HUGEINT (DuckDB), so the order-sensitive float-summation problem
+    never exists and ranks are bit-free-exact. At extreme n the integer
+    form overflows (xm*n ~ 5e6*n); production swaps to double distances
+    and keeps only ranks (adjacent distance gaps dwarf summation noise,
+    the module-header rank-stability rule).
+
+    Scale: posexplode collapses map-side to |labels| x dims partials;
+    the |labels| x dims stats table broadcasts back; per-vec d2 is one
+    keyed aggregate; top-3 per label is the standard windowed
+    top-k-per-group."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xv")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("xv").cast("double") * 1e6).cast("bigint").alias("xm"),
+    )
+    dims = x.groupBy("label", "pos").agg(
+        F.sum("xm").cast("bigint").alias("sm"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    term = (F.col("xm") * F.col("n") - F.col("sm")).cast("decimal(12,0)")
+    d2 = (
+        x.join(F.broadcast(dims), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term * term).alias("d2"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        d2.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("label", "rnk", "vec_id")
+        .orderBy("label", "rnk")
+    )

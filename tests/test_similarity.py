@@ -179,3 +179,26 @@ def test_contrastive_triplets_pick_planted_pos_and_neg(spark):
     ).first()
     assert got_pos.neighbor_id == 1
     assert got_neg.neighbor_id == 2
+
+
+def test_centroid_outlier_finds_planted_ood_vector(spark, monkeypatch, tmp_path):
+    """A vector displaced far from its label's centroid must rank as that
+    label's #1 outlier (the mislabeled-row detection the gate exists for)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.queries import QUERIES
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for lab in (1, 2):
+        for i in range(20):
+            rows.append((lab * 100 + i, lab, (rng.standard_normal(DIM) * 0.1).tolist()))
+    rows.append((999, 1, (np.ones(DIM) * 10.0).tolist()))  # planted OOD in label 1
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    p = str(tmp_path / "embeddings.parquet")
+    emb.write.mode("overwrite").parquet(p)
+    # the query loads <sf_dir>/embeddings.parquet — point it at the plant
+    out = QUERIES["embed_centroid_outliers"](spark, str(tmp_path)).collect()
+    top_label1 = [r for r in out if r.label == 1 and r.rnk == 1]
+    assert [r.vec_id for r in top_label1] == [999]
