@@ -1220,3 +1220,115 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "rnk", "vec_id")
         .orderBy("label", "rnk")
     )
+
+
+_IVFPQ_INCREMENTAL: dict[str, str] = {}  # sf_dir -> appended index path
+_APPEND_MOD = 10  # held-out batch = vec_id % 10 == 9 (~10% of the corpus)
+
+
+def _ivfpq_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the base index on 90% of the corpus, then INCREMENTALLY
+    append the held-out 10%: a fresh reader loads the frozen quantizers
+    from the _INDEX_META.json sidecar (never retrains), encodes only the
+    new batch, and appends its cell files — the daily index-maintenance
+    job of a production ANN deployment, cost keyed on batch size, never
+    index size."""
+    import os
+
+    path = _IVFPQ_INCREMENTAL.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    from .. import tmpdirs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % _APPEND_MOD != _APPEND_MOD - 1)
+    batch = emb.where(F.col("vec_id") % _APPEND_MOD == _APPEND_MOD - 1)
+    C, books = S.train_ivfpq(base)
+    path = tmpdirs.mkdtemp(prefix="k3s_ivfpq_incr_") + "/index"
+    S.persist_ivfpq_index(
+        S.ivfpq_encode(base, C, books), path, index=(C, books),
+        params={"nprobe": _RERANK_NPROBE, "fetch_r": _RERANK_R},
+    )
+    # the append half runs as a FRESH consumer: quantizers come from the
+    # sidecar, not the training cache (the restart path, like test_ivfpq's
+    # cleared-cache probe)
+    C2, books2, _params = S.read_ivfpq_index_meta(path)
+    S.ivfpq_encode(batch, C2, books2).write.partitionBy("cell").mode(
+        "append"
+    ).parquet(path)
+    _IVFPQ_INCREMENTAL[sf_dir] = path
+    return path
+
+
+@query(
+    "sim_ivfpq_incremental_append",
+    oracle=f"""
+    SELECT (SELECT count(*) FROM embeddings)::BIGINT AS corpus_encoded,
+           (SELECT count(*) FROM embeddings
+            WHERE vec_id % {_APPEND_MOD} = {_APPEND_MOD - 1})::BIGINT AS n_appended,
+           (SELECT count(*) FROM embeddings
+            WHERE vec_id % {_APPEND_MOD} <> {_APPEND_MOD - 1})::BIGINT AS base_rows,
+           1 AS found_ok, 1 AS codes_ok
+    """,
+)
+def ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance, banded-oracle form: after the
+    append, the read-back index must hold EXACTLY the full corpus
+    (corpus_encoded / n_appended / base_rows recomputed from disk and
+    checked against the oracle's independent table counts — a lost or
+    double-appended row breaks one of them), appended rows must be
+    FINDABLE through the normal ADC probe path (5 probe queries carrying
+    appended vectors under fresh ids — self-exclusion can't hide them —
+    must each retrieve their vector in the top-3; measured 5/5 at sf0.001
+    and sf0.01, floor 4), and codes/cells read back must be in range.
+
+    Scale: append cost is encode(batch) + one partitioned write of the
+    batch's cells — existing cell FILES are never rewritten
+    (tests/test_ivfpq.py pins the base file set untouched), so daily
+    maintenance is O(batch), not O(index). Retraining drift (frozen
+    quantizers degrade as the distribution moves) is the PSI monitor's
+    job (dq_token_drift_psi's embedding twin) and a periodic rebuild."""
+    path = _ivfpq_incremental_index(spark, sf_dir)
+    enc = S.read_ivfpq_index(spark, path)
+    C, books, _params = S.read_ivfpq_index_meta(path)
+    is_batch = F.col("id") % _APPEND_MOD == _APPEND_MOD - 1
+    n_centroids, (m, kcode, _sub) = len(C), books.shape
+    code_in_range = F.aggregate(
+        F.col("codes"),
+        F.lit(True),
+        lambda acc, c: acc & (c >= 0) & (c < kcode),
+    )
+    stats = enc.agg(
+        F.count("*").cast("bigint").alias("corpus_encoded"),
+        F.sum(is_batch.cast("int")).cast("bigint").alias("n_appended"),
+        F.sum((~is_batch).cast("int")).cast("bigint").alias("base_rows"),
+        F.min(
+            (
+                (F.col("cell") >= 0)
+                & (F.col("cell") < n_centroids)
+                & (F.size("codes") == m)
+                & code_in_range
+            ).cast("int")
+        ).alias("codes_ok"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = (
+        emb.where(F.col("vec_id") % _APPEND_MOD == _APPEND_MOD - 1)
+        .orderBy("vec_id")
+        .limit(5)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    topk = S.cosine_topk_ivfpq(
+        emb, probes, k=3, index=(C, books), enc=enc,
+        nprobe=_RERANK_NPROBE, n_centroids=n_centroids,
+    )
+    found = topk.where(
+        F.col("neighbor_id") == F.col("query_id") - 1_000_000
+    ).agg(F.count_distinct("query_id").alias("n_found"))
+    return stats.crossJoin(F.broadcast(found)).select(
+        "corpus_encoded",
+        "n_appended",
+        "base_rows",
+        (F.col("n_found") >= 4).cast("int").alias("found_ok"),
+        "codes_ok",
+    )

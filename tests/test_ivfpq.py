@@ -299,3 +299,51 @@ def test_rerank_post_filter_mines_hard_negatives_exactly(spark, clustered_dir):
     assert ann == want and len(ann) == 15
     for qid, _rank, nid in ann:
         assert labels[nid] != labels[qid]
+
+
+def test_incremental_append_leaves_base_files_untouched(spark, tmp_path):
+    """The scale claim of index maintenance: appending a batch writes ONLY
+    the batch's new cell files — every pre-existing index file survives
+    byte-identical (same path, size, mtime), so daily cost is O(batch)."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.operators import similarity as S
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = emb.where(F.col("vec_id") < 100)
+    batch = emb.where(F.col("vec_id") >= 100)
+    C, books = S.train_ivfpq(base)
+    path = str(tmp_path / "index")
+    S.persist_ivfpq_index(S.ivfpq_encode(base, C, books), path, index=(C, books))
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    C2, books2, _ = S.read_ivfpq_index_meta(path)
+    S.ivfpq_encode(batch, C2, books2).write.partitionBy("cell").mode(
+        "append"
+    ).parquet(path)
+    after = snapshot()
+    missing = {p: v for p, v in before.items() if after.get(p) != v}
+    # _SUCCESS (and its .crc) is legitimately rewritten by the second job;
+    # data files are not
+    missing = {
+        p: v for p, v in missing.items() if "_SUCCESS" not in os.path.basename(p)
+    }
+    assert missing == {}, f"append disturbed base files: {sorted(missing)[:5]}"
+    # and the appended rows are present in the read-back
+    got = S.read_ivfpq_index(spark, path)
+    assert got.count() == 120
+    assert got.where(F.col("id") >= 100).count() == 20
