@@ -1332,3 +1332,73 @@ def ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_found") >= 4).cast("int").alias("found_ok"),
         "codes_ok",
     )
+
+
+@query(
+    "sim_ivfpq_delete_tombstones",
+    oracle=f"""
+    SELECT (SELECT count(*) FROM embeddings
+            WHERE vec_id % 20 = 0)::BIGINT AS n_deleted,
+           (SELECT count(*) FROM embeddings)::BIGINT AS corpus_encoded,
+           ({_N_QUERIES})::BIGINT AS n_queries,
+           1 AS no_deleted_served, 1 AS results_complete
+    """,
+)
+def ivfpq_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete half of ANN index maintenance: deletions land as a
+    TOMBSTONE SET (here vec_id % 20 == 0, ~5%), filtered out of the
+    candidate stream at probe time — the deletion-vector discipline of
+    the txn table applied to the ANN index: no cell file is rewritten on
+    delete; a periodic compaction (OPTIMIZE's twin) folds tombstones in.
+
+    Banded checks: n_deleted / corpus_encoded recomputed from the
+    tombstone set and the read-back index vs the oracle's independent
+    counts; no_deleted_served pins that NO probe result is a tombstoned
+    id (the correctness property a serving system must never violate);
+    results_complete pins every query still gets its full k results
+    (the over-fetch absorbs the ~5% candidate loss).
+
+    Scale: the tombstone set joins the candidate stream as a broadcast
+    anti-join BEFORE ADC scoring (deleted rows never cost a lookup);
+    at real scale the tombstone set is a bloom-guarded side table, and
+    compaction thresholds keep it bounded."""
+    path = _ivfpq_incremental_index(spark, sf_dir)
+    enc = S.read_ivfpq_index(spark, path)
+    C, books, _params = S.read_ivfpq_index_meta(path)
+    emb = _t(spark, sf_dir, "embeddings")
+    tombstones = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    live = enc.join(F.broadcast(tombstones), "id", "left_anti")
+    qset = _query_set(spark, sf_dir)
+    topk = S.cosine_topk_ivfpq(
+        emb, qset, k=_K, index=(C, books), enc=live,
+        nprobe=_RERANK_NPROBE, n_centroids=len(C),
+    )
+    n_deleted = tombstones.agg(F.count("*").cast("bigint").alias("n_deleted"))
+    n_enc = enc.agg(F.count("*").cast("bigint").alias("corpus_encoded"))
+    served = topk.join(
+        F.broadcast(tombstones),
+        topk.neighbor_id == tombstones.id,
+        "left",
+    ).agg(
+        F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+        F.max(F.col("id").isNotNull().cast("int")).alias("any_deleted_served"),
+        F.min(
+            F.when(F.col("rank") <= _K, 1).otherwise(0)
+        ).alias("ranks_sane"),
+        (F.count("*") == _N_QUERIES * _K).cast("int").alias("full_k"),
+    )
+    return (
+        n_deleted.crossJoin(n_enc)
+        .crossJoin(F.broadcast(served))
+        .select(
+            "n_deleted",
+            "corpus_encoded",
+            "n_queries",
+            (F.col("any_deleted_served") == 0).cast("int").alias("no_deleted_served"),
+            ((F.col("full_k") == 1) & (F.col("ranks_sane") == 1))
+            .cast("int")
+            .alias("results_complete"),
+        )
+    )

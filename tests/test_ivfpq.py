@@ -347,3 +347,32 @@ def test_incremental_append_leaves_base_files_untouched(spark, tmp_path):
     got = S.read_ivfpq_index(spark, path)
     assert got.count() == 120
     assert got.where(F.col("id") >= 100).count() == 20
+
+
+def test_tombstoned_top1_is_replaced_by_next_live(spark, tmp_path):
+    """Deleting a query's TRUE nearest neighbor must remove it from the
+    served results and promote the next-best LIVE vector — proving the
+    tombstone filter changes results rather than passing vacuously."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.operators import similarity as S
+
+    rng = np.random.RandomState(9)
+    anchor = rng.standard_normal(64)
+    rows = [
+        (0, anchor.tolist()),
+        (1, (anchor + 0.01 * rng.standard_normal(64)).tolist()),  # true top-1
+        (2, (anchor + 0.05 * rng.standard_normal(64)).tolist()),  # next best
+    ]
+    rows += [(10 + i, rng.standard_normal(64).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    C, books = S.train_ivfpq(emb)
+    enc = S.ivfpq_encode(emb, C, books)
+    q = emb.where(F.col("vec_id") == 0)
+    before = S.cosine_topk_ivfpq(emb, q, k=1, index=(C, books), enc=enc, nprobe=12)
+    assert before.first().neighbor_id == 1
+    tomb = spark.createDataFrame([(1,)], "id long")
+    live = enc.join(F.broadcast(tomb), "id", "left_anti")
+    after = S.cosine_topk_ivfpq(emb, q, k=1, index=(C, books), enc=live, nprobe=12)
+    assert after.first().neighbor_id == 2
