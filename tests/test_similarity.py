@@ -202,3 +202,43 @@ def test_centroid_outlier_finds_planted_ood_vector(spark, monkeypatch, tmp_path)
     out = QUERIES["embed_centroid_outliers"](spark, str(tmp_path)).collect()
     top_label1 = [r for r in out if r.label == 1 and r.rnk == 1]
     assert [r.vec_id for r in top_label1] == [999]
+
+
+def test_projected_search_finds_planted_dups(spark, planted):
+    """Projected-space (16-dim) search on data in its deployment regime:
+    planted near-dup pairs (cos > 0.95, wide margins) must survive the
+    JL distortion — every planted dup found at projected rank 1. (On
+    near-orthogonal corpora projected recall is low by construction —
+    the registered query's docstring records the measured 8-10% — the
+    same data-regime caveat as the LSH tier above.)"""
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.operators.similarity import (
+        _topk_from_scores,
+        random_project,
+    )
+
+    emb, expected = planted
+    proj = random_project(emb, DIM, 16).select("vec_id", "proj")
+    q = proj.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("proj").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, t: s + t
+        )
+
+    scored = proj.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot(F.col("qv"), F.col("proj"))
+            / F.sqrt(dot(F.col("qv"), F.col("qv")) * dot(F.col("proj"), F.col("proj")))
+        ).alias("cos"),
+    )
+    got = {
+        r.query_id: r.neighbor_id
+        for r in _topk_from_scores(scored, 1).collect()
+    }
+    assert got == expected

@@ -76,6 +76,11 @@ ALLOWED_AMPLIFICATION = {
     # come from the IVF-PQ probe + label post-filter + re-rank with this
     # pass as the offline audit (query docstring).
     "sim_contrastive_triplets": "bounded labeled query-set broadcast",
+    # projected-space search, brute tier over 16-dim candidates: same
+    # bounded query-set broadcast as sim_cosine_topk_brute, 4x less
+    # arithmetic per pair; the unbounded-|Q| path stores the projected
+    # column in the IVF index (query docstring).
+    "sim_cosine_topk_projected": "bounded query-set broadcast (projected space)",
 }
 
 
