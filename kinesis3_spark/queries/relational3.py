@@ -365,3 +365,86 @@ def sql_recursive_calendar_counts(spark: SparkSession, sf_dir: str) -> DataFrame
           ON e.ed = cal.d
         GROUP BY d ORDER BY day
     """)
+
+
+# --------------------------------------------------------------------------
+# Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+# MULTIPLICITY (min / difference of per-value counts) — a different
+# operator from the distinct-set forms setops_customer_keys certifies,
+# and the one dedup accounting actually needs (how many duplicate
+# occurrences survive, not which values).
+# --------------------------------------------------------------------------
+@query(
+    "setops_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 45),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount >= 0.10)
+    SELECT 'intersect_all' AS op, COUNT(*)::BIGINT AS n
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, COUNT(*)::BIGINT AS n
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'a_multiset' AS op, COUNT(*)::BIGINT AS n FROM a
+    UNION ALL
+    SELECT 'b_multiset' AS op, COUNT(*)::BIGINT AS n FROM b
+    """,
+)
+def setops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both inputs are genuine multisets (a supplier ships many qualifying
+    lines), so the ALL-variant counts differ from the distinct forms by
+    construction — the a/b multiset sizes are emitted alongside to prove
+    non-vacuity. Scale: Spark plans both as a single hash aggregation on
+    (value, count) pairs per side + a count merge — one shuffle per
+    side, same budget as the distinct forms."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") >= 45).select(F.col("l_suppkey").alias("k"))
+    b = li.where(F.col("l_discount") >= 0.10).select(F.col("l_suppkey").alias("k"))
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        one("intersect_all", a.intersectAll(b))
+        .unionByName(one("except_all", a.exceptAll(b)))
+        .unionByName(one("a_multiset", a))
+        .unionByName(one("b_multiset", b))
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL — the modern-dialect ergonomics (DuckDB
+# pioneered it, Spark 4 adopted it): every non-aggregate select item
+# becomes a grouping key. The oracle runs the IDENTICAL SQL text.
+# --------------------------------------------------------------------------
+_GBA_SQL = """
+    SELECT event_type,
+           date_format(ts, 'yyyy-MM') AS month,
+           count(*) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM {events}
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query(
+    "sql_group_by_all_monthly",
+    oracle=_GBA_SQL.replace("{events}", "events").replace(
+        "date_format(ts, 'yyyy-MM')", "strftime(ts, '%Y-%m')"
+    ).replace("count(*) AS n", "count(*)::BIGINT AS n"),
+)
+def sql_group_by_all_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect-parity row: the SAME GROUP BY ALL / ORDER BY ALL text runs
+    on both engines (only the date-format function name differs). The
+    resolved plan is the ordinary hash aggregate — ALL is sugar, so the
+    scale budget is exactly the explicit GROUP BY's."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("k3s_events_gba")
+    return spark.sql(
+        _GBA_SQL.replace("{events}", "k3s_events_gba").replace(
+            "count(*) AS n", "CAST(count(*) AS BIGINT) AS n"
+        )
+    )

@@ -260,3 +260,75 @@ def stats_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "ts_weekly_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             isodow(CAST(ts AS DATE)) AS dow,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    prof AS (
+      SELECT event_type, dow,
+             count(*)::BIGINT AS n_days,
+             sum(n)::BIGINT AS s
+      FROM daily GROUP BY 1, 2
+    ),
+    overall AS (
+      SELECT event_type, sum(n)::BIGINT AS s_all, count(*)::BIGINT AS d_all
+      FROM daily GROUP BY 1
+    )
+    SELECT p.event_type, p.dow::BIGINT AS dow, p.n_days,
+           round(p.s / p.n_days, 2) AS avg_n,
+           round((p.s / p.n_days) / (o.s_all / o.d_all), 4) AS idx
+    FROM prof p JOIN overall o USING (event_type)
+    ORDER BY event_type, dow
+    """,
+)
+def ts_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: average daily
+    volume per ISO weekday and its index against the type's overall
+    daily average (idx > 1 = that weekday runs hot) — the seasonal
+    baseline a volume monitor normalizes by before flagging anomalies
+    (the median/MAD detector's natural companion: deviation from the
+    DOW-matched baseline, not the global one).
+
+    Parity: every division is exact-int / exact-int, so the doubles are
+    bitwise identical cross-engine before rounding (the sum/count are
+    computed explicitly rather than via avg() so no engine's internal
+    summation order is involved). ISO weekday via Spark weekday()+1 ==
+    DuckDB isodow (Mon=1..Sun=7).
+
+    Scale: raw stream touched once (raw -> daily), two bounded rollups
+    (|types| x 7 and |types| rows) that broadcast-join — the z-score /
+    MAD detectors' exact shuffle budget."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    prof = daily.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("s_all"),
+        F.count("*").cast("bigint").alias("d_all"),
+    )
+    return (
+        prof.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days",
+            F.round(F.col("s") / F.col("n_days"), 2).alias("avg_n"),
+            F.round(
+                (F.col("s") / F.col("n_days")) / (F.col("s_all") / F.col("d_all")), 4
+            ).alias("idx"),
+        )
+        .orderBy("event_type", "dow")
+    )
