@@ -161,6 +161,13 @@ def main() -> None:
     from kinesis3_spark.queries import QUERIES
     from kinesis3_spark.session import get_spark
 
+    # Host-load context (VERDICT r11 "What's wrong" #1): BENCH_r11 was
+    # captured on a degraded host and its raw wall time poisoned naive
+    # round-over-round diffs. The artifact now carries the 1/5/15-min
+    # loadavg at start AND end next to calibration_sec, so a reader can
+    # see "this number was taken under load" without forensic git work.
+    load_start = os.getloadavg()
+
     spark = get_spark("kinesis3-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -218,6 +225,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    load_end = os.getloadavg()
     detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -225,6 +233,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "calibration_sec": round(cal, 3),
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
     }
     if errors:
         detail["errors"] = errors
@@ -245,6 +255,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "calibration_sec": detail["calibration_sec"],
+        "loadavg_start": detail["loadavg_start"],
+        "loadavg_end": detail["loadavg_end"],
         "n_queries": len(timings),
         "n_errors": len(errors),
         "queries_detail": "BENCH_DETAIL.json",

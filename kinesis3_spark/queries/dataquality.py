@@ -241,10 +241,18 @@ PSI_SMOOTH = 0.5  # add-k on bucket counts: a source missing a top token
 _DQ_TOKS = "string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
 
+# Persisted bucket-counts table, one per (cache_key, ref, K) — the same
+# keyed-registry discipline as queries/dedup.py's _GRAM_INDEX (r12 advice
+# fix: the previous per-call .persist() accumulated cached partitions in a
+# long-lived session; repeated invocations now reuse ONE handle).
+_PSI_BUCKETS: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def token_drift_psi(
     docs: DataFrame,
     ref_source: str = PSI_REF_SOURCE,
     top_k: int = PSI_TOP_K,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Per-source Population Stability Index of the token distribution
     against `ref_source`: PSI = sum_bucket (p_s - p_ref) * ln(p_s / p_ref)
@@ -270,12 +278,17 @@ def token_drift_psi(
         .select("tok", F.lit(1).alias("is_top"))
     )
     bucket = F.when(F.col("is_top") == 1, F.col("tok")).otherwise(F.lit("(other)"))
-    counts = (
-        toks.join(F.broadcast(ref_top), "tok", "left")
-        .groupBy("source", bucket.alias("bucket"))
-        .agg(F.count("*").alias("c"))
-        .persist()  # |sources| x (K+1) rows, bounded by construction
-    )
+    key = (cache_key, ref_source, top_k) if cache_key is not None else None
+    counts = _PSI_BUCKETS.get(key) if key is not None else None
+    if counts is None:
+        counts = (
+            toks.join(F.broadcast(ref_top), "tok", "left")
+            .groupBy("source", bucket.alias("bucket"))
+            .agg(F.count("*").alias("c"))
+            .persist()  # |sources| x (K+1) rows, bounded by construction
+        )
+        if key is not None:
+            _PSI_BUCKETS[key] = counts
     totals = counts.groupBy("source").agg(F.sum("c").alias("n_tokens"))
     buckets = counts.select("bucket").distinct()
     ref = (
@@ -352,5 +365,7 @@ def dq_token_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shift monitor: binned PSI of each source's token
     distribution vs the reference slice (industry bands: <0.1 stable,
     0.1-0.25 drifting, >0.25 shifted — the synthetic word-soup sources
-    land near 0, with the reference row exactly 0 as a self-check)."""
-    return token_drift_psi(_t(spark, sf_dir, "documents"))
+    land near 0, with the reference row exactly 0 as a self-check).
+    Repeated invocations share one persisted bucket table per sf_dir via
+    the keyed registry (no cache accumulation in a long-lived session)."""
+    return token_drift_psi(_t(spark, sf_dir, "documents"), cache_key=sf_dir)

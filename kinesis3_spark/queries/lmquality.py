@@ -197,6 +197,234 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Trigram stupid-backoff LM (VERDICT r11 'Next round' #6): the same CCNet
+# gate with a real n-gram model — Brants et al. 2007's stupid backoff,
+# the scheme built FOR corpus-scale MapReduce counting (no discounting
+# state, just raw counts and a fixed back-off factor):
+#   S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)            if the trigram is seen
+#               = a * c(w2 w3)/c(w2)              else if the bigram is
+#               = a^2 * (c(w3)+k)/(N + k*(V+1))   else (add-k unigram base,
+#                                                  so OOV stays finite)
+# with a = 0.4 (the paper constant). Training is THREE map-side-combined
+# count aggregates over the trusted slice (tri/bi/unigram); scoring is one
+# corpus pass joined against the three bounded model tables.
+# --------------------------------------------------------------------------
+
+LM_BACKOFF = 0.4    # Brants et al. 2007's alpha
+LM_TRI_KEEP = 4.283  # see llm_perplexity_filter_trigram docstring
+
+
+def _trigram_triples(col) -> F.Column:
+    """array<struct<w1,w2,w3>> of adjacent token triples (index-built like
+    _bigram_pairs; docs under 3 tokens yield an empty array and drop)."""
+
+    def build(toks):
+        m = F.size(toks) - 2
+        return F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda i: F.struct(
+                    F.element_at(toks, i.cast("int")).alias("w1"),
+                    F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+                    F.element_at(toks, (i + 2).cast("int")).alias("w3"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+        )
+
+    return T._let(T.tokenize(col), build)
+
+
+def train_backoff_lm(docs: DataFrame, train_source: str = LM_TRAIN_SOURCE):
+    """(tg_counts, bg_counts, ug_counts, totals) from the trusted slice.
+    totals is a 1-row (n_tokens, v) aggregate joined back by broadcast.
+    The bi/unigram tables are train_bigram_lm's verbatim (one model
+    definition across the bigram and trigram gates)."""
+    bg_counts, ug_counts, _vocab = train_bigram_lm(docs, train_source)
+    train = docs.where(F.col("source") == train_source)
+    tg_counts = (
+        train.select(F.explode(_trigram_triples(F.col("text"))).alias("tg"))
+        .groupBy(
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+        .agg(F.count("*").alias("c_tg"))
+    )
+    totals = ug_counts.agg(
+        F.sum("c_ug").alias("n_tokens"), F.count("*").alias("v")
+    )
+    return tg_counts, bg_counts, ug_counts, totals
+
+
+def score_docs_with_backoff_lm(
+    docs: DataFrame,
+    tg_counts: DataFrame,
+    bg_counts: DataFrame,
+    ug_counts: DataFrame,
+    totals: DataFrame,
+) -> DataFrame:
+    """Per-doc avg negative log-score under the trained stupid-backoff
+    trigram LM — the apply half (train once, score many), like
+    score_docs_with_lm. Docs with <3 tokens have no trigrams and drop.
+
+    Plan: ONE corpus trigram pass (explode in the scan stage) left-joined
+    against the three model tables — trigram on (w1,w2,w3), the context
+    bigram on (w1,w2), the back-off bigram on (w2,w3), the back-off
+    unigram on (w2), the base unigram on (w3) — all bounded by the
+    trusted slice (AQE broadcasts them when they fit), then one doc-keyed
+    aggregate. No shuffle is corpus-width except the final (doc_id) agg."""
+    trips = docs.select(
+        "doc_id", "source", F.explode(_trigram_triples(F.col("text"))).alias("tg")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+    ctx = bg_counts.select(
+        F.col("prev").alias("w1"), F.col("w").alias("w2"), F.col("c_bg").alias("c_ctx")
+    )
+    bg23 = bg_counts.select(
+        F.col("prev").alias("w2"), F.col("w").alias("w3"), F.col("c_bg").alias("c_bg23")
+    )
+    ug2 = ug_counts.select(F.col("prev").alias("w2"), F.col("c_ug").alias("c_ug2"))
+    ug3 = ug_counts.select(F.col("prev").alias("w3"), F.col("c_ug").alias("c_ug3"))
+    a = F.lit(LM_BACKOFF)
+    k = F.lit(LM_ADD_K)
+    s = (
+        F.when(
+            F.coalesce(F.col("c_tg"), F.lit(0)) > 0,
+            F.col("c_tg") / F.col("c_ctx"),
+        )
+        .when(
+            F.coalesce(F.col("c_bg23"), F.lit(0)) > 0,
+            a * F.col("c_bg23") / F.col("c_ug2"),
+        )
+        .otherwise(
+            a
+            * a
+            * (F.coalesce(F.col("c_ug3"), F.lit(0)) + k)
+            / (F.col("n_tokens") + k * (F.col("v") + 1))
+        )
+    )
+    return (
+        trips.join(tg_counts, ["w1", "w2", "w3"], "left")
+        .join(ctx, ["w1", "w2"], "left")
+        .join(bg23, ["w2", "w3"], "left")
+        .join(ug2, ["w2"], "left")
+        .join(ug3, ["w3"], "left")
+        .join(F.broadcast(totals))
+        .select("doc_id", "source", F.log(s).alias("logp"))
+        .groupBy("doc_id", "source")
+        .agg(
+            (-F.avg("logp")).alias("nll"),
+            F.count("*").cast("bigint").alias("n_trigrams"),
+        )
+    )
+
+
+def score_perplexity_trigram(
+    docs: DataFrame, train_source: str = LM_TRAIN_SOURCE
+) -> DataFrame:
+    """Per-document avg negative log-score (nats/trigram) under the
+    stupid-backoff trigram LM trained on `train_source`, for every doc
+    outside the training slice."""
+    tg, bg, ug, totals = train_backoff_lm(docs, train_source)
+    return score_docs_with_backoff_lm(
+        docs.where(F.col("source") != train_source), tg, bg, ug, totals
+    )
+
+
+_TRI_SCORED_CTE = f"""
+    WITH toksv AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    trigrams AS (
+      SELECT doc_id, source, t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+      FROM toksv, UNNEST(generate_series(0, greatest(len(t) - 3, -1))) AS u(i)
+    ),
+    tg AS (
+      SELECT w1, w2, w3, count(*) AS c_tg FROM trigrams
+      WHERE source = '{LM_TRAIN_SOURCE}' GROUP BY 1, 2, 3
+    ),
+    bigrams AS (
+      SELECT doc_id, source, t[i + 1] AS prev, t[i + 2] AS w
+      FROM toksv, UNNEST(generate_series(0, greatest(len(t) - 2, -1))) AS u(i)
+    ),
+    bg AS (
+      SELECT prev, w, count(*) AS c_bg FROM bigrams
+      WHERE source = '{LM_TRAIN_SOURCE}' GROUP BY 1, 2
+    ),
+    ug AS (
+      SELECT tok AS prev, count(*) AS c_ug
+      FROM (SELECT unnest(t) AS tok FROM toksv WHERE source = '{LM_TRAIN_SOURCE}')
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(c_ug) AS n_tokens, count(*) AS v FROM ug),
+    tri_scored AS (
+      SELECT tr.doc_id, tr.source,
+             -avg(ln(CASE
+               WHEN coalesce(c_tg, 0) > 0 THEN c_tg * 1.0 / c_ctx
+               WHEN coalesce(c_bg23, 0) > 0
+                 THEN {LM_BACKOFF} * c_bg23 / c_ug2
+               ELSE {LM_BACKOFF} * {LM_BACKOFF} * (coalesce(c_ug3, 0) + {LM_ADD_K})
+                    / (n_tokens + {LM_ADD_K} * (v + 1))
+             END)) AS nll
+      FROM trigrams tr
+      LEFT JOIN tg ON tr.w1 = tg.w1 AND tr.w2 = tg.w2 AND tr.w3 = tg.w3
+      LEFT JOIN (SELECT prev AS w1, w AS w2, c_bg AS c_ctx FROM bg) ctx
+        ON tr.w1 = ctx.w1 AND tr.w2 = ctx.w2
+      LEFT JOIN (SELECT prev AS w2, w AS w3, c_bg AS c_bg23 FROM bg) b23
+        ON tr.w2 = b23.w2 AND tr.w3 = b23.w3
+      LEFT JOIN (SELECT prev AS w2, c_ug AS c_ug2 FROM ug) u2 ON tr.w2 = u2.w2
+      LEFT JOIN (SELECT prev AS w3, c_ug AS c_ug3 FROM ug) u3 ON tr.w3 = u3.w3
+      CROSS JOIN tot
+      WHERE tr.source <> '{LM_TRAIN_SOURCE}'
+      GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "llm_perplexity_filter_trigram",
+    oracle=f"""
+    {_TRI_SCORED_CTE}
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN nll <= {LM_TRI_KEEP} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           round(avg(nll), 2) AS avg_nll
+    FROM tri_scored GROUP BY source ORDER BY source
+    """,
+)
+def llm_perplexity_filter_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet gate with a trigram stupid-backoff LM (VERDICT r11
+    agenda #6) — per-source keep counts + mean NLL, same rollup as the
+    bigram gate so the two model tiers are directly comparable. The keep
+    threshold {LM_TRI_KEEP} sits mid-gap with the nearest document
+    >= 1.4e-3 nats away across ALL test SFs' score unions (measured;
+    ~11 orders above cross-engine double drift — the LM_NLL_KEEP
+    discipline) and splits sf0.01 48/52; at sf0.1 the trusted slice is
+    10x larger, trigram coverage rises, and the gate keeps ~99.6%
+    (still dropping ~19 docs — non-vacuous at every SF). Direction
+    pinned in tests/test_lmquality.py: in-distribution text scores
+    under shuffled text."""
+    scored = score_perplexity_trigram(_t(spark, sf_dir, "documents"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("nll") <= LM_TRI_KEEP, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(F.avg("nll"), 2).alias("avg_nll"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # Domain tagging: keyword lexicon → per-doc argmax domain → composition.
 # --------------------------------------------------------------------------
 
@@ -300,6 +528,23 @@ def llm_domain_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_PPL_CACHE: dict[str, str] = {}
 
 
+def write_admitted_batch(admitted: DataFrame, out: str, batch_id: int) -> None:
+    """Idempotent per-batch sink (r12 advice fix): the batch's admitted
+    rows land in their own deterministic batch_id partition via dynamic
+    partition overwrite, so a RETRIED micro-batch (foreachBatch is
+    at-least-once) replaces its partition instead of double-appending —
+    the composition is exactly-once at the sink. Pinned by
+    tests/test_lmquality.py::test_admitted_batch_write_is_idempotent."""
+    (
+        admitted.select("doc_id", "source", "nll")
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+
+
 def _stream_ppl_materialize(spark: SparkSession, sf_dir: str) -> str:
     """Drain the document stream through the LM admission gate once per
     (process, sf_dir); returns the admitted-docs parquet path."""
@@ -323,12 +568,7 @@ def _stream_ppl_materialize(spark: SparkSession, sf_dir: str) -> str:
         scored = score_docs_with_lm(
             bdf.where(F.col("source") != LM_TRAIN_SOURCE), bg_counts, ug_counts, vocab
         )
-        (
-            scored.where(F.col("nll") <= LM_NLL_KEEP)
-            .select("doc_id", "source", "nll")
-            .write.mode("append")
-            .parquet(out)
-        )
+        write_admitted_batch(scored.where(F.col("nll") <= LM_NLL_KEEP), out, batch_id)
 
     q = (
         stream_documents(spark, sf_dir)
@@ -356,9 +596,12 @@ def _stream_ppl_materialize(spark: SparkSession, sf_dir: str) -> str:
 )
 def stream_perplexity_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The perplexity gate as a REAL streaming ingest job: document shards
-    stream in (checkpointed file source, exactly-once per shard), each
-    micro-batch is scored in foreachBatch against the STATIC bigram LM
-    and only docs under the NLL threshold append to the admitted corpus.
+    stream in (checkpointed file source), each micro-batch is scored in
+    foreachBatch against the STATIC bigram LM and only docs under the NLL
+    threshold land in the admitted corpus. The sink is exactly-once: each
+    batch dynamic-overwrites its own batch_id partition (deterministic
+    output per batch), so foreachBatch's at-least-once replay cannot
+    double-admit a row.
 
     Admission depends only on (doc, static model) — never on co-batched
     neighbors — so the result is batch-split-invariant and the batch

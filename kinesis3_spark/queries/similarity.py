@@ -1183,9 +1183,14 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     further: d2 = sum_pos (xm*n - sum_micro)^2 is n^2 * the squared
     distance to the mean in micro units, summed as DECIMAL (Spark) /
     HUGEINT (DuckDB), so the order-sensitive float-summation problem
-    never exists and ranks are bit-free-exact. At extreme n the integer
-    form overflows (xm*n ~ 5e6*n); production swaps to double distances
-    and keeps only ranks (adjacent distance gaps dwarf summation noise,
+    never exists and ranks are bit-free-exact. Overflow headroom (r12
+    advice fix — decimal(12,0) silently nulled once a label exceeded
+    ~5e5 rows under non-ANSI decimal semantics while the oracle's
+    HUGEINT kept going): the term is cast to decimal(20,0) (|xm*n| ~
+    2e6*n fits through n~1e13), the product is decimal(38,0), and the
+    dim-summed d2 stays under 1e38 for any real corpus (d=128, n=1e9
+    gives ~5e32). Production beyond that swaps to double distances and
+    keeps only ranks (adjacent distance gaps dwarf summation noise,
     the module-header rank-stability rule).
 
     Scale: posexplode collapses map-side to |labels| x dims partials;
@@ -1205,7 +1210,7 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xm").cast("bigint").alias("sm"),
         F.count("*").cast("bigint").alias("n"),
     )
-    term = (F.col("xm") * F.col("n") - F.col("sm")).cast("decimal(12,0)")
+    term = (F.col("xm") * F.col("n") - F.col("sm")).cast("decimal(20,0)")
     d2 = (
         x.join(F.broadcast(dims), ["label", "pos"])
         .groupBy("vec_id", "label")

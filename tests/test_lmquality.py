@@ -212,3 +212,101 @@ def test_stream_admission_matches_batch_filter(spark, sf_dir):
         .collect()
     )
     assert streamed == {(r.source, r.n) for r in batch}
+
+
+def test_admitted_batch_write_is_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batch_id — foreachBatch is
+    at-least-once) must REPLACE its partition, not double-append, while a
+    distinct batch_id accumulates (r12 advice fix)."""
+    from kinesis3_spark.queries.lmquality import write_admitted_batch
+
+    out = str(tmp_path / "admitted")
+    b0 = spark.createDataFrame(
+        [(1, "srcX", 2.5), (2, "srcX", 3.0)], "doc_id long, source string, nll double"
+    )
+    write_admitted_batch(b0, out, 0)
+    write_admitted_batch(b0, out, 0)  # the retry
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # no duplicates from the replay
+    b1 = spark.createDataFrame(
+        [(3, "srcY", 1.0)], "doc_id long, source string, nll double"
+    )
+    write_admitted_batch(b1, out, 1)
+    rows = {(r.doc_id, r.batch_id) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, 0), (2, 0), (3, 1)}
+
+
+def test_psi_bucket_cache_reused_across_invocations(spark, sf_dir):
+    """Repeated dq_token_drift_psi invocations must share ONE persisted
+    bucket table per sf_dir instead of stacking a new cached DataFrame per
+    call (r12 advice fix — long-lived-session cache accumulation)."""
+    from kinesis3_spark.queries import QUERIES
+    from kinesis3_spark.queries import dataquality as DQ
+
+    QUERIES["dq_token_drift_psi"](spark, sf_dir).collect()
+    n_keys = len(DQ._PSI_BUCKETS)
+    handle = DQ._PSI_BUCKETS[(sf_dir, DQ.PSI_REF_SOURCE, DQ.PSI_TOP_K)]
+    QUERIES["dq_token_drift_psi"](spark, sf_dir).collect()
+    assert len(DQ._PSI_BUCKETS) == n_keys
+    assert DQ._PSI_BUCKETS[(sf_dir, DQ.PSI_REF_SOURCE, DQ.PSI_TOP_K)] is handle
+
+
+# --------------------------------------------------------------------------
+# Trigram stupid-backoff gate (round 12)
+# --------------------------------------------------------------------------
+
+
+def test_trigram_backoff_direction_indist_beats_shuffled(spark):
+    """The VERDICT r11 #6 direction pin: a doc of in-order training
+    phrases must score a lower NLL than the SAME tokens shuffled (the
+    trigram/bigram evidence vanishes, only the unigram base survives)."""
+    from kinesis3_spark.queries.lmquality import score_perplexity_trigram
+
+    phrase = "the cat sat on the mat and the dog ran to the door"
+    train = [(i, "src0", phrase) for i in range(5)]
+    shuffled = "door the to ran dog mat the on and cat the sat the"
+    rows = {
+        r.doc_id: r.nll
+        for r in score_perplexity_trigram(
+            _docs(spark, train + [(100, "srcX", phrase), (101, "srcX", shuffled)])
+        ).collect()
+    }
+    assert rows[100] < rows[101]
+
+
+def test_trigram_backoff_matches_hand_computation(spark):
+    """Exact backoff arithmetic on a 2-trigram doc: tier 1 hits the seen
+    trigram, tier 2 the seen bigram, tier 3 the add-k unigram base."""
+    import math
+
+    from kinesis3_spark.queries.lmquality import (
+        LM_ADD_K,
+        LM_BACKOFF,
+        score_perplexity_trigram,
+    )
+
+    train = [(0, "src0", "a b c a b c")]
+    # trigrams: abc x2, bca, cab; bigrams: ab x2, bc x2, ca; unigrams a:2 b:2 c:2 N=6 V=3
+    target = [(1, "srcX", "a b c q")]  # (a,b,c) seen; (b,c,q): bigram bc seen? backoff
+    rows = score_perplexity_trigram(_docs(spark, train + target)).collect()
+    assert len(rows) == 1 and rows[0].n_trigrams == 2
+    s1 = 2 / 2  # c(abc)/c(ab)
+    # (b,c,q): trigram bcq unseen; bigram (c,q) unseen; unigram q unseen
+    s2 = LM_BACKOFF * LM_BACKOFF * (0 + LM_ADD_K) / (6 + LM_ADD_K * (3 + 1))
+    want = -(math.log(s1) + math.log(s2)) / 2
+    assert rows[0].nll == pytest.approx(want, abs=1e-12)
+
+
+def test_trigram_backoff_tier2_bigram_backoff(spark):
+    """A trigram whose context is unseen but whose (w2,w3) bigram is seen
+    must take tier 2: a * c(w2 w3)/c(w2)."""
+    import math
+
+    from kinesis3_spark.queries.lmquality import LM_BACKOFF, score_perplexity_trigram
+
+    train = [(0, "src0", "a b c a b c")]
+    target = [(1, "srcX", "q a b")]  # (q,a,b): tg unseen, bigram (a,b) seen c=2, c(a)=2
+    rows = score_perplexity_trigram(_docs(spark, train + target)).collect()
+    assert len(rows) == 1
+    want = -math.log(LM_BACKOFF * 2 / 2)
+    assert rows[0].nll == pytest.approx(want, abs=1e-12)

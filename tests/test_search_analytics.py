@@ -399,3 +399,54 @@ def test_mad_anomaly_survives_masked_outlier(spark):
     spikes = [r for r in j.collect() if r.n == 80]
     assert all(abs(r.z) <= 2.0 for r in spikes)  # classic detector masked
     assert all(abs(r.rz) > 3.5 for r in spikes)  # robust detector fires
+
+
+# --------------------------------------------------------------------------
+# Hybrid RRF fusion (round 12)
+# --------------------------------------------------------------------------
+
+
+def test_rrf_fuse_integer_arithmetic_on_planted_lists(spark):
+    """RRF on hand-built rank lists: term = 1e6 DIV (60 + rank), summed per
+    doc; a doc in both legs must outscore single-leg docs at comparable
+    ranks (the Cormack et al. consensus-boost property)."""
+    from kinesis3_spark.queries.search import rrf_fuse
+
+    leg1 = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rnk int")
+    leg2 = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rnk int")
+    rows = {r.doc_id: r for r in rrf_fuse([leg1, leg2], top=10).collect()}
+    assert rows[20].rrf_score == 1_000_000 // 61 + 1_000_000 // 62
+    assert rows[10].rrf_score == 1_000_000 // 61
+    assert rows[30].rrf_score == 1_000_000 // 62
+    assert rows[20].n_legs == 2 and rows[10].n_legs == 1
+    assert [r.doc_id for r in sorted(rows.values(), key=lambda r: r.rnk)] == [20, 10, 30]
+
+
+def test_rrf_hybrid_beats_either_leg_on_consensus(spark, sf_dir):
+    """The fused top-10 must contain at least one doc from EACH leg's
+    top-10 (both signals genuinely contribute at the served cut)."""
+    from kinesis3_spark.queries.search import (
+        _QUERY_TERMS,
+        _rrf_query_vec,
+        bm25_scores,
+        search_hybrid_rrf_topk,
+    )
+    from kinesis3_spark.operators import similarity as S
+    from kinesis3_spark.queries.relational import _t
+    from pyspark.sql import functions as F
+
+    fused = {r.doc_id for r in search_hybrid_rrf_topk(spark, sf_dir).collect()}
+    sparse10 = {
+        r.doc_id
+        for r in bm25_scores(_t(spark, sf_dir, "documents"), _QUERY_TERMS)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+        .collect()
+    }
+    dense10 = {
+        r.neighbor_id
+        for r in S.cosine_topk_bruteforce(
+            _t(spark, sf_dir, "embeddings"), _rrf_query_vec(spark, sf_dir), k=10
+        ).collect()
+    }
+    assert fused & sparse10 and fused & dense10
