@@ -88,6 +88,164 @@ MANIFEST = "_MANIFEST.json"
 _BUCKET_COL = "__bucket"
 _EPOCH0 = _dt.datetime(1970, 1, 1)
 
+# ---- manifest-log checkpointing (VERDICT r11 'Next round' #4) --------
+# Snapshot reads are O(1) via the _MANIFEST.json pointer, but the walks
+# that consult PER-EPOCH manifests — DESCRIBE HISTORY and vacuum's
+# historical-reference sweep — were O(epochs); at 10k+ commits that is
+# 10k driver-side JSON opens per call. Delta solves this with periodic
+# checkpoint files named by _last_checkpoint; the analog here is a
+# consolidated _CHECKPOINT.v<epoch>.json (per-epoch history records +
+# the cumulative file-reference set) found via the _LAST_CHECKPOINT
+# pointer. Walks start from the checkpoint and read only the manifests
+# ABOVE it (≤ _CHECKPOINT_INTERVAL + retention window). Every
+# _CHECKPOINT_INTERVAL'th commit refreshes it best-effort (a checkpoint
+# failure never fails the commit — the walk just stays on the older
+# one). The checkpoint is derived, read-optional metadata: a reader
+# that ignores it gets identical results, just slower, so it is
+# deliberately NOT a protocol reader feature (the stats/bloom rule).
+_CHECKPOINT_PTR = "_LAST_CHECKPOINT"
+_CHECKPOINT_INTERVAL = 10
+
+
+def _checkpoint_path(path: str, epoch: int) -> str:
+    return os.path.join(path, f"_CHECKPOINT.v{epoch:06d}.json")
+
+
+def read_checkpoint(path: str) -> dict | None:
+    """The latest consolidated checkpoint, or None (missing pointer,
+    missing/garbled file — callers degrade to the full manifest walk).
+    ``{"epoch": E, "floor": f, "history": [newest-first records for
+    epochs f..E], "refs": [every data/dv/bloom path referenced by any
+    manifest ≤ E readable when the checkpoint was built]}``."""
+    try:
+        with open(os.path.join(path, _CHECKPOINT_PTR)) as fh:
+            ptr = json.load(fh)
+        with open(_checkpoint_path(path, int(ptr["epoch"]))) as fh:
+            ck = json.load(fh)
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+    if not (
+        isinstance(ck, dict)
+        and isinstance(ck.get("history"), list)
+        and isinstance(ck.get("refs"), list)
+        and isinstance(ck.get("epoch"), int)
+        and isinstance(ck.get("floor"), int)
+    ):
+        return None
+    return ck
+
+
+def _history_record(ep: int, m: dict) -> dict:
+    """One DESCRIBE HISTORY row from a manifest — ONE definition shared
+    by the live walk and the checkpoint builder, so the two can never
+    drift (the identity contract pinned in tests/test_txn_checkpoint)."""
+    op = dict(m.get("op") or {})
+    return {
+        "epoch": ep,
+        "operation": op.pop("name", "UNKNOWN"),
+        "ts": op.pop("ts", None),
+        "params": op,
+        "n_files": len(m["files"]),
+    }
+
+
+def _manifest_refs(m: dict) -> set[str]:
+    refs: set[str] = set()
+    refs.update(x["path"] for x in m["files"])
+    for x in m["files"]:
+        refs.update(x.get("dv", []))
+        refs.update((x.get("bloom") or {}).values())
+    return refs
+
+
+def write_checkpoint(path: str) -> int:
+    """Write/refresh the consolidated checkpoint up to the CURRENT epoch
+    and swap the _LAST_CHECKPOINT pointer; returns the checkpointed
+    epoch (0 for an uncreated table). Incremental: manifests are read
+    only for epochs ABOVE the previous checkpoint, so the amortized cost
+    over a table's life is one read per epoch total. The file then the
+    pointer are published with the tmp+fsync+rename discipline of the
+    manifest pointer itself; superseded checkpoint files (all but the
+    previous one, kept for crash headroom) are reaped here."""
+    cur = read_manifest(path)
+    if cur is None:
+        return 0
+    prev = read_checkpoint(path)
+    epoch = cur["epoch"]
+    if prev is not None and prev["epoch"] >= epoch:
+        return prev["epoch"]
+    floor = prev["floor"] if prev is not None else 1
+    refs = set(prev["refs"]) if prev is not None else set()
+    older = list(prev["history"]) if prev is not None else []
+    newer: list[dict] = []
+    for ep in range(prev["epoch"] + 1 if prev is not None else 1, epoch + 1):
+        try:
+            m = cur if ep == epoch else read_manifest(path, ep)
+        except ProtocolUnsupported:
+            raise  # a future-writer epoch must never be summarized away
+        except ValueError:
+            # reaped below this epoch: the live history walk would stop
+            # here, so records beneath the gap must not survive either
+            floor = ep + 1
+            newer = []
+            continue
+        newer.append(_history_record(ep, m))
+        refs |= _manifest_refs(m)
+    history = [r for r in reversed(newer) if r["epoch"] >= floor] + [
+        r for r in older if r["epoch"] >= floor
+    ]
+    payload = json.dumps(
+        {"epoch": epoch, "floor": floor, "history": history,
+         "refs": sorted(refs)},
+        indent=1,
+    )
+    _swap_small_file(path, _checkpoint_path(path, epoch), payload)
+    _swap_small_file(
+        path,
+        os.path.join(path, _CHECKPOINT_PTR),
+        json.dumps({"epoch": epoch}),
+    )
+    keep = {epoch, prev["epoch"]} if prev is not None else {epoch}
+    for f in os.listdir(path):
+        if f.startswith("_CHECKPOINT.v"):
+            v = int(f[len("_CHECKPOINT.v"):].split(".")[0])
+            if v not in keep:
+                try:
+                    os.remove(os.path.join(path, f))
+                except OSError:
+                    pass  # a racing writer's jurisdiction
+    return epoch
+
+
+def _trim_checkpoint(path: str, keep_from: int) -> None:
+    """Raise the checkpoint's floor after vacuum reaped manifests below
+    ``keep_from``, so checkpoint-served DESCRIBE HISTORY stays identical
+    to what the live manifest walk can still prove. refs are kept intact
+    — they index files by path, and vacuum only consults them for files
+    that still exist."""
+    ck = read_checkpoint(path)
+    if ck is None or ck["floor"] >= keep_from:
+        return
+    ck["floor"] = keep_from
+    ck["history"] = [r for r in ck["history"] if r["epoch"] >= keep_from]
+    _swap_small_file(
+        path, _checkpoint_path(path, ck["epoch"]), json.dumps(ck, indent=1)
+    )
+
+
+def _swap_small_file(table: str, dest: str, payload: str) -> None:
+    """tmp + fsync + atomic rename for driver-side metadata sidecars (the
+    _swap_pointer discipline without the directory fsync — checkpoint
+    loss is always recoverable by rebuild)."""
+    import uuid
+
+    tmp = os.path.join(table, f".{os.path.basename(dest)}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, dest)
+
 
 class CommitConflict(RuntimeError):
     """Another writer claimed this epoch first; re-read and retry."""
@@ -1011,6 +1169,15 @@ def _publish_manifest(
         _publish_manifest_locked(path, epoch, payload)
     finally:
         _release_lease(_lease)
+    if epoch % _CHECKPOINT_INTERVAL == 0:
+        # periodic consolidated checkpoint (Delta's every-10-commits
+        # default) — BEST-EFFORT: the commit above is already durable,
+        # and a failed/raced checkpoint only leaves walks on the older
+        # one, so nothing here may fail the publish
+        try:
+            write_checkpoint(path)
+        except Exception:
+            pass
 
 
 def _publish_manifest_locked(path: str, epoch: int, payload: str) -> None:
@@ -2217,30 +2384,38 @@ def table_history(path: str) -> list[dict]:
     UPSERT / MERGE / DELETE / OPTIMIZE / RESTORE / RENAME COLUMN /
     DROP COLUMN / ADD CONSTRAINT / CLONE / WRITE), so the table explains
     its own lineage without external logging — Delta's DESCRIBE HISTORY
-    on the manifest log. Pure driver metadata (O(retained epochs)
-    manifest reads); history older than the vacuum retention window is
-    gone with its manifests, exactly like Delta."""
+    on the manifest log. Pure driver metadata; with a consolidated
+    checkpoint present (write_checkpoint — published every
+    _CHECKPOINT_INTERVAL commits) the walk reads only the manifests
+    ABOVE the checkpoint epoch and serves the rest from the
+    checkpoint's stored records, so the cost is O(interval), not
+    O(retained epochs) — results are IDENTICAL either way (pinned in
+    tests/test_txn_checkpoint.py). History older than the vacuum
+    retention window is gone with its manifests (vacuum raises the
+    checkpoint floor in step), exactly like Delta."""
     cur = read_manifest(path)
     if cur is None:
         return []
+    ck = read_checkpoint(path)
     out = []
     for ep in range(cur["epoch"], 0, -1):
+        if ck is not None and ep <= ck["epoch"]:
+            # checkpoint takes over: its records are newest-first and
+            # floor-trimmed; keep only epochs at/below the walk position
+            # (the checkpoint may be AHEAD of a stale pointer read)
+            out.extend(
+                {**r, "params": dict(r["params"])}
+                for r in ck["history"]
+                if r["epoch"] <= ep
+            )
+            return out
         try:
             m = cur if ep == cur["epoch"] else read_manifest(path, ep)
         except ProtocolUnsupported:
             raise  # future-writer epoch: surface, never truncate lineage
         except ValueError:
             break  # vacuumed below this epoch — history ends here
-        op = dict(m.get("op") or {})
-        out.append(
-            {
-                "epoch": ep,
-                "operation": op.pop("name", "UNKNOWN"),
-                "ts": op.pop("ts", None),
-                "params": op,
-                "n_files": len(m["files"]),
-            }
-        )
+        out.append(_history_record(ep, m))
     return out
 
 
@@ -2396,7 +2571,18 @@ def vacuum_table(
     # same age discipline Delta's tombstone retention applies, closing
     # the walk-duration TOCTOU the up-front lease check leaves open.
     historical: set[str] = set()
-    for e in range(1, keep_from):
+    # the checkpoint's cumulative reference set covers every epoch ≤ its
+    # own in ONE read, so the sub-retention sweep reads only manifests
+    # ABOVE it — O(interval), not O(all epochs ever). Including refs of
+    # RETAINED epochs ≤ the checkpoint is harmless: `historical` is only
+    # consulted for files NOT in `referenced`, and anything a retained
+    # manifest references is in `referenced`.
+    ck = read_checkpoint(path)
+    hist_start = 1
+    if ck is not None:
+        historical.update(ck["refs"])
+        hist_start = ck["epoch"] + 1
+    for e in range(hist_start, keep_from):
         try:
             m = read_manifest(path, e)
         except ProtocolUnsupported:
@@ -2404,10 +2590,7 @@ def vacuum_table(
         except ValueError:
             continue
         if m:
-            historical.update(x["path"] for x in m["files"])
-            for x in m["files"]:
-                historical.update(x.get("dv", []))
-                historical.update((x.get("bloom") or {}).values())
+            historical.update(_manifest_refs(m))
     import time as _time
 
     now = _time.time()
@@ -2484,6 +2667,10 @@ def vacuum_table(
                     os.rmdir(root)
             except OSError:
                 pass  # a racing writer repopulated it
+    if not dry_run:
+        # keep checkpoint-served DESCRIBE HISTORY identical to what the
+        # surviving manifests can prove: the floor rises with the reap
+        _trim_checkpoint(path, keep_from)
     return sorted(deleted)
 
 
