@@ -1,8 +1,9 @@
 """GENERATED ALWAYS AS columns on the manifest txn table
 (sinks/txn._apply_generated): computed when a batch omits them,
 validated row-for-row when supplied, fixed at table creation, recomputed
-by MERGE (never clause-assigned), guarded against rename/drop, refused
-by the session-less DataSource writer."""
+by MERGE (never clause-assigned), guarded against rename/drop, and since
+r12 enforced task-side by the DataSource writer too (portable evaluator;
+residual refusals only where evaluation genuinely cannot work)."""
 
 from __future__ import annotations
 
@@ -79,12 +80,89 @@ def test_rename_and_drop_guards(spark, table):
         T.drop_column(table, "val")
 
 
-def test_ds_writer_refuses_generated_tables(spark, table):
+# ---- DataSource writer (refusal lifted r12: task-side enforcement) ----
+
+
+def _register(spark):
+    from kinesis3_spark.sources.txn_datasource import TxnTableDataSource
+
+    spark.dataSource.register(TxnTableDataSource)
+
+
+def test_ds_writer_computes_generated_on_append(spark, table):
+    """df.write.format('txntable') on a generated-column table: the write
+    task computes the omitted column (Delta's write-plan point) and the
+    committed files read back with it populated."""
+    _register(spark)
+    (
+        spark.createDataFrame([(7, 40), (8, 50)], "id bigint, val bigint")
+        .write.format("txntable")
+        .option("key", "id")
+        .mode("append")
+        .save(table)
+    )
+    got = {r["id"]: r["doubled"] for r in T.read_snapshot(spark, table).collect()}
+    assert got[7] == 80 and got[8] == 100 and got[1] == 20
+
+
+def test_ds_writer_validates_supplied_generated_and_publishes_nothing(spark, table):
+    _register(spark)
+    ok = spark.createDataFrame([(7, 5, 10)], "id bigint, val bigint, doubled bigint")
+    ok.write.format("txntable").option("key", "id").mode("append").save(table)
+    ep = T.read_manifest(table)["epoch"]
+    bad = spark.createDataFrame([(8, 5, 11)], "id bigint, val bigint, doubled bigint")
+    with pytest.raises(Exception, match="generated-column violation"):
+        bad.write.format("txntable").option("key", "id").mode("append").save(table)
+    assert T.read_manifest(table)["epoch"] == ep  # nothing published
+
+
+def test_ds_writer_enforces_check_constraints_post_compute(spark, table):
+    """Constraints bind AFTER generated-column compute in the write task
+    (they may reference the generated column); NULL passes (SQL CHECK)."""
+    _register(spark)
+    T.add_constraint(table, "doubled_cap", "doubled <= 200")
+    ok = spark.createDataFrame(
+        [(7, 50), (8, None)], "id bigint, val bigint"
+    )  # doubled=100 passes; NULL*2=NULL passes CHECK
+    ok.write.format("txntable").option("key", "id").mode("append").save(table)
+    ep = T.read_manifest(table)["epoch"]
+    bad = spark.createDataFrame([(9, 500)], "id bigint, val bigint")
+    with pytest.raises(Exception, match="doubled_cap"):
+        bad.write.format("txntable").option("key", "id").mode("append").save(table)
+    assert T.read_manifest(table)["epoch"] == ep
+
+
+def test_ds_writer_residual_refusals(spark, table, tmp_path):
+    """The refusal survives only where task-side evaluation genuinely
+    cannot work: an expression referencing columns the batch lacks
+    entirely, and constraint/generated tables under column mapping."""
     from kinesis3_spark.sources.txn_datasource import _TxnWriter
     from pyspark.sql.types import StructType
 
-    with pytest.raises(ValueError, match="generated"):
+    with pytest.raises(ValueError, match="portable task-side evaluator"):
         _TxnWriter({"path": table}, StructType([]), overwrite=False)
+    # mapped + generated combo: logical-name expressions over
+    # physical-name staged files
+    path = str(tmp_path / "m")
+    T.append_snapshot(
+        spark.createDataFrame([(1, 2)], "id bigint, v bigint"),
+        path, key="id", n_buckets=1,
+    )
+    T.rename_column(path, "v", "w")
+    T.add_constraint(path, "pos", "w > 0")
+    with pytest.raises(ValueError, match="COLUMN-MAPPED"):
+        _TxnWriter(
+            {"path": path},
+            StructType.fromJson(
+                {"type": "struct", "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "w", "type": "long", "nullable": True,
+                     "metadata": {}},
+                ]}
+            ),
+            overwrite=False,
+        )
 
 
 def test_generated_zone_maps_prune_derived_predicates(spark, tmp_path):
