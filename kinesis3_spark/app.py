@@ -106,6 +106,7 @@ class Collector:
         }
         self._server: ThreadingHTTPServer | None = None
         self.query = None
+        self._watched: list = []
 
     # -- per-batch work (the reference's handle-message! + time-to-save? body)
 
@@ -192,9 +193,64 @@ class Collector:
 
     # -- stats endpoint (reference core.clj:72-87 /stats)
 
+    def watch(self, query) -> None:
+        """Register an ADDITIONAL streaming query whose engine progress —
+        in particular its state-store operators — the /stats endpoint
+        surfaces next to the driver-side meters (VERDICT r11 agenda #7:
+        the reference's JMX reporters exposed every registry family,
+        core.clj:36-37; the Spark twin of state-registry metrics is
+        ``lastProgress.stateOperators``). The collector's own foreachBatch
+        query is watched implicitly."""
+        with self._lock:
+            self._watched.append(query)
+
+    def _stream_progress(self) -> list[dict]:
+        """Per-watched-query snapshot from the engine's ``lastProgress``:
+        batch position, input rows, and each stateful operator's rows
+        held / updated / evicted + state memory — the numbers that say
+        whether a stream-stream join's watermark is actually evicting
+        (a stuck watermark shows as numRowsTotal growing without
+        numRowsRemoved). Driver-side metadata only; never touches rows."""
+        with self._lock:
+            qs = ([self.query] if self.query is not None else []) + list(
+                self._watched
+            )
+        out = []
+        for q in qs:
+            try:
+                p = q.lastProgress
+            except Exception:
+                p = None
+            if not p:
+                continue
+            ops = [
+                {
+                    k: so.get(k)
+                    for k in (
+                        "operatorName",
+                        "numRowsTotal",
+                        "numRowsUpdated",
+                        "numRowsRemoved",
+                        "memoryUsedBytes",
+                    )
+                    if k in so
+                }
+                for so in (p.get("stateOperators") or [])
+            ]
+            out.append(
+                {
+                    "name": p.get("name"),
+                    "batchId": p.get("batchId"),
+                    "numInputRows": p.get("numInputRows"),
+                    "stateOperators": ops,
+                }
+            )
+        return out
+
     def stats(self) -> dict:
         """JSON-able snapshot mirroring the reference's /stats families:
-        ingest meter (count + rate), upload meter, batch-timing histogram."""
+        ingest meter (count + rate), upload meter, batch-timing histogram,
+        plus per-stream state-operator metrics for watched queries."""
         with self._lock:
             s = dict(self._stats)
             timings = list(s.pop("batch_seconds"))
@@ -210,6 +266,7 @@ class Collector:
             "malformed": {"count": s["malformed"]},
             "batch-timing-s": _percentiles(timings),
             "batches": s["batches"],
+            "streams": self._stream_progress(),
         }
 
     def serve_stats(self, port: int) -> int:

@@ -247,3 +247,70 @@ def test_jdbc_upsert_writer_gate_and_delete_sql(spark):
         wb(nulldf, 0)
     # empty batches are a no-op, gate untouched
     wb(spark.createDataFrame([], "id string, v int"), 0)
+
+
+def test_stats_surfaces_stream_state_metrics(spark, tmp_path):
+    """VERDICT r11 agenda #7: the /stats endpoint surfaces state-store
+    metrics of watched streaming queries (rows held / updated / evicted
+    per stateful operator from lastProgress.stateOperators) next to the
+    driver-side meters — the Spark twin of the reference's JMX registry
+    families (core.clj:36-37,72-87). E2E over HTTP on a real
+    stream-stream join drain."""
+    from kinesis3_spark.streaming.run import await_or_raise
+
+    rows = [(i % 5, f"2024-01-01 00:00:{i:02d}") for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    df.coalesce(1).write.mode("overwrite").json(ldir)
+    df.coalesce(1).write.mode("overwrite").json(rdir)
+    schema = "k long, ts timestamp"
+    l = (
+        spark.readStream.schema(schema).json(ldir)
+        .withWatermark("ts", "5 seconds").alias("l")
+    )
+    r = (
+        spark.readStream.schema(schema).json(rdir)
+        .withWatermark("ts", "5 seconds").alias("r")
+    )
+    j = l.join(
+        r,
+        F.expr(
+            "l.k = r.k AND r.ts BETWEEN l.ts AND l.ts + interval 5 seconds"
+        ),
+    )
+    q = (
+        j.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+
+    c = Collector(
+        spark,
+        str(tmp_path / "unused-landing"),
+        store_path=str(tmp_path / "store"),
+        archive_path=str(tmp_path / "archive"),
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    c.watch(q)
+    port = c.serve_stats(0)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=10
+        ) as resp:
+            body = json.load(resp)
+        streams = body["streams"]
+        assert len(streams) == 1 and streams[0]["batchId"] is not None
+        ops = streams[0]["stateOperators"]
+        assert ops, "state operators must appear for a stateful drain"
+        op = ops[0]
+        assert op["operatorName"] == "symmetricHashJoin"
+        assert op["numRowsTotal"] >= 0 and "numRowsUpdated" in op
+        assert "numRowsRemoved" in op and "memoryUsedBytes" in op
+        # the drain actually held join state at some point
+        assert op["numRowsUpdated"] > 0 or op["numRowsTotal"] > 0
+    finally:
+        c.stop()
