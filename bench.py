@@ -154,6 +154,14 @@ HEADLINE = [
     "stats_daily_anomaly_mad",
     "embed_centroid_outliers",
     "pipeline_dataset_card",
+    # round 12: hybrid RRF fusion (both legs production paths — BM25's
+    # filtered scan + one broadcast query vector; fusion itself is
+    # bounded) and the trigram stupid-backoff gate (one corpus trigram
+    # pass + 5 broadcast model joins — the heavier CCNet tier).
+    # search_hybrid_rrf_ann stays OUT: its registered form carries the
+    # exact-fusion audit pass (the banded-oracle tier rule).
+    "search_hybrid_rrf_topk",
+    "llm_perplexity_filter_trigram",
 ]
 
 

@@ -429,3 +429,123 @@ def llm_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum staging (round 12): length-ordered curriculum — the standard
+# short-to-long schedule (Bengio et al. 2009's canonical difficulty proxy)
+# — as a SCALABLE stage assignment: exact length quartiles come from the
+# bounded (length -> count) rollup (|distinct lengths| rows, never a
+# global row-number over the corpus), broadcast back as three thresholds,
+# and each doc's stage is a pure CASE expression in the scan stage.
+# --------------------------------------------------------------------------
+
+_CURR_QS = (0.25, 0.50, 0.75)
+
+
+def curriculum_thresholds(docs: DataFrame) -> DataFrame:
+    """1-row (q1, q2, q3) of EXACT discrete token-length quartiles:
+    the smallest length whose running doc count reaches ceil(q * N),
+    computed over the (length, count) rollup — the same rank-select
+    discipline as agg_percentiles_price, but windowed over bounded
+    distinct lengths instead of corpus rows."""
+    from pyspark.sql.window import Window
+
+    lens = (
+        docs.select(_wc(F.col("text")).alias("n_toks"))
+        .groupBy("n_toks")
+        .agg(F.count("*").alias("c"))
+    )
+    # scale-ok: input is the (length -> count) rollup, bounded by the max doc length
+    w = Window.orderBy("n_toks").rowsBetween(Window.unboundedPreceding, 0)
+    cum = lens.select(
+        "n_toks",
+        F.sum("c").over(w).alias("cum"),
+        # scale-ok: same bounded rollup — total via an unpartitioned sum
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.col("n_toks"),
+                )
+            ).alias(f"q{i + 1}")
+            for i, q in enumerate(_CURR_QS)
+        ]
+    )
+
+
+@query(
+    "llm_curriculum_stages",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ),
+    rolled AS (SELECT n_toks, count(*) AS c FROM lens GROUP BY n_toks),
+    cum AS (
+      SELECT n_toks,
+             sum(c) OVER (ORDER BY n_toks) AS cum,
+             sum(c) OVER () AS n
+      FROM rolled
+    ),
+    th AS (
+      SELECT min(CASE WHEN cum >= ceil(0.25 * n) THEN n_toks END) AS q1,
+             min(CASE WHEN cum >= ceil(0.50 * n) THEN n_toks END) AS q2,
+             min(CASE WHEN cum >= ceil(0.75 * n) THEN n_toks END) AS q3
+      FROM cum
+    ),
+    staged AS (
+      SELECT doc_id, source, n_toks,
+             CASE WHEN n_toks <= q1 THEN 1
+                  WHEN n_toks <= q2 THEN 2
+                  WHEN n_toks <= q3 THEN 3
+                  ELSE 4 END AS stage
+      FROM lens, th
+    )
+    SELECT stage, count(*)::BIGINT AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+           CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS member_sig
+    FROM staged GROUP BY stage ORDER BY stage
+    """,
+)
+def llm_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-to-long curriculum export: every document assigned to one of
+    4 stages by exact token-length quartile (value-based boundaries —
+    equal-length docs always share a stage, so the assignment is
+    deterministic and engine-reproducible without a global sort). The
+    member_sig checksum proves stage MEMBERSHIP matches, not just the
+    counts. Scale: one (length, count) rollup + a broadcast 1-row
+    threshold join + a pure CASE in the scan stage — no corpus-wide
+    window anywhere."""
+    from ..operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    th = curriculum_thresholds(d)
+    staged = d.select(
+        "doc_id", _wc(F.col("text")).alias("n_toks")
+    ).crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_toks",
+        F.when(F.col("n_toks") <= F.col("q1"), 1)
+        .when(F.col("n_toks") <= F.col("q2"), 2)
+        .when(F.col("n_toks") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens_total"),
+            F.sum(
+                portable_hash60(F.col("doc_id").cast("string")) % 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("member_sig"),
+        )
+        .orderBy("stage")
+    )

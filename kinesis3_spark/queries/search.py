@@ -805,3 +805,74 @@ def search_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("fused_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search — the Lucene PhraseQuery shape: a positional
+# posting list per term, adjacency joined on (doc, position+offset). The
+# inverted-postings row stores (term -> docs); this tier adds WHERE the
+# term sits, which is what phrase and proximity queries need.
+# --------------------------------------------------------------------------
+
+_PHRASE = ("table", "hash")  # mid-frequency bigram of the synthetic corpus
+
+
+def phrase_occurrences(d: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, pos) of every occurrence of the exact token phrase:
+    positional postings for ONLY the phrase's terms (the isin filter runs
+    in the explode's scan stage, so the wide positional relation never
+    materializes for the rest of the vocabulary), then k-1 adjacency
+    equi-joins on (doc_id, pos + i) — pure hash joins keyed by doc and
+    adjusted position, never a theta join. Cost is driven by the RAREST
+    term's postings (the Lucene phrase-query regime); at 100 TB the
+    positional index is persisted once and each join side is an index
+    read."""
+    assert len(terms) >= 2, "a phrase needs >= 2 terms"
+    pos = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "term")
+    ).where(F.col("term").isin(*terms))
+    legs = [
+        pos.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        for i, t in enumerate(terms)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.join(leg, ["doc_id", "p0"])
+    return out.select("doc_id", F.col("p0").alias("pos"))
+
+
+@query(
+    "search_phrase_match",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, i AS pos, t[i + 1] AS term
+      FROM t, UNNEST(generate_series(0, greatest(len(t) - 1, -1))) AS u(i)
+    ),
+    p0 AS (SELECT doc_id, pos FROM pos WHERE term = '{_PHRASE[0]}'),
+    p1 AS (SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = '{_PHRASE[1]}'),
+    occ AS (SELECT p0.doc_id, p0.pos FROM p0 JOIN p1 USING (doc_id, pos))
+    SELECT doc_id, count(*)::BIGINT AS n_occ,
+           (min(pos) + 1)::BIGINT AS first_pos
+    FROM occ GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT 20
+    """,
+)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search for "{' '.join(_PHRASE)}": top-20 documents by
+    occurrence count with the first match position (1-based — the
+    snippet anchor a search UI needs). Adjacency is a positional-posting
+    equi-join; the final cut is orderBy+limit (TakeOrderedAndProject).
+    K-term phrases are pytest-pinned on planted text
+    (tests/test_search_analytics.py)."""
+    occ = phrase_occurrences(_t(spark, sf_dir, "documents"), _PHRASE)
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occ"),
+            (F.min("pos") + 1).cast("bigint").alias("first_pos"),
+        )
+        .orderBy(F.col("n_occ").desc(), "doc_id")
+        .limit(20)
+    )

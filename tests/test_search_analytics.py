@@ -450,3 +450,53 @@ def test_rrf_hybrid_beats_either_leg_on_consensus(spark, sf_dir):
         ).collect()
     }
     assert fused & sparse10 and fused & dense10
+
+
+def test_phrase_occurrences_k_term_planted(spark):
+    """3-term phrase on planted text: overlapping occurrences, a decoy
+    with the right terms in the wrong order, and a 2-of-3 near-miss."""
+    from kinesis3_spark.queries.search import phrase_occurrences
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c a b c x a b"),   # "a b c" at pos 0 and 3; trailing "a b" no
+            (2, "c b a b a c"),          # decoy: terms present, order wrong
+            (3, "x a b x c"),            # near-miss: a b then gap
+            (4, "a b c"),                # exact single
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.pos) for r in phrase_occurrences(d, ("a", "b", "c")).collect()
+    )
+    assert got == [(1, 0), (1, 3), (4, 0)]
+
+
+def test_curriculum_stage_is_monotone_in_length_and_tie_stable(spark):
+    """Equal-length docs always share a stage (value-based boundaries) and
+    stage never decreases as length grows."""
+    from kinesis3_spark.queries.llmprep import curriculum_thresholds, _wc
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [2, 2, 2, 5, 5, 8, 8, 11, 11, 11, 14, 20]
+    )]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    th = curriculum_thresholds(d).first()
+    assert th.q1 <= th.q2 <= th.q3
+    staged = d.select(
+        "doc_id", _wc(F.col("text")).alias("n"),
+    ).crossJoin(F.broadcast(curriculum_thresholds(d))).select(
+        "doc_id", "n",
+        F.when(F.col("n") <= F.col("q1"), 1)
+        .when(F.col("n") <= F.col("q2"), 2)
+        .when(F.col("n") <= F.col("q3"), 3)
+        .otherwise(4).alias("stage"),
+    ).collect()
+    by_len = {}
+    for r in staged:
+        by_len.setdefault(r.n, set()).add(r.stage)
+    assert all(len(s) == 1 for s in by_len.values())  # ties share a stage
+    lens = sorted(by_len)
+    stages = [next(iter(by_len[n])) for n in lens]
+    assert stages == sorted(stages)  # monotone in length
