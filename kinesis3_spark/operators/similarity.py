@@ -939,3 +939,98 @@ def squared_l2(a, b):
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA (round 12): the projection/whitening step before ANN or
+# clustering when JL's data-oblivious signs leave recall on the table.
+# Second-moment accumulation is the classic two-stage distributed shape:
+# one Arrow-batched pass emits per-batch partials (n, sum, Gram), a
+# pos-keyed aggregate folds them to d^2+d+1 numbers, and the d x d
+# eigendecomposition is driver-side numpy — bounded by the DIMENSION,
+# never the corpus (the train_ivf_centroids discipline: bounded model
+# math on the driver, distributed everything else).
+# --------------------------------------------------------------------------
+
+
+def partial_gram(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-Arrow-batch second-moment partials: one row (n, s[d], g[d*d])
+    per batch — numpy X.T @ X per batch, nothing quadratic in rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    return emb.select(vec_col).mapInPandas(
+        batches, "n bigint, s array<double>, g array<double>"
+    )
+
+
+def train_pca(
+    emb: DataFrame, k: int = 8, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean[d], components[k,d], eigvals[k]) of the population covariance,
+    components row-orthonormal, eigenvalues descending. The driver holds
+    d^2+d+1 doubles (the partials fold DISTRIBUTED via a pos-keyed
+    aggregate — the collect is bounded by the dimension, not the corpus
+    or the batch count)."""
+    parts = partial_gram(emb, vec_col)
+    flat = parts.select(
+        F.posexplode(
+            F.concat(
+                F.array(F.col("n").cast("double")), F.col("s"), F.col("g")
+            )
+        ).alias("pos", "v")
+    )
+    rows = (
+        flat.groupBy("pos").agg(F.sum("v").alias("v")).orderBy("pos").collect()
+    )  # d^2 + d + 1 rows — bounded by dimension (module section note)
+    vals = np.array([r.v for r in rows])
+    d = int((-1 + (1 + 4 * (len(vals) - 1)) ** 0.5) / 2)  # len = 1 + d + d^2
+    n = vals[0]
+    mean = vals[1 : 1 + d] / n
+    cov = vals[1 + d :].reshape(d, d) / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0  # exact symmetry for eigh
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    return mean, evecs[:, order].T.copy(), evals[order]
+
+
+def matrix_project(
+    df: DataFrame,
+    M: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    center: np.ndarray | None = None,
+) -> DataFrame:
+    """Append proj[k] = sum_j (v[j] - center[j]) * M[k][j] — the
+    random_project fold generalized to an arbitrary double matrix (same
+    literal-array + transform/zip_with/aggregate shape, same left-fold
+    cross-engine determinism, scan-stage only)."""
+    rows = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in M]
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    if center is not None:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        vd = F.zip_with(vd, c, lambda x, m: x - m)
+    proj = F.transform(
+        rows,
+        lambda row: F.aggregate(
+            F.zip_with(vd, row, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+    return df.withColumn(out_col, proj)

@@ -35,9 +35,13 @@ _B = 0.75
 _QUERY_TERMS = ("window", "hash", "merge")
 
 
-def bm25_scores(d: DataFrame, terms: tuple[str, ...], k1: float = _K1,
+def bm25_scores(d: DataFrame, terms, k1: float = _K1,
                 b: float = _B) -> DataFrame:
     """BM25 score of every document against a bag-of-words query.
+    ``terms`` is a static tuple (isin filter in the scan stage) or a
+    1-column ``term`` DataFrame (broadcast equi-join — the dynamic-query
+    path pseudo-relevance feedback needs; both shapes keep the term
+    filter ahead of the only corpus-width shuffle).
 
     Pipeline: tokenize once into a projected column, then ONE relation
     carries both the per-doc length and the exploded terms — the query-
@@ -59,7 +63,11 @@ def bm25_scores(d: DataFrame, terms: tuple[str, ...], k1: float = _K1,
         "doc_id",
         F.size("toks").alias("dl"),
         F.explode("toks").alias("term"),
-    ).where(F.col("term").isin(*terms))
+    )
+    if isinstance(terms, DataFrame):
+        base = base.join(F.broadcast(terms.select("term")), "term")
+    else:
+        base = base.where(F.col("term").isin(*terms))
     tf = base.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
@@ -874,5 +882,109 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("pos") + 1).cast("bigint").alias("first_pos"),
         )
         .orderBy(F.col("n_occ").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Pseudo-relevance feedback (round 12): the Rocchio/RM3 mechanism — run
+# the query, mine expansion terms from the top-ranked documents, re-score
+# with the expanded query. Selection is integer-exact (term frequency
+# counts, alphabetical tie-break), so the expanded term SET is
+# deterministic cross-engine and the second pass is just BM25 again.
+# --------------------------------------------------------------------------
+
+_PRF_FEEDBACK_DOCS = 10  # docs mined for expansion terms
+_PRF_EXPANSION = 5       # expansion terms added to the query
+
+
+@query(
+    "search_bm25_prf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, len({_DUCK_TOKS}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf1 AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('window', 'hash', 'merge') GROUP BY doc_id, term
+    ),
+    df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+    s1 AS (
+      SELECT tf1.doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ({_K1} + 1.0)
+               / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+             ), 4) AS bm25
+      FROM tf1 JOIN df1 USING (term) JOIN dl ON tf1.doc_id = dl.doc_id, stats
+      GROUP BY tf1.doc_id
+    ),
+    top AS (SELECT doc_id FROM s1 ORDER BY bm25 DESC, doc_id
+            LIMIT {_PRF_FEEDBACK_DOCS}),
+    exp AS (
+      SELECT term FROM toks JOIN top USING (doc_id)
+      WHERE term NOT IN ('window', 'hash', 'merge')
+      GROUP BY term ORDER BY count(*) DESC, term LIMIT {_PRF_EXPANSION}
+    ),
+    q2 AS (SELECT term FROM exp
+           UNION ALL SELECT unnest(['window', 'hash', 'merge'])),
+    tf2 AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM toks t JOIN q2 ON t.term = q2.term GROUP BY doc_id, t.term
+    ),
+    df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+    s2 AS (
+      SELECT tf2.doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ({_K1} + 1.0)
+               / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+             ), 4) AS bm25,
+             count(*) AS n_terms_hit
+      FROM tf2 JOIN df2 USING (term) JOIN dl ON tf2.doc_id = dl.doc_id, stats
+      GROUP BY tf2.doc_id
+    )
+    SELECT doc_id, bm25, n_terms_hit FROM s2
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def search_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with pseudo-relevance feedback: score the base query, take
+    the top-{_PRF_FEEDBACK_DOCS} documents, add the {_PRF_EXPANSION} most
+    frequent terms inside them (originals excluded; integer counts with
+    alphabetical tie-break — deterministic), re-score with the expanded
+    query, serve the top-20. Pass 2 reuses the ONE bm25_scores
+    definition with the expansion set as a broadcast term DataFrame, so
+    the mechanism a production relevance stack tunes (feedback depth,
+    expansion width) is two parameters over green machinery. Scale: pass
+    1's plan unchanged; the feedback mine joins the token stream against
+    a broadcast {_PRF_FEEDBACK_DOCS}-doc list; pass 2's term filter is a
+    broadcast 8-term join ahead of the only corpus-width shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    top = (
+        bm25_scores(d, _QUERY_TERMS)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    exp = (
+        toks.join(F.broadcast(top), "doc_id")
+        .where(~F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(_PRF_EXPANSION)
+        .select("term")
+    )
+    spark_terms = exp.unionByName(
+        spark.createDataFrame([(t,) for t in _QUERY_TERMS], "term string")
+    )
+    return (
+        bm25_scores(d, spark_terms)
+        .select("doc_id", "bm25", "n_terms_hit")
+        .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )

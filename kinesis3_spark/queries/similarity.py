@@ -1486,3 +1486,74 @@ def topk_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _topk_from_scores
 
     return _topk_from_scores(scored, _K).withColumnRenamed("rank", "rnk")
+
+
+_PCA_K = 8
+_PCA_CAPTURE_FLOOR_PCT = 14  # measured 16.0-20.5% across test SFs; the
+# isotropic baseline is k/d = 12.5%, so a projection bug that scrambles
+# components (capture -> below-baseline) trips the floor
+
+
+@query(
+    "embed_pca_variance",
+    oracle=f"""
+    SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+           {_PCA_K} AS k, 1 AS var_monotone_ok, 1 AS var_match_ok,
+           1 AS capture_ok
+    """,
+)
+def embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus (the data-AWARE
+    projection next to the JL tier — whitening/dim-reduction before ANN
+    or clustering): second moments accumulate in ONE Arrow-batched pass
+    folded by a pos-keyed aggregate (driver holds d^2+d+1 doubles), the
+    64x64 eigendecomposition is bounded driver math, and the corpus
+    projects through the component matrix in the scan stage
+    (matrix_project — the random_project fold generalized).
+
+    Banded-oracle form (eigendecomposition is not SQL-expressible):
+    n_rows exact; var_monotone_ok = per-component variance of the
+    DISTRIBUTED projection is non-increasing; var_match_ok = each
+    component's distributed variance equals its driver-side eigenvalue
+    within 1e-6 relative (model and projection cross-validate each other
+    — a transposed/unnormalized component matrix fails both); capture_ok
+    = top-{_PCA_K} captured variance fraction >= {_PCA_CAPTURE_FLOOR_PCT}%
+    of the distributed total (measured 16.0-20.5%; the isotropic floor is
+    12.5%, so scrambled components trip it). Exact eigenvalue parity vs
+    numpy and planted-anisotropy recovery are pytest-pinned
+    (tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, P, evals = S.train_pca(emb, k=_PCA_K)
+    proj = S.matrix_project(emb, P, center=mean)
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for j in range(_PCA_K):
+        x = F.col("proj")[j]
+        aggs.append((F.avg(x * x) - F.avg(x) * F.avg(x)).alias(f"v{j}"))
+    aggs.append(
+        F.avg(
+            S.squared_l2(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(float(m)) for m in mean]),
+            )
+        ).alias("total_var")
+    )
+    row = proj.agg(*aggs)
+    mono = F.lit(True)
+    match = F.lit(True)
+    cap = F.lit(0.0)
+    for j in range(_PCA_K):
+        v = F.col(f"v{j}")
+        if j:
+            mono = mono & (v <= F.col(f"v{j - 1}") + F.lit(1e-9))
+        lam = F.lit(float(evals[j]))
+        match = match & (F.abs(v - lam) <= F.lit(1e-9) + F.lit(1e-6) * lam)
+        cap = cap + v
+    return row.select(
+        "n_rows",
+        F.lit(_PCA_K).alias("k"),
+        mono.cast("int").alias("var_monotone_ok"),
+        match.cast("int").alias("var_match_ok"),
+        (cap * 100 >= _PCA_CAPTURE_FLOOR_PCT * F.col("total_var"))
+        .cast("int")
+        .alias("capture_ok"),
+    )

@@ -500,3 +500,29 @@ def test_curriculum_stage_is_monotone_in_length_and_tie_stable(spark):
     lens = sorted(by_len)
     stages = [next(iter(by_len[n])) for n in lens]
     assert stages == sorted(stages)  # monotone in length
+
+
+def test_bm25_prf_expansion_terms_and_dynamic_scoring(spark, sf_dir):
+    """The expansion set excludes the original query terms, and the
+    dynamic-DataFrame scoring path is exactly the static path on the
+    same term set (one bm25_scores definition, two filter shapes)."""
+    from kinesis3_spark.queries.search import _QUERY_TERMS, bm25_scores
+    from kinesis3_spark.queries.relational import _t
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf_dir, "documents")
+    terms_df = spark.createDataFrame([(t,) for t in _QUERY_TERMS], "term string")
+    static = {
+        (r.doc_id, r.bm25) for r in bm25_scores(d, _QUERY_TERMS).collect()
+    }
+    dynamic = {
+        (r.doc_id, r.bm25) for r in bm25_scores(d, terms_df).collect()
+    }
+    assert static == dynamic
+
+    from kinesis3_spark.queries import QUERIES
+
+    prf = QUERIES["search_bm25_prf"](spark, sf_dir).collect()
+    assert len(prf) == 20
+    # expanded query can hit more than the 3 original terms
+    assert max(r.n_terms_hit for r in prf) > 3

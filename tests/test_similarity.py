@@ -242,3 +242,62 @@ def test_projected_search_finds_planted_dups(spark, planted):
         for r in _topk_from_scores(scored, 1).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA (round 12)
+# --------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_and_recovers_planted_direction(spark):
+    import numpy as np
+
+    from kinesis3_spark.operators.similarity import matrix_project, train_pca
+
+    rng = np.random.RandomState(7)
+    d, n = 16, 400
+    base = rng.normal(0, 0.05, size=(n, d))
+    direction = np.zeros(d); direction[3] = 1.0
+    X = base + np.outer(rng.normal(0, 1.0, n), direction)  # variance planted on axis 3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    # float32 storage quantizes the input: compare numpy on the SAME f32 data
+    X32 = X.astype(np.float32).astype(np.float64)
+    mean, P, ev = train_pca(df, k=4)
+    cov = np.cov(X32.T, bias=True)
+    want = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    assert np.allclose(ev, want, rtol=1e-8)
+    assert np.allclose(P @ P.T, np.eye(4), atol=1e-9)
+    # top component is the planted axis and captures the planted variance
+    assert abs(P[0, 3]) > 0.99
+    assert ev[0] / np.trace(cov) > 0.75
+    # distributed projection == numpy projection (same fold inputs)
+    got = {
+        r.vec_id: np.array(r.proj)
+        for r in matrix_project(df, P, center=mean).select("vec_id", "proj").collect()
+    }
+    wantp = (X32 - mean) @ P.T
+    for i in range(n):
+        assert np.allclose(got[i], wantp[i], atol=1e-9)
+
+
+def test_partial_gram_folds_to_exact_second_moments(spark):
+    import numpy as np
+
+    from kinesis3_spark.operators.similarity import partial_gram
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(1)
+    X = rng.normal(size=(100, 4)).astype(np.float32).astype(np.float64)
+    df = spark.createDataFrame(
+        [([float(x) for x in r],) for r in X], "embedding array<float>"
+    ).repartition(5)
+    parts = partial_gram(df).collect()
+    n = sum(p.n for p in parts)
+    s = np.sum([p.s for p in parts], axis=0)
+    g = np.sum([p.g for p in parts], axis=0).reshape(4, 4)
+    assert n == 100
+    assert np.allclose(s, X.sum(axis=0), atol=1e-9)
+    assert np.allclose(g, X.T @ X, atol=1e-9)
