@@ -448,3 +448,44 @@ def sql_group_by_all_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count(*) AS n", "CAST(count(*) AS BIGINT) AS n"
         )
     )
+
+
+@query(
+    "win_range_interval_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                 AS DOUBLE)
+                 / (count(*) OVER w) / 100.0, 4) AS avg_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h
+    FROM events
+    WHERE user_id < 25
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame (the sliding-lookback every
+    sessionless rate/rolling-average monitor needs): per user, the
+    trailing-1-hour mean event value at microsecond frame precision —
+    rangeBetween over unix_micros(ts), the exact twin of SQL's RANGE
+    BETWEEN INTERVAL. Summation is exact (integer cents accumulate, ONE
+    double division at the end), so frame membership AND the average are
+    hash-exact cross-engine. Scale: one (user) keyed shuffle; frames are
+    bounded by event rate x window, never materialized."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 25)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(cents).over(w).cast("double") / F.count("*").over(w) / 100.0, 4
+        ).alias("avg_1h"),
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+    ).orderBy("user_id", "event_id")

@@ -332,3 +332,88 @@ def ts_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY day) AS s_t,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             sum(n) OVER (PARTITION BY event_type) AS s_n,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ),
+    stat AS (
+      SELECT event_type, day, n_days,
+             abs(n_days * s_t - t * s_n) AS d_t
+      FROM cum WHERE t < n_days
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           strftime(day, '%Y-%m-%d') AS cp_day,
+           CAST(d_t AS BIGINT) AS cusum_stat
+    FROM (
+      SELECT event_type, day, n_days, d_t,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d_t DESC, day) AS rk
+      FROM stat
+    ) WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint per event type: the CUSUM-of-deviations
+    curve D_t = |n*S_t - t*S_n| (the Pettitt/AMOC statistic with the
+    division cleared — PURE INTEGERS, so the argmax day is hash-exact
+    cross-engine, no float comparison anywhere), maximized over split
+    points with earliest-day tie-break. The volume monitors
+    (z-score/MAD) flag single bad days; this finds the day the LEVEL
+    changed — the complementary regime-shift alarm.
+
+    Scale: one (type, day) rollup, cumulative sums windowed over days
+    WITHIN a type (bounded by the calendar, never corpus rows), a
+    per-type argmax window over the same bounded partition."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(wd).alias("s_t"),
+        F.row_number().over(wd).alias("t"),
+        F.sum("n").over(wt).alias("s_n"),
+        F.count("*").over(wt).alias("n_days"),
+    )
+    stat = cum.where(F.col("t") < F.col("n_days")).select(
+        "event_type",
+        "day",
+        "n_days",
+        F.abs(
+            F.col("n_days") * F.col("s_t") - F.col("t") * F.col("s_n")
+        ).alias("d_t"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.col("d_t").desc(), "day")
+    )
+    return (
+        stat.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            F.col("d_t").cast("bigint").alias("cusum_stat"),
+        )
+        .orderBy("event_type")
+    )

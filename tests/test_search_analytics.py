@@ -526,3 +526,30 @@ def test_bm25_prf_expansion_terms_and_dynamic_scoring(spark, sf_dir):
     assert len(prf) == 20
     # expanded query can hit more than the 3 original terms
     assert max(r.n_terms_hit for r in prf) > 3
+
+
+def test_cusum_changepoint_finds_planted_level_shift(spark, monkeypatch):
+    """A series at level 10 that jumps to level 30 on day 21 must place
+    the changepoint at the last pre-shift day (day 20) — and the
+    statistic is pure integers, so the argmax is exact."""
+    import datetime as dt
+
+    from kinesis3_spark.queries import statsq
+
+    rows = []
+    eid = 0
+    for d in range(40):
+        level = 10 if d < 20 else 30
+        for _ in range(level):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1) + dt.timedelta(days=d), "load")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    monkeypatch.setattr(statsq, "_t", lambda spark, sf_dir, name: df)
+    got = statsq.ts_changepoint_cusum(spark, "unused").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.cp_day == "2024-03-20" and r.n_days == 40
+    # D_20 = |40*200 - 20*800| = 8000
+    assert r.cusum_stat == 8000
