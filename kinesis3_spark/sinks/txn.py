@@ -839,6 +839,7 @@ def read_snapshot(
     buckets: set[int] | None = None,
     epoch: int | None = None,
     where: list[tuple] | None = None,
+    timestamp: str | None = None,
     _with_pos: bool = False,
     _entries: list[dict] | None = None,
 ) -> DataFrame | None:
@@ -866,7 +867,14 @@ def read_snapshot(
     next to the data) so AQE plans it as a broadcast anti-join; files
     with no deletes pay nothing (the fast path below is untouched when
     no selected entry has a dv). Returns None when the table (or the
-    selected file set) has no committed files."""
+    selected file set) has no committed files.
+
+    ``timestamp`` is Delta's ``timestampAsOf``: the snapshot of the
+    latest commit at or before the ISO-8601 UTC instant (epoch_as_of —
+    mutually exclusive with ``epoch``)."""
+    if timestamp is not None:
+        assert epoch is None, "pass epoch OR timestamp, not both"
+        epoch = epoch_as_of(path, timestamp)
     man = read_manifest(path, epoch)
     if man is None:
         return None
@@ -2417,6 +2425,29 @@ def table_history(path: str) -> list[dict]:
             break  # vacuumed below this epoch — history ends here
         out.append(_history_record(ep, m))
     return out
+
+
+def epoch_as_of(path: str, timestamp: str) -> int:
+    """Delta's ``timestampAsOf`` resolution: the LATEST retained epoch
+    committed at or before the ISO-8601 instant (naive and 'Z' forms
+    normalize to UTC, matching the commits' own stamps). Rides
+    table_history, so with a checkpoint present the walk is O(interval);
+    commits predating the op-stamp era (no ts) are skipped — they cannot
+    prove their instant. Raises ValueError when every retained commit is
+    newer than the cutoff (Delta's timestamp-before-earliest error).
+    Time-ranged CDF composes directly: table_changes(spark, path,
+    epoch_as_of(path, t0), epoch_as_of(path, t1))."""
+    cutoff = _dt.datetime.fromisoformat(timestamp.replace("Z", "+00:00"))
+    if cutoff.tzinfo is None:
+        cutoff = cutoff.replace(tzinfo=_dt.timezone.utc)
+    for rec in table_history(path):  # newest-first
+        ts = rec.get("ts")
+        if ts is not None and _dt.datetime.fromisoformat(ts) <= cutoff:
+            return rec["epoch"]
+    raise ValueError(
+        f"no retained commit of {path} at or before {timestamp}; the "
+        "earliest retained epoch is newer (or predates operation stamps)"
+    )
 
 
 def add_constraint(path: str, name: str, condition: str) -> int:

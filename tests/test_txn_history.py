@@ -276,3 +276,38 @@ def test_diff_schemas_reports_add_rename_drop(spark, table):
     assert T.diff_schemas(table, e_final, e_final) == {
         "added": [], "dropped": [], "renamed": [], "type_changed": [],
     }
+
+
+def test_timestamp_as_of_resolves_latest_commit_at_or_before(spark, tmp_path):
+    """Delta's timestampAsOf: reads resolve to the newest commit whose
+    stamp is at or before the cutoff; a cutoff before the earliest
+    retained commit raises; time-ranged CDF composes on epoch_as_of."""
+    import time
+
+    path = str(tmp_path / "t")
+
+    def _commit(i):
+        T.append_snapshot(
+            spark.createDataFrame([(i, i * 10)], "id bigint, val bigint"),
+            path, key="id", n_buckets=1,
+        )
+
+    _commit(1)
+    time.sleep(1.1)
+    _commit(2)
+    time.sleep(1.1)
+    _commit(3)
+    hist = {r["epoch"]: r["ts"] for r in T.table_history(path)}
+    assert T.epoch_as_of(path, hist[2]) == 2
+    assert T.epoch_as_of(path, hist[3]) == 3
+    assert T.epoch_as_of(path, "2099-01-01T00:00:00+00:00") == 3
+    with pytest.raises(ValueError, match="at or before"):
+        T.epoch_as_of(path, "2000-01-01T00:00:00Z")
+    snap = T.read_snapshot(spark, path, timestamp=hist[2])
+    assert sorted(r.id for r in snap.collect()) == [1, 2]
+    # time-ranged CDF: changes between commit-2 and commit-3 instants
+    ch = T.table_changes(
+        spark, path,
+        T.epoch_as_of(path, hist[2]), T.epoch_as_of(path, hist[3]),
+    ).collect()
+    assert {(r.id, r._change_type) for r in ch} == {(3, "insert")}
