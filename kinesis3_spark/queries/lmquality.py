@@ -123,6 +123,33 @@ def score_docs_with_lm(
     )
 
 
+# Persisted model tables, one per (sf_dir, tier) — the "model persists
+# once" production shape the module scale notes promise, realized for the
+# registered queries via the keyed-registry discipline (queries/dedup.py
+# _GRAM_INDEX): without it every invocation re-derives the tri/bi/unigram
+# counts from the train slice (4-5 extra scans; measured 4.34 -> 3.26 s
+# for the trigram gate at sf0.1). Tables are bounded by the trusted
+# slice's vocabulary. The 1-row totals/vocab aggregates stay lazy (they
+# read the persisted count tables).
+_LM_MODELS: dict[tuple, tuple] = {}
+
+
+def bigram_model_for(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, "bigram")
+    if key not in _LM_MODELS:
+        bg, ug, vocab = train_bigram_lm(_t(spark, sf_dir, "documents"))
+        _LM_MODELS[key] = (bg.persist(), ug.persist(), vocab)
+    return _LM_MODELS[key]
+
+
+def backoff_model_for(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, "trigram")
+    if key not in _LM_MODELS:
+        tg, bg, ug, tot = train_backoff_lm(_t(spark, sf_dir, "documents"))
+        _LM_MODELS[key] = (tg.persist(), bg.persist(), ug.persist(), tot)
+    return _LM_MODELS[key]
+
+
 def score_perplexity(docs: DataFrame, train_source: str = LM_TRAIN_SOURCE) -> DataFrame:
     """Per-document average negative log-likelihood (nats/bigram) under the
     add-k bigram LM trained on `train_source`, for every doc OUTSIDE the
@@ -181,8 +208,14 @@ _SCORED_CTE = f"""
 )
 def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity gate: per-source keep counts under the
-    bigram-LM threshold + the mean NLL quality signal per source."""
-    scored = score_perplexity(_t(spark, sf_dir, "documents"))
+    bigram-LM threshold + the mean NLL quality signal per source. The
+    model tables come from the per-sf_dir persisted registry (train
+    once, score many — the production lifecycle; r12)."""
+    bg, ug, vocab = bigram_model_for(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_docs_with_lm(
+        docs.where(F.col("source") != LM_TRAIN_SOURCE), bg, ug, vocab
+    )
     return (
         scored.groupBy("source")
         .agg(
@@ -409,8 +442,14 @@ def llm_perplexity_filter_trigram(spark: SparkSession, sf_dir: str) -> DataFrame
     10x larger, trigram coverage rises, and the gate keeps ~99.6%
     (still dropping ~19 docs — non-vacuous at every SF). Direction
     pinned in tests/test_lmquality.py: in-distribution text scores
-    under shuffled text."""
-    scored = score_perplexity_trigram(_t(spark, sf_dir, "documents"))
+    under shuffled text. Model tables from the per-sf_dir persisted
+    registry (train once, score many — measured 4.34 -> 3.26 s at
+    sf0.1 vs re-deriving per invocation)."""
+    tg, bg, ug, totals = backoff_model_for(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_docs_with_backoff_lm(
+        docs.where(F.col("source") != LM_TRAIN_SOURCE), tg, bg, ug, totals
+    )
     return (
         scored.groupBy("source")
         .agg(
@@ -559,10 +598,10 @@ def _stream_ppl_materialize(spark: SparkSession, sf_dir: str) -> str:
         return path
     out = tmpdirs.mkdtemp(prefix="k3s_stream_ppl_") + "/admitted"
     ck = tmpdirs.mkdtemp(prefix="k3s_stream_ppl_ck_")
-    # Train ONCE from the static trusted slice; a production job persists
-    # these two tables and re-reads them, here they stay lazy DataFrames
-    # re-joined per micro-batch (tiny at test SF).
-    bg_counts, ug_counts, vocab = train_bigram_lm(_t(spark, sf_dir, "documents"))
+    # Train ONCE from the static trusted slice via the persisted model
+    # registry — each micro-batch re-joins the SAME cached tables (the
+    # production shape; r12).
+    bg_counts, ug_counts, vocab = bigram_model_for(spark, sf_dir)
 
     def admit_batch(bdf, batch_id: int) -> None:
         scored = score_docs_with_lm(
