@@ -219,3 +219,44 @@ def test_batch_missing_generated_inputs_raises_contract_error(spark, table):
         T.read_snapshot(spark, table).where("id = 20").first()
     )
     assert row["val"] is None and row["doubled"] is None
+
+
+def test_ds_writer_generated_matches_sinks_path_on_portable_exprs(spark, tmp_path):
+    """Dialect cross-check for the r12 task-side evaluator: the SAME
+    portable expressions (CAST-to-DATE, floor arithmetic, CASE) computed
+    by the sinks path (Spark F.expr) and the DS write task (DuckDB over
+    Arrow) must produce identical stored values — re-verified against a
+    fresh Spark recompute over every row of both writers' commits."""
+    import datetime as dt
+
+    path = str(tmp_path / "x")
+    gen = {
+        "day": "CAST(ts AS DATE)",
+        "cents": "CAST(floor(value * 100 + 0.5) AS BIGINT)",
+        "band": "CASE WHEN value >= 5.0 THEN 'hi' ELSE 'lo' END",
+    }
+    rows1 = [
+        (1, dt.datetime(2024, 3, 1, 23, 59, 59, 999999), 4.995),
+        (2, dt.datetime(2024, 3, 2, 0, 0, 0, 1), 5.0),
+    ]
+    schema = "id bigint, ts timestamp, value double"
+    T.append_snapshot(
+        spark.createDataFrame(rows1, schema), path, key="id", n_buckets=2,
+        generated_cols=gen,
+    )
+    _register(spark)
+    rows2 = [
+        (3, dt.datetime(2024, 3, 3, 12, 30, 0, 500000), 0.005),
+        (4, dt.datetime(2024, 3, 4, 1, 2, 3, 0), 123.455),
+    ]
+    (
+        spark.createDataFrame(rows2, schema)
+        .write.format("txntable").option("key", "id").mode("append").save(path)
+    )
+    got = T.read_snapshot(spark, path)
+    diff = got.where(
+        ~F.col("day").eqNullSafe(F.expr(gen["day"]))
+        | ~F.col("cents").eqNullSafe(F.expr(gen["cents"]))
+        | ~F.col("band").eqNullSafe(F.expr(gen["band"]))
+    )
+    assert got.count() == 4 and diff.count() == 0
