@@ -576,3 +576,74 @@ def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CAST(min(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS BIGINT)
+             AS nearest_dt_us
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE
+                  AND p.ts + INTERVAL 10 MINUTE
+    GROUP BY 1, 2 ORDER BY p.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'): for
+    each purchase, the microsecond distance to the CLOSEST click by the
+    same user within ±10 minutes — before or after. Join-free like the
+    backward as-of: one union, one user-keyed sort, last-before and
+    first-after picked by two frames over the SAME window order, nearest
+    = least of the two. The global nearest click is necessarily one of
+    those two rows, so no candidate set ever materializes — while the
+    oracle pays the explicit ±tolerance range join. Only the distance is
+    emitted (integer micros — tie-free and hash-exact even when several
+    clicks share it)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("c_ts"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(1).alias("side"),
+    )
+    order = [F.asc("ts"), F.asc("side")]
+    wprev = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = (
+        clicks.unionByName(purchases)
+        .withColumn("prev_ts", F.last("c_ts", ignorenulls=True).over(wprev))
+        .withColumn("next_ts", F.first("c_ts", ignorenulls=True).over(wnext))
+    )
+    big = F.lit(1 << 62)
+    d_prev = F.coalesce(
+        F.unix_micros("ts") - F.unix_micros("prev_ts"), big
+    )
+    d_next = F.coalesce(
+        F.unix_micros("next_ts") - F.unix_micros("ts"), big
+    )
+    tol_us = 10 * 60 * 1_000_000
+    return (
+        merged.where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.least(d_prev, d_next).cast("bigint").alias("nearest_dt_us"),
+        )
+        .where(F.col("nearest_dt_us") <= tol_us)
+        .orderBy("event_id")
+    )
