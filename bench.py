@@ -162,6 +162,19 @@ HEADLINE = [
     # exact-fusion audit pass (the banded-oracle tier rule).
     "search_hybrid_rrf_topk",
     "llm_perplexity_filter_trigram",
+    # round 12b: PRF (two BM25 passes + the feedback mine), positional
+    # phrase search, curriculum staging, CUSUM changepoint, interval
+    # RANGE frames, nearest as-of, and the distributed-PCA pass — all
+    # production paths end-to-end. search_hybrid_rrf_ann stays OUT
+    # (exact-fusion audit tier), embed_pca_variance's audit columns are
+    # the distributed variance aggregates themselves so it stays IN.
+    "search_bm25_prf",
+    "search_phrase_match",
+    "llm_curriculum_stages",
+    "ts_changepoint_cusum",
+    "win_range_interval_frame",
+    "join_asof_nearest",
+    "embed_pca_variance",
 ]
 
 
