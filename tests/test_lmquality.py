@@ -310,3 +310,66 @@ def test_trigram_backoff_tier2_bigram_backoff(spark):
     assert len(rows) == 1
     want = -math.log(LM_BACKOFF * 2 / 2)
     assert rows[0].nll == pytest.approx(want, abs=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Quality classifier (round 12)
+# --------------------------------------------------------------------------
+
+
+def test_quality_classifier_separates_planted_vocabularies(spark):
+    """Trusted docs over vocabulary A vs crawl docs over vocabulary B:
+    the fitted classifier must score the trusted slice decisively above
+    the rest (binned AUC near 1), and a vocabulary-identical corpus must
+    NOT (AUC near 0.5) — the flag genuinely measures separation."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from kinesis3_spark.functions.text import tokenize
+    from kinesis3_spark.queries.lmquality import binned_auc
+
+    def fit_auc(rows):
+        d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        feat = d.select(
+            tokenize("text").alias("toks"),
+            (F.col("source") == "src0").cast("double").alias("label"),
+        )
+        X = HashingTF(inputCol="toks", outputCol="features", numFeatures=256).transform(feat)
+        m = LogisticRegression(maxIter=20, regParam=0.01, labelCol="label").fit(X)
+        scored = m.transform(X).select(
+            "label", F.element_at(vector_to_array("probability"), 2).alias("p")
+        )
+        return binned_auc(scored, "label", "p").first().auc
+
+    sep = [(i, "src0", "alpha beta gamma delta " * 3) for i in range(30)] + [
+        (100 + i, "srcX", "omega psi chi phi " * 3) for i in range(30)
+    ]
+    assert fit_auc(sep) > 0.95
+    same = [(i, "src0", "alpha beta gamma " * 3) for i in range(30)] + [
+        (100 + i, "srcX", "alpha beta gamma " * 3) for i in range(30)
+    ]
+    assert abs(fit_auc(same) - 0.5) < 0.1
+
+
+def test_binned_auc_matches_exact_rank_auc_on_planted_scores(spark):
+    """The histogram AUC equals the exact Mann-Whitney AUC when scores
+    are bin-aligned, and approximates it within a bin-width otherwise."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesis3_spark.queries.lmquality import binned_auc
+
+    rng = np.random.RandomState(3)
+    pos = rng.beta(5, 2, 200)  # high scores
+    neg = rng.beta(2, 5, 300)  # low scores
+    rows = [(1.0, float(p)) for p in pos] + [(0.0, float(p)) for p in neg]
+    df = spark.createDataFrame(rows, "label double, p double")
+    got = binned_auc(df, "label", "p").first().auc
+    allp = np.concatenate([pos, neg])
+    ranks = pd.Series(allp).rank().values
+    want = (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2) / (
+        len(pos) * len(neg)
+    )
+    assert abs(got - want) < 0.005
