@@ -489,3 +489,109 @@ def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_1h"),
         F.count("*").over(w).cast("bigint").alias("n_1h"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "agg_mode_quantity",
+    oracle="""
+    SELECT l_returnflag, mode_qty, n_mode FROM (
+      SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS n_mode,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY count(*) DESC, l_quantity) AS rk
+      FROM lineitem GROUP BY 1, 2
+    ) WHERE rk = 1 ORDER BY l_returnflag
+    """,
+)
+def agg_mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent l_quantity per return flag,
+    ties broken by the smallest value — spelled as count-rollup + argmax
+    window rather than the engines' mode() builtins, whose tie rules
+    differ (Spark's mode is non-deterministic on ties; pinning the
+    tie-break makes the result hash-exact). Scale: one map-side-combined
+    (flag, qty) rollup, then a window over |distinct qty| rows per flag
+    — bounded by the value domain, never row count."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n_mode")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(
+            F.col("n_mode").desc(), "l_quantity"
+        )
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            "n_mode",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_moments_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*)::BIGINT AS n,
+             sum(l_quantity)::BIGINT AS s1,
+             sum(l_quantity * l_quantity)::BIGINT AS s2,
+             sum(l_quantity * l_quantity * l_quantity)::BIGINT AS s3,
+             sum(l_quantity * l_quantity * l_quantity * l_quantity)::BIGINT AS s4
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n), 6) AS var_pop,
+           round(((s3 * 1.0 / n) - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+                  + 2.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                 / pow((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n), 1.5), 6)
+             AS skewness_pop,
+           round(((s4 * 1.0 / n) - 4.0 * (s1 * 1.0 / n) * (s3 * 1.0 / n)
+                  + 6.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+                  - 3.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                 / pow((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n), 2.0)
+                 - 3.0, 6) AS excess_kurtosis
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance / skewness / excess kurtosis per return flag,
+    computed from EXACT INTEGER power sums (l_quantity is integral, so
+    sum x..sum x^4 accumulate exactly; the engines' own skewness()/
+    kurtosis() builtins use different estimator conventions AND
+    order-sensitive streaming moments — both problems vanish when the
+    float math starts from identical integers). One map-side-combined
+    aggregate; the moment algebra is a scan-free projection over
+    |flags| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(q).cast("bigint").alias("s1"),
+        F.sum(q * q).cast("bigint").alias("s2"),
+        F.sum(q * q * q).cast("bigint").alias("s3"),
+        F.sum(q * q * q * q).cast("bigint").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1") * 1.0 / n
+    m2 = F.col("s2") * 1.0 / n
+    m3 = F.col("s3") * 1.0 / n
+    m4 = F.col("s4") * 1.0 / n
+    var = m2 - m1 * m1
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 6).alias("var_pop"),
+        F.round(
+            (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / F.pow(var, 1.5), 6
+        ).alias("skewness_pop"),
+        F.round(
+            (m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1)
+            / F.pow(var, 2.0)
+            - 3.0,
+            6,
+        ).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
