@@ -354,10 +354,28 @@ def partition_upsert_writer(
                         "CONFLICT statement may not touch a key twice; "
                         "dedup upstream or pass order_col"
                     )
-                if not (r[oi] is not None and (
-                    last[k][oi] is None or r[oi] >= last[k][oi]
-                )):
-                    continue
+                prev_o = last[k][oi]
+                if r[oi] is None and prev_o is not None:
+                    continue  # NULL order loses to any real order
+                if r[oi] is not None and prev_o is not None and r[oi] < prev_o:
+                    continue  # strictly older: keep the current winner
+                if r[oi] == prev_o:  # tie — including the both-NULL case
+                    # EXACT order tie: rows within a shuffled partition
+                    # arrive in nondeterministic order, so "keep the
+                    # later arrival" would let a task RETRY pick a
+                    # different winner — breaking the row-level
+                    # idempotence the whole tier rests on. Identical
+                    # payloads are a benign replay (winner irrelevant);
+                    # DIFFERING payloads under one (key, order) are
+                    # unresolvable and refused loudly.
+                    if tuple(r) == tuple(last[k]):
+                        continue
+                    raise ValueError(
+                        f"conflicting rows for key {k!r} share "
+                        f"order_col value {prev_o!r} — the writer cannot "
+                        "pick a deterministic winner; disambiguate the "
+                        "order column upstream"
+                    )
             last[k] = r
         final = list(last.values())
         con = connection_factory()

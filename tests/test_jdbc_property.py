@@ -256,3 +256,69 @@ def test_partition_upsert_batch_writer_e2e_distributed(spark, tmp_path):
     con.close()
     assert len(got) == 75
     assert got[0] == "v0" and got[30] == "w30" and got[74] == "w74"
+
+
+def test_partition_writer_order_tie_contracts(spark, tmp_path):
+    """Equal (key, order_col) with IDENTICAL payloads is a benign replay
+    (winner irrelevant — deduped silently); DIFFERING payloads under one
+    (key, order) have no deterministic winner and are refused, because a
+    shuffle-order-dependent pick would let a task retry apply different
+    state than the original attempt."""
+    import sqlite3
+
+    from kinesis3_spark.sinks.jdbc import partition_upsert_writer
+
+    db = str(tmp_path / "tie.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT, o INTEGER)")
+    con.commit()
+    con.close()
+
+    def factory():
+        import sqlite3 as _s
+
+        return _s.connect(db, timeout=60)
+
+    w = partition_upsert_writer(factory, "t", key="id", order_col="o")
+    # identical duplicate rows: benign replay, applies once
+    w(iter(_mk_rows(spark, [(1, "same", 5), (1, "same", 5)])))
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT v FROM t WHERE id = 1").fetchone() == ("same",)
+    con.close()
+    # differing payloads at the same order value: refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="deterministic winner"):
+        w(iter(_mk_rows(spark, [(2, "a", 5), (2, "b", 5)])))
+
+
+def test_partition_writer_null_order_ties(spark, tmp_path):
+    """NULL order loses to any real order; both-NULL duplicates follow
+    the tie rule (identical deduped, differing refused)."""
+    import sqlite3
+
+    import pytest as _pytest
+
+    from kinesis3_spark.sinks.jdbc import partition_upsert_writer
+
+    db = str(tmp_path / "nulltie.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT, o INTEGER)")
+    con.commit()
+    con.close()
+
+    def factory():
+        import sqlite3 as _s
+
+        return _s.connect(db, timeout=60)
+
+    w = partition_upsert_writer(factory, "t", key="id", order_col="o")
+    w(iter(_mk_rows(spark, [(1, "nullfirst", None), (1, "real", 3)])))
+    w(iter(_mk_rows(spark, [(2, "real", 3), (2, "nullsecond", None)])))
+    w(iter(_mk_rows(spark, [(3, "bothnull", None), (3, "bothnull", None)])))
+    con = sqlite3.connect(db)
+    got = dict(con.execute("SELECT id, v FROM t").fetchall())
+    con.close()
+    assert got == {1: "real", 2: "real", 3: "bothnull"}
+    with _pytest.raises(ValueError, match="deterministic winner"):
+        w(iter(_mk_rows(spark, [(4, "x", None), (4, "y", None)])))
