@@ -210,11 +210,17 @@ class Collector:
         held / updated / evicted + state memory — the numbers that say
         whether a stream-stream join's watermark is actually evicting
         (a stuck watermark shows as numRowsTotal growing without
-        numRowsRemoved). Driver-side metadata only; never touches rows."""
+        numRowsRemoved). Driver-side metadata only; never touches rows.
+        A STOPPED watched query is reported once more with
+        ``active: false`` (its final observation) and then pruned, so a
+        collector whose side streams restart in a recovery loop never
+        accumulates dead handles or serves frozen phantom streams
+        (review r12 #7)."""
         with self._lock:
             qs = ([self.query] if self.query is not None else []) + list(
                 self._watched
             )
+            self._watched = [q for q in self._watched if q.isActive]
         out = []
         for q in qs:
             try:
@@ -242,6 +248,7 @@ class Collector:
                     "name": p.get("name"),
                     "batchId": p.get("batchId"),
                     "numInputRows": p.get("numInputRows"),
+                    "active": bool(q.isActive),
                     "stateOperators": ops,
                 }
             )

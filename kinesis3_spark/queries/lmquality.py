@@ -143,10 +143,16 @@ def bigram_model_for(spark: SparkSession, sf_dir: str):
 
 
 def backoff_model_for(spark: SparkSession, sf_dir: str):
+    """Builds the trigram tier ON TOP of the bigram registry's persisted
+    bg/ug handles (review r12 #4 — a second independent persist of the
+    same count tables would re-accumulate exactly the cache duplication
+    the registry exists to prevent); only the trigram counts are new."""
     key = (sf_dir, "trigram")
     if key not in _LM_MODELS:
-        tg, bg, ug, tot = train_backoff_lm(_t(spark, sf_dir, "documents"))
-        _LM_MODELS[key] = (tg.persist(), bg.persist(), ug.persist(), tot)
+        bg, ug, _vocab = bigram_model_for(spark, sf_dir)
+        docs = _t(spark, sf_dir, "documents")
+        tg, _bg2, _ug2, totals = train_backoff_lm(docs, bg_ug=(bg, ug))
+        _LM_MODELS[key] = (tg.persist(), bg, ug, totals)
     return _LM_MODELS[key]
 
 
@@ -270,12 +276,18 @@ def _trigram_triples(col) -> F.Column:
     return T._let(T.tokenize(col), build)
 
 
-def train_backoff_lm(docs: DataFrame, train_source: str = LM_TRAIN_SOURCE):
+def train_backoff_lm(
+    docs: DataFrame, train_source: str = LM_TRAIN_SOURCE, bg_ug=None
+):
     """(tg_counts, bg_counts, ug_counts, totals) from the trusted slice.
     totals is a 1-row (n_tokens, v) aggregate joined back by broadcast.
     The bi/unigram tables are train_bigram_lm's verbatim (one model
-    definition across the bigram and trigram gates)."""
-    bg_counts, ug_counts, _vocab = train_bigram_lm(docs, train_source)
+    definition across the bigram and trigram gates); pass ``bg_ug`` to
+    reuse already-built (e.g. persisted-registry) handles."""
+    if bg_ug is not None:
+        bg_counts, ug_counts = bg_ug
+    else:
+        bg_counts, ug_counts, _vocab = train_bigram_lm(docs, train_source)
     train = docs.where(F.col("source") == train_source)
     tg_counts = (
         train.select(F.explode(_trigram_triples(F.col("text"))).alias("tg"))
@@ -435,7 +447,7 @@ def llm_perplexity_filter_trigram(spark: SparkSession, sf_dir: str) -> DataFrame
     """The CCNet gate with a trigram stupid-backoff LM (VERDICT r11
     agenda #6) — per-source keep counts + mean NLL, same rollup as the
     bigram gate so the two model tiers are directly comparable. The keep
-    threshold {LM_TRI_KEEP} sits mid-gap with the nearest document
+    threshold LM_TRI_KEEP=4.283 sits mid-gap with the nearest document
     >= 1.4e-3 nats away across ALL test SFs' score unions (measured;
     ~11 orders above cross-engine double drift — the LM_NLL_KEEP
     discipline) and splits sf0.01 48/52; at sf0.1 the trusted slice is
@@ -771,7 +783,7 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fastText-style quality gate, banded-oracle form (an LBFGS fit
     is not SQL-expressible): n_docs / n_pos exact vs the oracle's own
     counts; auc_ok = binned AUC of the classifier against the trusted-
-    slice label >= {_QC_AUC_FLOOR_X100 / 100} (measured 0.82 at sf0.01 —
+    slice label >= 0.65 (measured 0.82 at sf0.01 —
     a broken feature map or collapsed fit drops toward 0.5);
     direction_ok = mean trusted-slice score strictly above the rest.
     Planted separable/inseparable corpora are pytest-pinned

@@ -754,14 +754,13 @@ def search_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition-pruned cell reads, ADC over-fetch, exact re-rank — the
     sim_cosine_topk_ivfpq_rerank plan unchanged at candidate depth 50).
     Banded-oracle form (ANN membership is not SQL-expressible): the oracle
-    pins n_exact_top = the exact fused top-{_RRF_TOP} size, recall_ok =
-    ANN-fused top-{_RRF_TOP} recovers >= 70% of the exact fused set
+    pins n_exact_top = the exact fused top-10 size, recall_ok =
+    ANN-fused top-10 recovers >= 70% of the exact fused set
     (measured 90% at sf0.01 — the sparse leg is shared verbatim, the
     rerank dense leg swaps one boundary doc; a routing/LUT bug collapses
     it toward the sparse-only floor), and fused_ok = structural
     invariants of the served
-    list (<= {_RRF_TOP} rows, dense unique ranks from 1, n_legs in
-    [1, 2])."""
+    list (<= 10 rows, dense unique ranks from 1, n_legs in [1, 2])."""
     from ..operators import similarity as S
     from .similarity import _RERANK_NPROBE, _RERANK_R, _ivfpq_persisted_index
 
@@ -868,7 +867,7 @@ def phrase_occurrences(d: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     """,
 )
 def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-phrase search for "{' '.join(_PHRASE)}": top-20 documents by
+    """Exact-phrase search for "table hash" (_PHRASE): top-20 documents by
     occurrence count with the first match position (1-based — the
     snippet anchor a search UI needs). Adjacency is a positional-posting
     equi-join; the final cut is orderBy+limit (TakeOrderedAndProject).
@@ -952,7 +951,7 @@ _PRF_EXPANSION = 5       # expansion terms added to the query
 )
 def search_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with pseudo-relevance feedback: score the base query, take
-    the top-{_PRF_FEEDBACK_DOCS} documents, add the {_PRF_EXPANSION} most
+    the top-10 documents, add the 5 most
     frequent terms inside them (originals excluded; integer counts with
     alphabetical tie-break — deterministic), re-score with the expanded
     query, serve the top-20. Pass 2 reuses the ONE bm25_scores
@@ -960,7 +959,7 @@ def search_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mechanism a production relevance stack tunes (feedback depth,
     expansion width) is two parameters over green machinery. Scale: pass
     1's plan unchanged; the feedback mine joins the token stream against
-    a broadcast {_PRF_FEEDBACK_DOCS}-doc list; pass 2's term filter is a
+    a broadcast 10-doc list; pass 2's term filter is a
     broadcast 8-term join ahead of the only corpus-width shuffle."""
     d = _t(spark, sf_dir, "documents")
     top = (

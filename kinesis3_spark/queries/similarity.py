@@ -1184,14 +1184,16 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance to the mean in micro units, summed as DECIMAL (Spark) /
     HUGEINT (DuckDB), so the order-sensitive float-summation problem
     never exists and ranks are bit-free-exact. Overflow headroom (r12
-    advice fix — decimal(12,0) silently nulled once a label exceeded
-    ~5e5 rows under non-ANSI decimal semantics while the oracle's
-    HUGEINT kept going): the term is cast to decimal(20,0) (|xm*n| ~
-    2e6*n fits through n~1e13), the product is decimal(38,0), and the
-    dim-summed d2 stays under 1e38 for any real corpus (d=128, n=1e9
-    gives ~5e32). Production beyond that swaps to double distances and
-    keeps only ranks (adjacent distance gaps dwarf summation noise,
-    the module-header rank-stability rule).
+    advice fix, tightened by review: decimal(12,0) silently nulled past
+    ~5e5 rows/label, and a post-multiply cast would have let xm*n wrap
+    in bigint at n~4.6e12): xm widens to decimal(20,0) BEFORE the
+    multiply, so term = xm*n - sm is decimal(38,0) end-to-end; the
+    residual limit is term^2 hitting the decimal(38,0) cap at |term| ~
+    1e19, i.e. n ~ 2.5e12 rows per label — far beyond any real class —
+    and past it the non-ANSI null is at least visible as a vanishing
+    rank. Production beyond that swaps to double distances and keeps
+    only ranks (adjacent distance gaps dwarf summation noise, the
+    module-header rank-stability rule).
 
     Scale: posexplode collapses map-side to |labels| x dims partials;
     the |labels| x dims stats table broadcasts back; per-vec d2 is one
@@ -1210,7 +1212,10 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xm").cast("bigint").alias("sm"),
         F.count("*").cast("bigint").alias("n"),
     )
-    term = (F.col("xm") * F.col("n") - F.col("sm")).cast("decimal(20,0)")
+    # decimal BEFORE the multiply (review r12 #3): a post-hoc cast would
+    # leave xm*n to wrap in bigint at n ~ 4.6e12 rows/label — silently,
+    # with ANSI off. decimal(20,0)*bigint widens to decimal(38,0).
+    term = F.col("xm").cast("decimal(20,0)") * F.col("n") - F.col("sm")
     d2 = (
         x.join(F.broadcast(dims), ["label", "pos"])
         .groupBy("vec_id", "label")
@@ -1517,7 +1522,7 @@ def embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     component's distributed variance equals its driver-side eigenvalue
     within 1e-6 relative (model and projection cross-validate each other
     — a transposed/unnormalized component matrix fails both); capture_ok
-    = top-{_PCA_K} captured variance fraction >= {_PCA_CAPTURE_FLOOR_PCT}%
+    = top-8 captured variance fraction >= 14%
     of the distributed total (measured 16.0-20.5%; the isotropic floor is
     12.5%, so scrambled components trip it). Exact eigenvalue parity vs
     numpy and planted-anisotropy recovery are pytest-pinned

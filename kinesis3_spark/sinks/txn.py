@@ -873,7 +873,11 @@ def read_snapshot(
     latest commit at or before the ISO-8601 UTC instant (epoch_as_of —
     mutually exclusive with ``epoch``)."""
     if timestamp is not None:
-        assert epoch is None, "pass epoch OR timestamp, not both"
+        if epoch is not None:
+            # ValueError, not assert: under python -O the assert vanishes
+            # and the named epoch would be silently overridden (review
+            # r12 #8)
+            raise ValueError("pass epoch OR timestamp, not both")
         epoch = epoch_as_of(path, timestamp)
     man = read_manifest(path, epoch)
     if man is None:
@@ -2622,6 +2626,15 @@ def vacuum_table(
             continue
         if m:
             historical.update(_manifest_refs(m))
+    if not dry_run:
+        # trim the checkpoint floor BEFORE any manifest is reaped
+        # (review r12 #2): a crash between the two then leaves the
+        # checkpoint UNDER-claiming (floor raised while the manifests
+        # still exist — conservative truncation; epoch_as_of refuses
+        # below the floor) instead of OVER-claiming epochs whose
+        # manifests are gone, which would poison checkpoint-served
+        # history until the next destructive vacuum.
+        _trim_checkpoint(path, keep_from)
     import time as _time
 
     now = _time.time()
@@ -2698,10 +2711,6 @@ def vacuum_table(
                     os.rmdir(root)
             except OSError:
                 pass  # a racing writer repopulated it
-    if not dry_run:
-        # keep checkpoint-served DESCRIBE HISTORY identical to what the
-        # surviving manifests can prove: the floor rises with the reap
-        _trim_checkpoint(path, keep_from)
     return sorted(deleted)
 
 

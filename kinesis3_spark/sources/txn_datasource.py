@@ -599,6 +599,14 @@ def _enforce_arrow(tbl, generated_cols: dict, constraints: dict):
 
     con = duckdb.connect()
     try:
+        # Pin the evaluator's zone to UTC (review r12 #1, repro'd): the
+        # Arrow schema maps Spark timestamps to timestamp(us, tz=UTC),
+        # which DuckDB treats as TIMESTAMPTZ and LOCALIZES with its
+        # TimeZone setting — defaulting to the HOST zone, where
+        # CAST(ts AS DATE) would disagree with the Spark sinks path
+        # (session.py pins spark.sql.session.timeZone=UTC) on any
+        # non-UTC machine.
+        con.sql("SET TimeZone='UTC'")
         con.register("batch", tbl)
         incoming = list(tbl.column_names)
         missing = [n for n in sorted(generated_cols) if n not in incoming]

@@ -312,5 +312,12 @@ def test_stats_surfaces_stream_state_metrics(spark, tmp_path):
         assert "numRowsRemoved" in op and "memoryUsedBytes" in op
         # the drain actually held join state at some point
         assert op["numRowsUpdated"] > 0 or op["numRowsTotal"] > 0
+        assert streams[0]["active"] is False  # availableNow drain finished
+        # a stopped stream is served ONCE then pruned (review r12 #7):
+        # the second snapshot no longer carries the dead handle
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=10
+        ) as resp:
+            assert json.load(resp)["streams"] == []
     finally:
         c.stop()
