@@ -175,6 +175,11 @@ HEADLINE = [
     "win_range_interval_frame",
     "join_asof_nearest",
     "embed_pca_variance",
+    # round 13: the image perceptual-hash dedup tier (decode + hash Arrow
+    # pass + banded Hamming join — production path end-to-end) and the
+    # cross-modal integrity rollup (one keyed full-outer join).
+    "dedup_image_phash",
+    "multimodal_pair_integrity",
 ]
 
 
@@ -222,27 +227,36 @@ def main() -> None:
         dt = time.perf_counter() - t0
         cal = dt if cal is None else min(cal, dt)
 
-    # Each query is timed end-to-end (plan construction + execution) twice
-    # and the MIN is reported: single-shot numbers on a shared VM swing
-    # ±20% with neighbor noise, and the min of two fresh plans is the
-    # steady-state cost a scheduler would actually observe. Both passes
-    # rebuild the plan from scratch, so driver-side planning stays inside
-    # the measurement.
+    # Each query is timed end-to-end (plan construction + execution) N
+    # times and the MIN is reported (VERDICT r12 next-round #2: min-of-N
+    # is the artifact, not a reading discipline): single-shot numbers on a
+    # shared VM swing ±20% with neighbor noise — BENCH_r12's 3.2×
+    # "regression" on the persisted-index probe was cold-file-cache
+    # variance on unchanged code — and the min of N fresh plans is the
+    # steady-state cost a scheduler would actually observe. Every pass
+    # rebuilds the plan from scratch, so driver-side planning stays inside
+    # the measurement; the full per-run spread lands in BENCH_DETAIL.json
+    # (`runs` map) so outliers are adjudicable without a re-run.
+    n_runs = max(1, int(
+        os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+        or (sys.argv[sys.argv.index("--runs") + 1] if "--runs" in sys.argv else 3)
+    ))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in names:
-        best = None
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             try:
                 QUERIES[name](spark, SF_DIR).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                runs.append(time.perf_counter() - t0)
             except Exception as ex:  # one broken query must not kill the report
                 errors[name] = str(ex).splitlines()[0][:200]
                 break
-        if best is not None:
-            timings[name] = round(best, 3)
+        if runs:
+            timings[name] = round(min(runs), 3)
+            spreads[name] = [round(t, 3) for t in runs]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -253,6 +267,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "n_runs": n_runs,
+        "runs": spreads,
         "calibration_sec": round(cal, 3),
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
@@ -279,6 +295,7 @@ def main() -> None:
         "loadavg_start": detail["loadavg_start"],
         "loadavg_end": detail["loadavg_end"],
         "n_queries": len(timings),
+        "n_runs": n_runs,
         "n_errors": len(errors),
         "queries_detail": "BENCH_DETAIL.json",
     }

@@ -242,3 +242,127 @@ def sample_frames(
         run, schema="media_id long, frame_idx int, data binary"
     )
     return out.repartition("media_id", "frame_idx")
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image, as 4 × 16-bit Hamming
+    bands — the DCT-free tier of the pHash family every image pretraining
+    corpus runs before (expensive) embedding dedup.
+
+    Definition (integer-exact, so a SQL oracle can re-derive it): collapse
+    channels by sum, partition the H×W plane into an 8×8 grid with floor
+    boundaries (row group rg covers rows [floor(rg*H/8), floor((rg+1)*H/8)),
+    same for columns), then
+        bit[rg,cg] = 1  iff  cell_sum * (H*W) > total_sum * cell_npx
+    — i.e. cell mean > global pixel mean, compared via cross-multiplied
+    int64s so NO float division can diverge between engines (sums are
+    ≤ 255·3·HW, far inside int64). Empty groups (H<8 or W<8) hash to 0.
+    The 64 bits pack as bands[b] = Σ_cg bit[2b,cg]<<cg + bit[2b+1,cg]<<(cg+8)
+    for b in 0..3 — 16-bit band values keep every downstream integer small
+    (no signed-int64 bit-63 edge) and make banded candidate generation
+    LOSSLESS for Hamming radius ≤ 3: two hashes ≤ 3 bits apart must agree
+    on ≥ 1 of the 4 bands (pigeonhole), so an equi-join on (band, value)
+    finds exactly the true near-dup set, not an approximation of it.
+
+    One Arrow pass over (id, payload); the 8×8 cell loop is 64 bounded
+    slices per image. At 100 TB the payload never leaves the executors —
+    output is 1 row × ~40 bytes per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands_out = [], []
+            for mid, b in zip(pdf[id_col], pdf[data_col]):
+                a = _decode_image(bytes(b)).astype(np.int64).sum(axis=2)
+                h, w = a.shape
+                rb = (np.arange(9) * h) // 8
+                cb = (np.arange(9) * w) // 8
+                ts, tp = int(a.sum()), h * w
+                bands = [0, 0, 0, 0]
+                for rg in range(8):
+                    r0, r1 = int(rb[rg]), int(rb[rg + 1])
+                    if r0 == r1:
+                        continue
+                    for cg in range(8):
+                        c0, c1 = int(cb[cg]), int(cb[cg + 1])
+                        if c0 == c1:
+                            continue
+                        cs = int(a[r0:r1, c0:c1].sum())
+                        if cs * tp > ts * (r1 - r0) * (c1 - c0):
+                            bands[rg // 2] += 1 << (cg + 8 * (rg % 2))
+                ids.append(mid)
+                bands_out.append(bands)
+            yield pd.DataFrame({"media_id": ids, "bands": bands_out})
+
+    return df.select(id_col, data_col).mapInPandas(
+        run, schema="media_id long, bands array<int>"
+    )
+
+
+def ahash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(media_id_a < media_id_b, hamming) for every image pair within
+    `max_hamming` bits under the 4×16-bit band encoding of image_ahash.
+
+    Plan shape (the MinHash-LSH discipline applied to Hamming space):
+      1. IDENTICAL hashes pair by a plain equi-join on the band array —
+         the overwhelmingly common exact-re-upload case never enters the
+         banded join, so its cost is the true output size, not a blowup.
+      2. DISTINCT hashes: explode 4 (band, value) keys per hash → equi-join
+         on (band, value) → distinct candidate hash pairs → exact Hamming
+         via zip_with/bit_count (JVM built-ins) → join ids back. For
+         max_hamming ≤ 3 this is EXACT (pigeonhole over 4 bands), so the
+         brute-force all-pairs oracle and this banded plan provably agree.
+    Never an all-pairs comparison; candidate volume per band bucket is
+    |bucket|² over a 2^16 key space per band — at larger radii raise the
+    band count, the same knob LSH tunes."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band encoding is lossless only for Hamming radius <= 3; "
+            "raise the band count in image_ahash for larger radii"
+        )
+    dist = hashes.select("bands").distinct()
+    keyed = dist.select(
+        "bands", F.posexplode("bands").alias("band", "bv")
+    )
+    x, y = keyed.alias("x"), keyed.alias("y")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("ba"), F.col("bb"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.bands") < F.col("y.bands")),
+        )
+        .select(F.col("x.bands").alias("ba"), F.col("y.bands").alias("bb"))
+        .distinct()
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+    )
+    ha = hashes.select(F.col("bands").alias("ba"), F.col("media_id").alias("ia"))
+    hb = hashes.select(F.col("bands").alias("bb"), F.col("media_id").alias("ib"))
+    cross = cand.join(ha, "ba").join(hb, "bb").select(
+        F.least("ia", "ib").alias("media_id_a"),
+        F.greatest("ia", "ib").alias("media_id_b"),
+        "hamming",
+    )
+    same = (
+        hashes.alias("p")
+        .join(
+            hashes.alias("q"),
+            (F.col("p.bands") == F.col("q.bands"))
+            & (F.col("p.media_id") < F.col("q.media_id")),
+        )
+        .select(
+            F.col("p.media_id").alias("media_id_a"),
+            F.col("q.media_id").alias("media_id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)

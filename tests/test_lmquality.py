@@ -321,26 +321,19 @@ def test_quality_classifier_separates_planted_vocabularies(spark):
     """Trusted docs over vocabulary A vs crawl docs over vocabulary B:
     the fitted classifier must score the trusted slice decisively above
     the rest (binned AUC near 1), and a vocabulary-identical corpus must
-    NOT (AUC near 0.5) — the flag genuinely measures separation."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF
-    from pyspark.ml.functions import vector_to_array
-    from pyspark.sql import functions as F
-
-    from kinesis3_spark.functions.text import tokenize
-    from kinesis3_spark.queries.lmquality import binned_auc
+    NOT (AUC near 0.5) — the flag genuinely measures separation. Goes
+    through the PRODUCTION fit/score pair (fit_quality_classifier /
+    score_quality_classifier), not a test-local re-implementation."""
+    from kinesis3_spark.queries.lmquality import (
+        binned_auc,
+        fit_quality_classifier,
+        score_quality_classifier,
+    )
 
     def fit_auc(rows):
         d = spark.createDataFrame(rows, "doc_id long, source string, text string")
-        feat = d.select(
-            tokenize("text").alias("toks"),
-            (F.col("source") == "src0").cast("double").alias("label"),
-        )
-        X = HashingTF(inputCol="toks", outputCol="features", numFeatures=256).transform(feat)
-        m = LogisticRegression(maxIter=20, regParam=0.01, labelCol="label").fit(X)
-        scored = m.transform(X).select(
-            "label", F.element_at(vector_to_array("probability"), 2).alias("p")
-        )
+        coefs, b = fit_quality_classifier(d)
+        scored = score_quality_classifier(d, coefs, b)
         return binned_auc(scored, "label", "p").first().auc
 
     sep = [(i, "src0", "alpha beta gamma delta " * 3) for i in range(30)] + [
@@ -351,6 +344,24 @@ def test_quality_classifier_separates_planted_vocabularies(spark):
         (100 + i, "srcX", "alpha beta gamma " * 3) for i in range(30)
     ]
     assert abs(fit_auc(same) - 0.5) < 0.1
+
+
+def test_quality_classifier_cache_holds_plain_floats_not_model(spark, sf_dir):
+    """Regression pin for the r12 full-suite flake: the per-sf_dir fit
+    cache must hold (list[float], float) — never a JVM-backed MLlib model
+    — and the scoring plan must contain no MLlib UDF node, so a cached fit
+    can never carry stale JVM state into a later plan's serialization."""
+    from kinesis3_spark.queries.lmquality import _QC_MODELS, quality_classifier_scores
+
+    _QC_MODELS.pop(sf_dir, None)
+    scored = quality_classifier_scores(spark, sf_dir)
+    coefs, intercept = _QC_MODELS[sf_dir]
+    assert isinstance(coefs, list) and all(isinstance(c, float) for c in coefs)
+    assert isinstance(intercept, float)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "UDF" not in plan and "Python" not in plan  # pure column expressions
+    # second invocation reuses the floats (no refit) and still evaluates
+    assert quality_classifier_scores(spark, sf_dir).count() == scored.count()
 
 
 def test_binned_auc_matches_exact_rank_auc_on_planted_scores(spark):

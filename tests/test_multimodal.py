@@ -92,3 +92,88 @@ def test_real_codec_gate_both_branches():
     except ImportError:
         with pytest.raises(NotImplementedError, match="pyav"):
             M._decode_video(b"\x00\x00\x00 ftypmp4 bytes")
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash dedup (round 13)
+# --------------------------------------------------------------------------
+
+
+def _img_df(spark, arrays):
+    rows = [(i, bytearray(M.encode_rawi(a))) for i, a in enumerate(arrays)]
+    return spark.createDataFrame(rows, "media_id long, data binary")
+
+
+def test_ahash_planted_neardup_pair_found(spark):
+    """Two near-identical images (a handful of perturbed pixels) must land
+    within Hamming radius 3 and pair; an unrelated image must not."""
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 32, 1), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0, 0] ^= 0x01  # tiny perturbation: block means barely move
+    other = rng.randint(0, 256, size=(32, 32, 1), dtype=np.uint8)
+    pairs = M.ahash_neardup_pairs(
+        M.image_ahash(_img_df(spark, [base, near, other]))
+    ).collect()
+    got = {(r.media_id_a, r.media_id_b): r.hamming for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] <= 3
+    assert all(2 not in k for k in got)
+
+
+def test_ahash_identical_images_pair_at_zero_without_banded_join(spark):
+    """Exact re-uploads pair via the identical-hash equi-join (hamming 0)."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16, 1), dtype=np.uint8)
+    pairs = M.ahash_neardup_pairs(
+        M.image_ahash(_img_df(spark, [img, img.copy(), img.copy()]))
+    ).collect()
+    got = {(r.media_id_a, r.media_id_b): r.hamming for r in pairs}
+    assert got == {(0, 1): 0, (0, 2): 0, (1, 2): 0}
+
+
+def test_ahash_banded_join_matches_bruteforce_at_radius3(spark):
+    """Pigeonhole losslessness: over a corpus of random images plus planted
+    perturbations, the banded plan emits exactly the pairs a brute-force
+    Hamming scan over the hashes finds at radius <= 3."""
+    rng = np.random.RandomState(23)
+    arrays = [rng.randint(0, 256, size=(24, 24, 1), dtype=np.uint8) for _ in range(12)]
+    for i in range(4):  # plant perturbed twins of the first four
+        tw = arrays[i].copy()
+        tw[i, i, 0] = (int(tw[i, i, 0]) + 3) % 256
+        arrays.append(tw)
+    hashes = M.image_ahash(_img_df(spark, arrays))
+    rows = {r.media_id: r.bands for r in hashes.collect()}
+    brute = set()
+    for a in rows:
+        for b in rows:
+            if a < b:
+                ham = sum(bin(x ^ y).count("1") for x, y in zip(rows[a], rows[b]))
+                if ham <= 3:
+                    brute.add((a, b, ham))
+    got = {
+        (r.media_id_a, r.media_id_b, r.hamming)
+        for r in M.ahash_neardup_pairs(hashes).collect()
+    }
+    assert got == brute and len(brute) >= 4
+
+
+def test_ahash_bits_integer_exact_contract(spark):
+    """The hash must be reproducible from pure integer arithmetic on the
+    pixel grid (the property the SQL oracle relies on): recompute one
+    image's bands with an independent loop and compare."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(13, 16, 1), dtype=np.uint8)
+    [row] = M.image_ahash(_img_df(spark, [img])).collect()
+    a = img.astype(np.int64).sum(axis=2)
+    h, w = a.shape
+    ts, tp = int(a.sum()), h * w
+    want = [0, 0, 0, 0]
+    for rg in range(8):
+        r0, r1 = rg * h // 8, (rg + 1) * h // 8
+        for cg in range(8):
+            c0, c1 = cg * w // 8, (cg + 1) * w // 8
+            if r1 > r0 and c1 > c0:
+                cs = int(a[r0:r1, c0:c1].sum())
+                if cs * tp > ts * (r1 - r0) * (c1 - c0):
+                    want[rg // 2] += 1 << (cg + 8 * (rg % 2))
+    assert list(row.bands) == want
