@@ -245,6 +245,13 @@ _DQ_TOKS = "string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g
 # keyed-registry discipline as queries/dedup.py's _GRAM_INDEX (r12 advice
 # fix: the previous per-call .persist() accumulated cached partitions in a
 # long-lived session; repeated invocations now reuse ONE handle).
+# CONTRACT (ADVICE r12, shared with lmquality's _LM_MODELS/_QC_MODELS):
+# cache_key must uniquely identify the input RELATION for the life of the
+# session — callers pass the sf_dir path, and on a cache hit the `docs`
+# argument is deliberately ignored. Passing a different DataFrame under a
+# reused key, or regenerating the data under an sf_dir in-session, serves
+# the first caller's persisted counts; clear the registry (or use a fresh
+# key) when the underlying relation changes.
 _PSI_BUCKETS: dict[tuple[str, str, int], DataFrame] = {}
 
 

@@ -123,6 +123,10 @@ def score_docs_with_lm(
     )
 
 
+# CONTRACT (ADVICE r12, shared with dataquality's _PSI_BUCKETS and
+# _QC_MODELS below): the sf_dir key must uniquely identify the on-disk
+# relation for the life of the session; regenerating data under the same
+# path in-session serves stale persisted counts — clear the registry then.
 # Persisted model tables, one per (sf_dir, tier) — the "model persists
 # once" production shape the module scale notes promise, realized for the
 # registered queries via the keyed-registry discipline (queries/dedup.py

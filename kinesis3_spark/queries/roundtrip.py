@@ -1905,3 +1905,62 @@ def stream_txn_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sql_txntable_view",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS value_cents_sum
+    FROM events
+    WHERE event_type <> 'click' AND day(ts) <> 7
+      AND value >= 0.25 AND day(ts) <= 20
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sql_txntable_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse table addressed from PURE SQL TEXT (VERDICT r12
+    next-round #5): ``CREATE TEMPORARY VIEW ... USING txntable OPTIONS
+    (path ..., pushdown 'true')`` binds the manifest table into the SQL
+    dialect the way Delta binds into a catalog, then the query itself is
+    one ``spark.sql(...)`` string — no DataFrame calls touch the data
+    path. The WHERE runs through the full stack: Catalyst pushes the
+    conjuncts into the Python Data Source's pushFilters, zone-map/bloom
+    stats prune unsatisfiable files at planning, and every filter is
+    re-applied post-scan so pruning is I/O-only (a wrong prune loses
+    rows and breaks this oracle, never invents them). Deletion vectors
+    still apply — the view reads the same DV table as
+    txn_deletion_vector_read, so clicks/day-7 rows must stay deleted
+    through the SQL path too. File-level prune-through-SQL is pinned
+    behaviorally in tests/test_sql_surface.py (the pruned file is
+    corrupted on disk; only a pruning scan can still answer).
+
+    Scale: identical plan to the DataFrame path — SQL text is an entry
+    surface, not a second engine."""
+    import hashlib
+
+    from ..sources.txn_datasource import TxnTableDataSource
+
+    spark.dataSource.register(TxnTableDataSource)
+    path = _txn_dv_table(spark, sf_dir)
+    view = "txn_events_sql_" + hashlib.md5(path.encode()).hexdigest()[:10]
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} "
+        f"USING txntable OPTIONS (path '{path}', pushdown 'true')"
+    )
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents_sum
+        FROM {view}
+        WHERE value >= 0.25 AND dayofmonth(ts) <= 20
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )

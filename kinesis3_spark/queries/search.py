@@ -744,8 +744,13 @@ def search_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "search_hybrid_rrf_ann",
+    # n_exact_top is DERIVED by re-running the exact-fusion SQL (the
+    # sibling query's hash-matched oracle) rather than hardcoding
+    # _RRF_TOP (ADVICE r12: a corpus yielding fewer than 10 fused
+    # candidates would fail on the count instead of the audited property)
     oracle=f"""
-    SELECT {_RRF_TOP}::BIGINT AS n_exact_top, 1 AS recall_ok, 1 AS fused_ok
+    SELECT count(*)::BIGINT AS n_exact_top, 1 AS recall_ok, 1 AS fused_ok
+    FROM ({_RRF_ORACLE})
     """,
 )
 def search_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

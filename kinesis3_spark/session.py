@@ -42,6 +42,12 @@ _RUNTIME_CONFS = {
     # vanilla Spark refuses to scan. Read nanos as long; sources.load_table
     # converts to TimestampType (µs, matching DuckDB's truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Let Catalyst hand conjunctive predicates to Python Data Source
+    # readers that define pushFilters (the txntable zone-map/bloom file
+    # skipping, sources/txn_datasource.py). Opt-in per scan stays the
+    # reader's `option("pushdown", "true")`; with the session flag off,
+    # Spark raises on any reader that merely DEFINES pushFilters.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Scan-split sizing: the right value gives each core a few tasks for the
     # data ACTUALLY in play. The 128 MB default assumes multi-GB inputs; the
     # local corpus is single ~10 MB files, which would scan single-threaded

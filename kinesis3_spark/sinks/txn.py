@@ -983,6 +983,15 @@ def commit_snapshot(
     # generated column added later would disagree with existing rows);
     # computed when absent, validated when supplied, logical namespace
     gcols = _generated(man) if man is not None else dict(generated_cols or {})
+    if man is None and gcols:
+        # FIRST registration of generated columns: refuse expressions the
+        # two enforcement engines (Spark sinks path, DuckDB DS write task)
+        # would evaluate differently — once committed, a divergent
+        # expression silently forks the table's contents by write path
+        # (ADVICE r12 medium; see probe_expression_portability).
+        probe_expression_portability(
+            merged.sparkSession, merged.schema, gcols, "generated column"
+        )
     merged = _apply_generated(merged, gcols)
     gcons = _gen_constraints(man)
     if gcons:
@@ -1179,17 +1188,22 @@ def _publish_manifest(
     _lease = _acquire_lease(path)
     try:
         _publish_manifest_locked(path, epoch, payload)
+        if epoch % _CHECKPOINT_INTERVAL == 0:
+            # periodic consolidated checkpoint (Delta's every-10-commits
+            # default) — BEST-EFFORT: the commit above is already durable,
+            # and a failed/raced checkpoint only leaves walks on the older
+            # one, so nothing here may fail the publish. Built UNDER the
+            # writer lease (ADVICE r12): released first, a vacuum starting
+            # inside the build window could reap manifests and trim the
+            # floor mid-build, and the then-published stale-floor
+            # checkpoint would over-claim vacuumed epochs until the next
+            # vacuum re-trimmed it.
+            try:
+                write_checkpoint(path)
+            except Exception:
+                pass
     finally:
         _release_lease(_lease)
-    if epoch % _CHECKPOINT_INTERVAL == 0:
-        # periodic consolidated checkpoint (Delta's every-10-commits
-        # default) — BEST-EFFORT: the commit above is already durable,
-        # and a failed/raced checkpoint only leaves walks on the older
-        # one, so nothing here may fail the publish
-        try:
-            write_checkpoint(path)
-        except Exception:
-            pass
 
 
 def _publish_manifest_locked(path: str, epoch: int, payload: str) -> None:
@@ -2454,6 +2468,143 @@ def epoch_as_of(path: str, timestamp: str) -> int:
     )
 
 
+def _probe_rows_for(schema) -> list[dict]:
+    """Representative probe rows per column type — the values chosen to
+    EXPOSE the known Spark↔DuckDB scalar divergences (half-way doubles for
+    round-vs-truncate CASTs, non-numeric strings for NULL-vs-error CASTs,
+    zeros for division, leap-day temporals, NULLs everywhere)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as st
+
+    def vals(f):
+        t = f.dataType
+        if isinstance(t, (st.ByteType, st.ShortType, st.IntegerType, st.LongType)):
+            return [None, 0, 1, -7, 100, 3]
+        if isinstance(t, (st.FloatType, st.DoubleType)):
+            return [None, 0.0, 0.5, 1.5, -2.5, 2.5, 0.1]
+        if isinstance(t, st.DecimalType):
+            q = Decimal(1).scaleb(-t.scale)
+            return [None, Decimal(0).quantize(q), Decimal(1).quantize(q)]
+        if isinstance(t, st.StringType):
+            return [None, "", "x", "123", "1.5", "2021-02-30"]
+        if isinstance(t, st.BooleanType):
+            return [None, True, False]
+        if isinstance(t, st.TimestampType):
+            return [
+                None,
+                dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc),
+                dt.datetime(2024, 2, 29, 23, 59, 59, tzinfo=dt.timezone.utc),
+            ]
+        if isinstance(t, st.DateType):
+            return [None, dt.date(1970, 1, 1), dt.date(2024, 2, 29)]
+        return [None]  # containers/binary: NULL-only (portable subset)
+
+    per_col = {f.name: vals(f) for f in schema.fields}
+    n = max((len(v) for v in per_col.values()), default=1) * 2
+    return [
+        {c: v[(i + j) % len(v)] for j, (c, v) in enumerate(per_col.items())}
+        for i in range(n)
+    ]
+
+
+def _probe_norm(v):
+    """Normalize one scalar for cross-engine comparison (tz-aware → naive
+    UTC; NaN sentinel so NaN==NaN)."""
+    import datetime as dt
+    import math
+
+    if isinstance(v, float) and math.isnan(v):
+        return "__nan__"
+    if isinstance(v, dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def probe_expression_portability(
+    spark: SparkSession, schema, exprs: dict[str, str], what: str
+) -> None:
+    """Differential-probe SQL expressions against BOTH enforcement engines
+    before they are committed to a manifest (ADVICE r12 medium): the sinks
+    path evaluates generated columns / CHECK constraints with Spark SQL,
+    the Python-DataSource write task evaluates them with DuckDB over the
+    staged Arrow batch, and the DS writer's empty-batch dry-compile only
+    refuses what DuckDB cannot COMPILE — not expressions that compile in
+    both engines with DIFFERENT semantics (CAST(double AS INT) rounds in
+    DuckDB, truncates in non-ANSI Spark; CAST('x' AS INT) is NULL in Spark,
+    an error in DuckDB). A table committed with such an expression would
+    silently accumulate rows whose generated values differ by write path.
+
+    Policy, evaluated over _probe_rows_for's divergence-exposing values:
+      * DuckDB cannot COMPILE the expression (empty batch) → registration
+        is ALLOWED: the table is declared Spark-only and the DS writer
+        already refuses it loudly at plan time (no silent path exists).
+      * DuckDB compiles; then any probe divergence — differing values,
+        or one engine erroring on values the other accepts — REFUSES the
+        registration with the first offending expression named.
+    The probe rows cover each scalar type's known divergence triggers, not
+    the full value domain — a deliberately portable expression that
+    diverges only on values outside the probe set is out of scope and
+    documented as such."""
+    if not exprs:
+        return
+    import duckdb
+
+    sdf = spark.createDataFrame(_probe_rows_for(schema), schema)
+    tbl = sdf.toArrow()  # the exact Arrow shape the DS write task stages
+    con = duckdb.connect()
+    try:
+        con.sql("SET TimeZone='UTC'")  # the task-side evaluator's pin
+        con.register("probe0", tbl.schema.empty_table())
+        con.register("probe", tbl)
+        for name, x in sorted(exprs.items()):
+            try:
+                con.sql(f"SELECT ({x}) AS v FROM probe0").fetchall()
+            except Exception:
+                continue  # Spark-only expression: DS dry-compile refuses it
+            s_err = d_err = None
+            try:
+                s_vals = [
+                    _probe_norm(r.v)
+                    for r in sdf.selectExpr(f"({x}) AS v").collect()
+                ]
+            except Exception as exc:
+                s_err = exc
+            try:
+                d_vals = [
+                    _probe_norm(r[0])
+                    for r in con.sql(f"SELECT ({x}) AS v FROM probe").fetchall()
+                ]
+            except Exception as exc:
+                d_err = exc
+            if s_err is not None and d_err is not None:
+                continue  # neither engine evaluates it: loud on every path
+            if (s_err is None) != (d_err is None):
+                eng = "DuckDB (task-side)" if d_err else "Spark (sinks-side)"
+                raise ValueError(
+                    f"non-portable {what} {name!r} ({x!r}): {eng} errors on "
+                    f"values the other engine accepts "
+                    f"({(d_err or s_err)!s:.120}); rewrite with portable "
+                    "scalars (try_cast/floor/round/CASE) or enforce via the "
+                    "sinks path only"
+                )
+            diffs = [
+                (a, b) for a, b in zip(s_vals, d_vals) if a != b
+            ]
+            if diffs:
+                raise ValueError(
+                    f"non-portable {what} {name!r} ({x!r}): Spark and the "
+                    f"task-side DuckDB evaluator disagree on probe values "
+                    f"(first diff: spark={diffs[0][0]!r} vs "
+                    f"duckdb={diffs[0][1]!r}); rewrite with portable scalars "
+                    "(explicit floor/round before integer casts, try_cast "
+                    "for lossy string casts)"
+                )
+    finally:
+        con.close()
+
+
 def add_constraint(path: str, name: str, condition: str) -> int:
     """Attach a named CHECK constraint (Delta column invariants /
     ``ALTER TABLE ADD CONSTRAINT``): a SQL boolean expression every
@@ -2462,7 +2613,21 @@ def add_constraint(path: str, name: str, condition: str) -> int:
     commit before anything publishes. Enforcement is on the batch being
     written (one distributed filter per commit), never a retro-scan of
     the table; existing rows are not revalidated, same as Delta's ADD
-    CONSTRAINT default on history. Metadata-only commit under OCC."""
+    CONSTRAINT default on history. Metadata-only commit under OCC.
+
+    Before committing, the condition is differential-probed across the
+    two enforcement engines (Spark sinks path vs the DS write task's
+    DuckDB evaluator) and refused if they disagree on representative
+    values — see probe_expression_portability (ADVICE r12 medium). Probe
+    needs a live session; a driver without one (not a supported usage)
+    degrades to the prior compile-only behavior."""
+    man0 = read_manifest(path)
+    assert man0 is not None, f"no committed table at {path}"
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        probe_expression_portability(
+            spark, _logical_struct(man0), {name: condition}, "constraint"
+        )
     last: CommitConflict | None = None
     for _attempt in range(5):
         man = read_manifest(path)
@@ -2711,7 +2876,30 @@ def vacuum_table(
                     os.rmdir(root)
             except OSError:
                 pass  # a racing writer repopulated it
+    if not dry_run and deleted:
+        # Prune the checkpoint's cumulative refs for paths this vacuum
+        # ACTUALLY deleted (ADVICE r12: carried forward verbatim, refs
+        # grow O(all paths ever written) and are rewritten every 10
+        # commits — at 10k+ commits the checkpoint itself becomes the
+        # unbounded driver-side JSON). Safe because `historical` is only
+        # consulted for files that still exist; pruning AFTER the reap
+        # means a crash between the two leaves refs over-claiming
+        # now-deleted paths — today's steady state, merely conservative.
+        _prune_checkpoint_refs(path, set(deleted))
     return sorted(deleted)
+
+
+def _prune_checkpoint_refs(path: str, gone: set[str]) -> None:
+    ck = read_checkpoint(path)
+    if ck is None:
+        return
+    kept = [r for r in ck["refs"] if r not in gone]
+    if len(kept) == len(ck["refs"]):
+        return
+    ck["refs"] = kept
+    _swap_small_file(
+        path, _checkpoint_path(path, ck["epoch"]), json.dumps(ck, indent=1)
+    )
 
 
 def table_changes(

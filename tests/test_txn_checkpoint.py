@@ -145,3 +145,46 @@ def test_vacuum_reaps_historical_files_via_checkpoint_refs(spark, tmp_path, monk
     snap = T.read_snapshot(spark, path)
     assert snap.count() == 2
     assert [r["epoch"] for r in T.table_history(path)] == [13]
+
+
+def test_vacuum_prunes_refs_for_deleted_paths(spark, tmp_path, monkeypatch):
+    """The checkpoint's cumulative refs must not grow O(all paths ever
+    written): after vacuum, refs drop every path it actually deleted and
+    keep every path that still exists (ADVICE r12 — at 10k+ commits an
+    unpruned refs set makes the checkpoint itself the unbounded
+    driver-side JSON rewritten every interval)."""
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)
+    for i in range(1, 13):
+        _upsert(spark, path, i)
+    before = set(T.read_checkpoint(path)["refs"])
+    monkeypatch.setattr(T, "_ORPHAN_GRACE_SECONDS", 0.0)
+    deleted = set(T.vacuum_table(path, keep_epochs=1))
+    after = set(T.read_checkpoint(path)["refs"])
+    assert after == before - deleted  # pruned exactly the reaped paths
+    assert after < before  # the set genuinely shrank (boundedness)
+    for rel in after:  # whatever survives the prune still exists on disk
+        if rel.endswith(".parquet"):
+            assert os.path.exists(os.path.join(path, rel))
+    # table + history still serve after the prune
+    assert T.read_snapshot(spark, path).count() == 2
+    assert [r["epoch"] for r in T.table_history(path)] == [13]
+
+
+def test_checkpoint_published_under_writer_lease(spark, tmp_path, monkeypatch):
+    """The interval checkpoint must be built while the commit's writer
+    lease is still held (ADVICE r12): a vacuum starting inside the build
+    window could otherwise trim the floor mid-build and the published
+    checkpoint would over-claim vacuumed epochs."""
+    seen = []
+    orig = T.write_checkpoint
+
+    def spy(path):
+        seen.append(len(T._live_leases(path)))
+        return orig(path)
+
+    monkeypatch.setattr(T, "write_checkpoint", spy)
+    path = str(tmp_path / "t")
+    for i in range(10):
+        _append(spark, path, i)
+    assert seen and all(n >= 1 for n in seen)

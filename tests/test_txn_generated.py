@@ -260,3 +260,72 @@ def test_ds_writer_generated_matches_sinks_path_on_portable_exprs(spark, tmp_pat
         | ~F.col("band").eqNullSafe(F.expr(gen["band"]))
     )
     assert got.count() == 4 and diff.count() == 0
+
+
+# --------------------------------------------------------------------------
+# Cross-engine expression portability probe (round 13, ADVICE r12 medium)
+# --------------------------------------------------------------------------
+
+
+def test_registration_refuses_round_vs_truncate_cast(spark, tmp_path):
+    """CAST(double AS INT) compiles in BOTH engines but rounds in DuckDB
+    and truncates in non-ANSI Spark — the silent-fork case the probe
+    exists for. Registration must refuse it, both as a generated column
+    and as a constraint."""
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1, 2.5)], "id bigint, v double")
+    with pytest.raises(ValueError, match="non-portable generated column"):
+        T.append_snapshot(
+            batch, path, key="id", generated_cols={"vi": "CAST(v AS INT)"}
+        )
+    T.append_snapshot(batch, path, key="id")
+    # the constraint's TRUTH VALUE must diverge for the probe to see it
+    # (v=1.5: Spark truncates to 1 → TRUE, DuckDB rounds to 2 → FALSE);
+    # a constraint whose boolean result happens to agree on the probe
+    # values (e.g. CAST(v AS INT) >= 0) is observationally portable AS A
+    # CHECK and is deliberately not refused.
+    with pytest.raises(ValueError, match="non-portable constraint"):
+        T.add_constraint(path, "c1", "CAST(v AS INT) = 1")
+
+
+def test_registration_refuses_null_vs_error_string_cast(spark, tmp_path):
+    """CAST(string AS INT) is NULL for non-numeric strings in non-ANSI
+    Spark but an ERROR in DuckDB: one engine fails mid-write where the
+    other silently proceeds — refuse at registration."""
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1, "123")], "id bigint, s string")
+    T.append_snapshot(batch, path, key="id")
+    with pytest.raises(ValueError, match="non-portable constraint"):
+        T.add_constraint(path, "c1", "CAST(s AS INT) IS NULL OR CAST(s AS INT) >= 0")
+    # the portable spelling of the same intent is accepted
+    T.add_constraint(path, "c2", "try_cast(s AS INT) IS NULL OR try_cast(s AS INT) >= 0")
+
+
+def test_registration_allows_spark_only_expressions(spark, tmp_path):
+    """An expression DuckDB cannot even COMPILE stays registrable: the
+    table is Spark-only by declaration and the DS writer's dry-compile
+    already refuses it loudly at plan time — no silent path exists."""
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1, 5)], "id bigint, v bigint")
+    T.append_snapshot(
+        batch, path, key="id",
+        generated_cols={"tag": "concat('v=', format_string('%03d', v))"},
+    )
+    got = {r["id"]: r["tag"] for r in T.read_snapshot(spark, path).collect()}
+    assert got == {1: "v=005"}
+
+
+def test_portable_expressions_still_register_and_roundtrip(spark, tmp_path):
+    """The portable dialect the r12 lift targeted keeps working end to
+    end: arithmetic, CASE, floor-before-cast."""
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1, 2.5), (2, -2.5)], "id bigint, v double")
+    T.append_snapshot(
+        batch, path, key="id",
+        generated_cols={
+            "vfloor": "CAST(floor(v) AS BIGINT)",
+            "sign": "CASE WHEN v >= 0 THEN 1 ELSE -1 END",
+        },
+    )
+    got = {r["id"]: (r["vfloor"], r["sign"]) for r in T.read_snapshot(spark, path).collect()}
+    assert got == {1: (2, 1), 2: (-3, -1)}

@@ -47,6 +47,23 @@ def main() -> int:
         data = {}
 
     hashes = dict(sorted(_current_hashes().items()))
+    if "--print" in sys.argv or "--dry-run" in sys.argv:
+        # audit mode (VERDICT r12 cosmetic): show what WOULD be recorded —
+        # live hashes and how they differ from the target round's entry —
+        # without touching QUERY_HASHES.json.
+        prev = data.get(str(rnd), {})
+        changed = sorted(
+            n for n, h in hashes.items() if prev.get(n) not in (None, h)
+        )
+        new = sorted(n for n in hashes if n not in prev)
+        print(
+            f"dry-run: would record {len(hashes)} query hashes for round "
+            f"{rnd} ({len(new)} not yet in that round's entry, "
+            f"{len(changed)} changed vs it); nothing written"
+        )
+        for n in changed:
+            print(f"  changed: {n}")
+        return 0
     data[str(rnd)] = hashes
     with open(path, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
