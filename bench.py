@@ -180,6 +180,17 @@ HEADLINE = [
     # cross-modal integrity rollup (one keyed full-outer join).
     "dedup_image_phash",
     "multimodal_pair_integrity",
+    # round 13b: binned two-sample KS (one events scan + histogram walk),
+    # conversion-latency percentiles (keyed rollup + histogram walk), and
+    # the SQL-text txntable read (same DV-table plan as the DataFrame
+    # path — times the SQL entry surface end to end).
+    # dedup_image_phash_clusters stays OUT (its pair derivation is the
+    # dedup_image_phash entry; components adds bounded supersteps).
+    "stats_ks_two_sample",
+    "funnel_time_to_convert",
+    "sql_txntable_view",
+    # contiguous-motif pattern match: one keyed rollup + regex in-stage
+    "seq_pattern_contiguous_funnel",
 ]
 
 

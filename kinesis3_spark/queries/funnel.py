@@ -694,3 +694,145 @@ def multi_touch_attribution(ev: DataFrame) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion latency (round 13): the funnel family measures WHO converts
+# (funnel_view_click_purchase) and what revenue attributes where
+# (attr_multi_touch_revenue); this measures HOW LONG conversion takes —
+# first 'view' → first 'purchase' per user, summarized as exact discrete
+# percentiles (p_k = smallest delta with 100*cum >= k*n, rank-selecting a
+# real observed value — the float-safe discipline of the percentile notes
+# in TESTING.md). The percentile walk runs over the |distinct deltas|
+# histogram rollup, never per-user rows.
+# --------------------------------------------------------------------------
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT date_diff('second', t_view, t_buy)::BIGINT AS d
+      FROM f
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+    ),
+    h AS (SELECT d, count(*)::BIGINT AS c FROM conv GROUP BY d),
+    cum AS (
+      SELECT d, sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS n
+      FROM h
+    )
+    SELECT max(n)::BIGINT AS n_converted,
+           min(d)::BIGINT AS min_s,
+           min(CASE WHEN 100 * cum >= 50 * n THEN d END)::BIGINT AS p50_s,
+           min(CASE WHEN 100 * cum >= 90 * n THEN d END)::BIGINT AS p90_s,
+           max(d)::BIGINT AS max_s
+    FROM cum
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-view → first-purchase latency distribution: one keyed rollup
+    to per-user firsts (map-side combined min), the seconds-delta
+    histogram, and a cumulative window over that bounded rollup for
+    exact discrete p50/p90 (never a global sort of raw rows)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    conv = firsts.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(
+        (F.unix_timestamp("t_buy") - F.unix_timestamp("t_view"))
+        .cast("bigint")
+        .alias("d")
+    )
+    h = conv.groupBy("d").agg(F.count("*").cast("bigint").alias("c"))
+    # scale-ok: windows over the |distinct deltas| histogram rollup
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = h.select(
+        "d",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min("d").cast("bigint").alias("min_s"),
+        F.min(F.when(100 * F.col("cum") >= 50 * F.col("n"), F.col("d")))
+        .cast("bigint")
+        .alias("p50_s"),
+        F.min(F.when(100 * F.col("cum") >= 90 * F.col("n"), F.col("d")))
+        .cast("bigint")
+        .alias("p90_s"),
+        F.max("d").cast("bigint").alias("max_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Contiguous pattern matching (round 13): the MATCH_RECOGNIZE class —
+# the running-min funnel above asks "did v, then c, then p EVER happen in
+# order"; this asks for the CONTIGUOUS motif v c* p (a view, zero-or-more
+# clicks, then purchase with NOTHING in between) — the intent-burst signal
+# interleaved noise destroys. Each user's event-type initials become one
+# ordered string (bounded by per-user event count, the sessionize
+# discipline) and the motif is a regex both engines count identically
+# (leftmost non-overlapping, pattern is RE2-and-Java compatible).
+# --------------------------------------------------------------------------
+@query(
+    "seq_pattern_contiguous_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id,
+             len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_matches
+      FROM s
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_matched_users,
+           sum(n_matches)::BIGINT AS total_matches
+    FROM m
+    """,
+)
+def seq_pattern_contiguous_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyed rollup: per-user ordered initials string (array_sort of
+    (ts, event_id, initial) structs — map-side combinable collect), one
+    regexp_count in the same stage, one global aggregate. At 100 TB the
+    per-user string is bounded by that user's event count — the same
+    envelope every sessionization carries — and nothing global sorts."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
+                    )
+                ),
+                lambda x: x["i"],
+            ),
+        ).alias("seq")
+    )
+    m = seq.select(F.regexp_count("seq", F.lit("vc*p")).cast("bigint").alias("n_matches"))
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum((F.col("n_matches") > 0).cast("int")).cast("bigint").alias("n_matched_users"),
+        F.sum("n_matches").cast("bigint").alias("total_matches"),
+    )

@@ -381,3 +381,50 @@ def pair_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_image_phash_clusters",
+    # the closure CTE needs the WITH to be RECURSIVE-declared
+    oracle=_AHASH_ORACLE.replace("WITH img AS", "WITH RECURSIVE img AS", 1)
+    + """
+    ,
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.bands[1], b.bands[1]))
+          + bit_count(xor(a.bands[2], b.bands[2]))
+          + bit_count(xor(a.bands[3], b.bands[3]))
+          + bit_count(xor(a.bands[4], b.bands[4])) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS media_id, least(src, min(dst))::BIGINT AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def image_phash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash pairs → duplicate-image clusters: min-label propagation
+    (operators/components.py) over the radius-3 Hamming pairs — the form
+    an image dedup pipeline actually consumes (pick one representative
+    per cluster). The oracle recomputes the same clusters as a recursive
+    transitive closure over its own all-pairs hash derivation; Spark's
+    iterative propagation is the shape that survives 100 TB (O(edges)
+    per round, never O(cluster^2) materialization)."""
+    from ..operators.components import connected_components
+
+    imgs = _synthesize_images(_t(spark, sf_dir, "documents"))
+    pairs = M.ahash_neardup_pairs(M.image_ahash(imgs), max_hamming=3)
+    out = connected_components(
+        pairs.select("media_id_a", "media_id_b"),
+        src="media_id_a",
+        dst="media_id_b",
+    )
+    return out.select(F.col("doc_id").alias("media_id"), "cluster_id")

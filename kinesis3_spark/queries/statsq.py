@@ -417,3 +417,96 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov (round 13): the distribution-shift test a
+# data pipeline runs between cohorts/sources — here between the 'view' and
+# 'purchase' value distributions. Computed on a QUANTIZED grid
+# (floor(value*1000), i.e. 0.001 resolution — finer than the data's 2dp
+# precision, so quantization is lossless here) because the production
+# shape at corpus scale is histogram-KS: the cumulative walk runs over the
+# |distinct bins| rollup, never the raw rows. Integer-exact end to end:
+# D's numerator is max|cum_a*n_b - cum_b*n_a| (cross-multiplied), and the
+# alpha=0.05 decision compares 1e6*d_num^2 against 1844164*(n_a+n_b)*n_a*n_b
+# (c(0.05)=1.358, c^2*1e6=1844164) in doubles — products of exact integers,
+# so both engines round identically.
+# --------------------------------------------------------------------------
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH two AS (
+      SELECT CAST(floor(value * 1000) AS BIGINT) AS bin,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    bins AS (
+      SELECT bin, sum(is_a)::BIGINT AS c_a, sum(1 - is_a)::BIGINT AS c_b
+      FROM two GROUP BY bin
+    ),
+    cum AS (
+      SELECT sum(c_a) OVER w AS cum_a, sum(c_b) OVER w AS cum_b,
+             sum(c_a) OVER () AS n_a, sum(c_b) OVER () AS n_b
+      FROM bins WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+           max(abs(cum_a * max_nb - cum_b * max_na))::BIGINT AS d_num,
+           CAST(CASE WHEN 1000000.0
+                          * max(abs(cum_a * max_nb - cum_b * max_na))
+                          * max(abs(cum_a * max_nb - cum_b * max_na))
+                        > 1844164.0 * (max_na + max_nb) * max_na * max_nb
+                     THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM cum, (SELECT max(n_a) AS max_na, max(n_b) AS max_nb
+               FROM (SELECT sum(is_a)::BIGINT AS n_a,
+                            sum(1 - is_a)::BIGINT AS n_b FROM two) t) s
+    GROUP BY max_na, max_nb
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binned two-sample KS between view/purchase value
+    distributions. Plan: one filtered scan → (bin, group) map-side-
+    combined rollup (|bins| rows) → cumulative window OVER THE ROLLUP
+    (scale-ok: input is the bounded histogram, never the corpus; the
+    binned_auc discipline) → one max aggregate. The decision flag stays
+    in cross-multiplied integer space lifted to doubles only for the
+    final comparison (n^3-scale products exceed int64)."""
+    from pyspark.sql.window import Window
+
+    two = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.floor(F.col("value") * 1000).cast("bigint").alias("bin"),
+            (F.col("event_type") == "view").cast("int").alias("is_a"),
+        )
+    )
+    bins = two.groupBy("bin").agg(
+        F.sum("is_a").cast("bigint").alias("c_a"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("c_b"),
+    )
+    # scale-ok: window over the |bins| histogram rollup, never the corpus
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+    )
+    totals = two.agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        ).cast("bigint").alias("d_num"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (
+            1000000.0 * F.col("d_num") * F.col("d_num")
+            > 1844164.0 * (F.col("n_a") + F.col("n_b")) * F.col("n_a") * F.col("n_b")
+        ).cast("int").alias("reject_05"),
+    )
