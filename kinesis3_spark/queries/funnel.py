@@ -756,8 +756,9 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d")
     )
     h = conv.groupBy("d").agg(F.count("*").cast("bigint").alias("c"))
-    # scale-ok: windows over the |distinct deltas| histogram rollup
+    # scale-ok: window over the |distinct deltas| histogram rollup
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    # scale-ok: same bounded histogram rollup (total via window, one pass)
     wall = Window.orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

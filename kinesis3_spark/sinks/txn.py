@@ -2551,7 +2551,15 @@ def probe_expression_portability(
         return
     import duckdb
 
-    sdf = spark.createDataFrame(_probe_rows_for(schema), schema)
+    from pyspark.sql.types import StructField, StructType
+
+    # probe over an all-NULLABLE copy: NULL is one of the divergence
+    # probes, and a committed non-nullable field (e.g. the key) would
+    # refuse the probe frame itself, not the expression
+    nullable = StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+    sdf = spark.createDataFrame(_probe_rows_for(nullable), nullable)
     tbl = sdf.toArrow()  # the exact Arrow shape the DS write task stages
     con = duckdb.connect()
     try:
