@@ -73,6 +73,14 @@ def test_random_alter_chains_match_name_model(spark, steps):
             del model[col]
         else:
             _, rid, v = s
+            if rid in ids:
+                # blind append keeps BOTH rows on a duplicate key (legal
+                # by design — dedup is the upsert path's job), so a
+                # per-id value model cannot represent it; this property
+                # models COLUMN MAPPING, so duplicate-rid draws are
+                # skipped (hypothesis found the model divergence on
+                # [('append', 100, 9), ('append', 100, 0)] in r13)
+                continue
             # append one row supplying every CURRENT logical column
             cols = sorted(model)
             row = tuple([rid] + [v + k for k in range(len(cols))])
