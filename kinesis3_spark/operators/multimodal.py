@@ -315,7 +315,10 @@ def ahash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
          brute-force all-pairs oracle and this banded plan provably agree.
     Never an all-pairs comparison; candidate volume per band bucket is
     |bucket|² over a 2^16 key space per band — at larger radii raise the
-    band count, the same knob LSH tunes."""
+    band count, the same knob LSH tunes. The plan references `hashes`
+    six times (two banded legs, two id joins, two identical-hash legs):
+    pass a persisted/materialized relation or each reference re-derives
+    the hashes from source (queries/multimodalq._phash_for does this)."""
     if max_hamming > 3:
         raise ValueError(
             "4-band encoding is lossless only for Hamming radius <= 3; "
