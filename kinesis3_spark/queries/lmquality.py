@@ -852,11 +852,14 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fastText-style quality gate, banded-oracle form (an LBFGS fit
     is not SQL-expressible): n_docs / n_pos exact vs the oracle's own
     counts; auc_ok = binned AUC of the classifier against the trusted-
-    slice label >= 0.65 (measured 0.82 at sf0.01 —
-    a broken feature map or collapsed fit drops toward 0.5);
-    direction_ok = mean trusted-slice score strictly above the rest.
-    Planted separable/inseparable corpora are pytest-pinned
-    (tests/test_lmquality.py)."""
+    slice label >= 0.65 (a broken feature map or collapsed fit drops
+    toward 0.5); direction_ok = mean trusted-slice score strictly above
+    the rest. Since r13 the scoring path contains NO MLlib object — the
+    fit exits MLlib as plain-float coefficients and scoring is a literal-
+    array fold in the scan stage (see quality_classifier_scores; removes
+    the r12 cached-model serialization flake by construction). Planted
+    separable/inseparable corpora are pytest-pinned through the
+    production fit/score pair (tests/test_lmquality.py)."""
     scored = quality_classifier_scores(spark, sf_dir)
     base = scored.agg(
         F.count("*").cast("bigint").alias("n_docs"),
