@@ -248,10 +248,21 @@ def main() -> None:
     # rebuilds the plan from scratch, so driver-side planning stays inside
     # the measurement; the full per-run spread lands in BENCH_DETAIL.json
     # (`runs` map) so outliers are adjudicable without a re-run.
-    n_runs = max(1, int(
-        os.environ.get("SPARK_GRAFT_BENCH_RUNS")
-        or (sys.argv[sys.argv.index("--runs") + 1] if "--runs" in sys.argv else 3)
-    ))
+    # a malformed --runs / env value must not kill the bench before any
+    # timing (ADVICE r13): fall back to the default 3 with a warning
+    raw_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    if not raw_runs and "--runs" in sys.argv:
+        i = sys.argv.index("--runs")
+        raw_runs = sys.argv[i + 1] if i + 1 < len(sys.argv) else None
+    try:
+        n_runs = max(1, int(raw_runs)) if raw_runs else 3
+    except ValueError:
+        print(
+            f"bench: ignoring malformed --runs/SPARK_GRAFT_BENCH_RUNS "
+            f"{raw_runs!r}; using 3",
+            file=sys.stderr,
+        )
+        n_runs = 3
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}

@@ -260,9 +260,13 @@ _AHASH_ORACLE = """
              sum(v) AS cs
       FROM px GROUP BY 1, 2, 3
     ),
-    tot AS (
-      SELECT doc_id, sum(v) AS ts, 16 * max(h) AS tp, max(h) AS h
-      FROM px GROUP BY doc_id
+    tot AS (  -- derived from img, not px, so an L=0 document still gets a
+              -- row (ts=0 → all-zero bands), matching the Spark side which
+              -- hashes an empty image to bands [0,0,0,0] (ADVICE r13)
+      SELECT i.doc_id, coalesce(s.ts, 0) AS ts, 16 * i.h AS tp, i.h AS h
+      FROM img i
+      LEFT JOIN (SELECT doc_id, sum(v) AS ts FROM px GROUP BY doc_id) s
+        ON s.doc_id = i.doc_id
     ),
     grid AS (  -- all 64 cells per image (empty padding cells hash to 0)
       SELECT i.doc_id, g.rg, g2.cg,

@@ -509,4 +509,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             1000000.0 * F.col("d_num") * F.col("d_num")
             > 1844164.0 * (F.col("n_a") + F.col("n_b")) * F.col("n_a") * F.col("n_b")
         ).cast("int").alias("reject_05"),
-    )
+        # on zero view/purchase events the global agg yields one all-NULL
+        # row while the oracle's GROUP BY yields zero rows — align both
+        # sides to zero rows on empty input (ADVICE r13)
+    ).where(F.col("n_a").isNotNull())

@@ -2559,7 +2559,19 @@ def probe_expression_portability(
     nullable = StructType(
         [StructField(f.name, f.dataType, True) for f in schema.fields]
     )
-    sdf = spark.createDataFrame(_probe_rows_for(nullable), nullable)
+    # carry an explicit row id through BOTH evaluations: the comparison
+    # zips per-row values, and neither collect() nor a parallelized DuckDB
+    # Arrow scan guarantees the probe frame's insertion order (ADVICE r13)
+    from pyspark.sql.types import LongType
+
+    rid_schema = StructType(
+        list(nullable.fields) + [StructField("__probe_rid", LongType(), False)]
+    )
+    rid_rows = [
+        {**r, "__probe_rid": i}
+        for i, r in enumerate(_probe_rows_for(nullable))
+    ]
+    sdf = spark.createDataFrame(rid_rows, rid_schema)
     tbl = sdf.toArrow()  # the exact Arrow shape the DS write task stages
     con = duckdb.connect()
     try:
@@ -2573,16 +2585,21 @@ def probe_expression_portability(
                 continue  # Spark-only expression: DS dry-compile refuses it
             s_err = d_err = None
             try:
+                s_rows = sdf.selectExpr(
+                    f"({x}) AS v", "__probe_rid"
+                ).collect()
                 s_vals = [
                     _probe_norm(r.v)
-                    for r in sdf.selectExpr(f"({x}) AS v").collect()
+                    for r in sorted(s_rows, key=lambda r: r["__probe_rid"])
                 ]
             except Exception as exc:
                 s_err = exc
             try:
                 d_vals = [
                     _probe_norm(r[0])
-                    for r in con.sql(f"SELECT ({x}) AS v FROM probe").fetchall()
+                    for r in con.sql(
+                        f"SELECT ({x}) AS v FROM probe ORDER BY __probe_rid"
+                    ).fetchall()
                 ]
             except Exception as exc:
                 d_err = exc

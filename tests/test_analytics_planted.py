@@ -88,3 +88,50 @@ def test_contiguous_pattern_counts_motifs_not_subsequences(spark, tmp_path):
         spark, _write_events(spark, tmp_path, rows)
     ).collect()
     assert (row.n_users, row.n_matched_users, row.total_matches) == (3, 2, 3)
+
+
+def test_ks_empty_input_returns_zero_rows(spark, tmp_path):
+    """No view/purchase events at all → ZERO rows from both the Spark
+    query and the oracle (ADVICE r13: the global agg's all-NULL row used
+    to survive on the Spark side while the oracle's GROUP BY dropped it)."""
+    rows = [(1, T0, 1, "error", 1.0), (2, T0, 2, "signup", 2.0)]
+    df = QUERIES["stats_ks_two_sample"](
+        spark, _write_events(spark, tmp_path, rows)
+    )
+    assert df.count() == 0
+
+
+def test_image_phash_empty_document_parity(spark, tmp_path):
+    """A corpus containing an empty-text document must not break phash
+    parity (ADVICE r13: the oracle's px-derived totals dropped L=0 docs
+    while Spark hashed them to all-zero bands). Two identical docs form
+    the one expected pair; the empty doc hashes to bands [0,0,0,0] on
+    BOTH sides and pairs with nothing within the Hamming threshold."""
+    import duckdb
+
+    from kinesis3_spark.queries import ORACLE
+    from .conftest import assert_parity
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+            (3, "", "en", "web", 0),
+            (4, "a completely different document about spark physical plans "
+                "and shuffle boundaries at petabyte scale", "en", "web", 100),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        df = QUERIES["dedup_image_phash"](spark, d)
+        assert_parity(df, con, ORACLE["dedup_image_phash"])
+        assert df.count() == 1  # exactly the identical pair (1, 2)
+    finally:
+        con.close()
