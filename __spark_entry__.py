@@ -160,12 +160,106 @@ _PRIORITY += [
 ]
 
 
+# Per-process caches for the machinery ledger: module name -> (md5 of its
+# source file, kinesis3_spark modules it imports), and module name -> the
+# sorted digest of its transitive import closure. Both are pure functions
+# of the on-disk tree, so caching is safe for one process lifetime.
+_MODULE_INFO: dict[str, tuple[str, tuple[str, ...]]] = {}
+_CLOSURE_DIGEST: dict[str, str] = {}
+
+
+def _module_info(modname: str) -> tuple[str, tuple[str, ...]]:
+    """(md5 of the module's source file, kinesis3_spark modules it imports
+    — absolute OR relative, module-level OR function-level). Unresolvable
+    modules degrade to ("", ()) so a packaging oddity can never break the
+    rotation."""
+    cached = _MODULE_INFO.get(modname)
+    if cached is not None:
+        return cached
+    import ast
+    import hashlib
+    import importlib.util
+
+    out: tuple[str, tuple[str, ...]] = ("", ())
+    try:
+        spec = importlib.util.find_spec(modname)
+        if spec is not None and spec.origin and spec.origin.endswith(".py"):
+            with open(spec.origin, "rb") as f:
+                src = f.read()
+            pkg = (
+                modname
+                if spec.submodule_search_locations is not None
+                else modname.rsplit(".", 1)[0]
+            )
+            deps: set[str] = set()
+            for node in ast.walk(ast.parse(src)):
+                if isinstance(node, ast.Import):
+                    deps.update(
+                        a.name
+                        for a in node.names
+                        if a.name.startswith("kinesis3_spark")
+                    )
+                elif isinstance(node, ast.ImportFrom):
+                    if node.level == 0:
+                        base = node.module or ""
+                    else:
+                        parts = pkg.split(".")
+                        base = ".".join(parts[: len(parts) - node.level + 1])
+                        if node.module:
+                            base = f"{base}.{node.module}" if base else node.module
+                    if not base.startswith("kinesis3_spark"):
+                        continue
+                    for a in node.names:
+                        cand = f"{base}.{a.name}"
+                        try:
+                            is_mod = importlib.util.find_spec(cand) is not None
+                        except (ImportError, ValueError):
+                            is_mod = False
+                        deps.add(cand if is_mod else base)
+            out = (hashlib.md5(src).hexdigest(), tuple(sorted(deps)))
+    except (OSError, SyntaxError, ImportError, ValueError):
+        pass
+    _MODULE_INFO[modname] = out
+    return out
+
+
+def _machinery_digest(modname: str) -> str:
+    """Sorted md5s of the defining module's source PLUS every
+    kinesis3_spark module in its transitive import closure (operators,
+    sinks, sources, streaming, pipeline, functions, sibling query
+    modules). This is what lets a ``sinks/txn.py`` rewrite front the
+    txn-family queries for official re-certification even when the
+    decorated query function itself is untouched (VERDICT r13 next-round
+    #1: the pre-r14 ledger covered only the query function + oracle, so
+    machinery rewrites coasted on stale greens)."""
+    cached = _CLOSURE_DIGEST.get(modname)
+    if cached is not None:
+        return cached
+    seen: set[str] = set()
+    stack = [modname]
+    md5s: list[str] = []
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        md5, deps = _module_info(m)
+        if md5:
+            md5s.append(md5)
+        stack.extend(d for d in deps if d not in seen)
+    digest = "\n".join(sorted(md5s))
+    _CLOSURE_DIGEST[modname] = digest
+    return digest
+
+
 def _source_hash(fn, oracle: str | None) -> str:
-    """md5 of the query function's source + its oracle SQL — the rotation's
-    definition of "this query's checked behavior". A rewrite of either side
-    changes the hash; a helper-only rewrite does not (documented limit:
-    helpers are shared, so helper changes surface through the parity tests
-    and through ANY caller that also changed)."""
+    """md5 of the query function's source + its oracle SQL + the machinery
+    digest of its defining module's transitive kinesis3_spark import
+    closure — the rotation's definition of "this query's checked
+    behavior". A rewrite of the function, the oracle, the defining module
+    (shared helpers), or ANY imported engine module (operators/sinks/
+    sources/streaming/...) changes the hash and fronts the query for
+    official re-certification."""
     import hashlib
     import inspect
 
@@ -175,7 +269,11 @@ def _source_hash(fn, oracle: str | None) -> str:
         # stable fallback — repr(fn) would embed the ASLR-randomized memory
         # address and mark the query modified on every run (review fix r7)
         src = f"{fn.__module__}.{fn.__qualname__}"
-    return hashlib.md5((src + "\n" + (oracle or "")).encode()).hexdigest()
+    return hashlib.md5(
+        (
+            src + "\n" + (oracle or "") + "\n" + _machinery_digest(fn.__module__)
+        ).encode()
+    ).hexdigest()
 
 
 def _current_hashes() -> dict[str, str]:
