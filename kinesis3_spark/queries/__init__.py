@@ -71,3 +71,4 @@ from . import search  # noqa: E402,F401
 from . import dataquality  # noqa: E402,F401
 from . import lmquality  # noqa: E402,F401
 from . import roundtrip  # noqa: E402,F401
+from . import unigram  # noqa: E402,F401

@@ -621,68 +621,7 @@ def llm_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_tokenizer_fertility",
-    oracle=f"""
-    WITH {_BPE_BASE_CTES},
-    {_bpe_steps_sql()}
-    , final AS (
-      SELECT w,
-             len(string_split(substr(enc, 2, length(enc) - 2), ')(')) AS n_syms
-      FROM v{_BPE_ROUNDS + 1}
-    ),
-    src_words AS (
-      SELECT source, unnest({_TOKS}) AS w FROM documents
-    ),
-    src_freq AS (
-      SELECT source, w, count(*)::BIGINT AS f FROM src_words
-      WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
-      GROUP BY 1, 2
-    )
-    SELECT source,
-           CAST(sum(f) AS BIGINT) AS word_occurrences,
-           CAST(sum(f * n_syms) AS BIGINT) AS tokens_total,
-           round(sum(f * n_syms) * 1.0 / sum(f), 4) AS fertility
-    FROM src_freq JOIN final USING (w)
-    GROUP BY source ORDER BY source
-    """,
-)
-def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source tokenizer FERTILITY (tokens emitted per word) under the
-    trained BPE — the number a multilingual/multi-domain pipeline watches
-    per slice: a source whose text the tokenizer fragments (high
-    fertility) pays more sequence length per word, which skews both cost
-    and the effective mixture. Integer-exact: per-(source, word)
-    frequencies join the trained vocabulary's symbol counts, one rounded
-    division at the end.
-
-    Scale: training via the shared cached |vocab|-row loop; the fertility
-    pass is one (source, word) map-side-combined rollup joined to the
-    |vocab|-row symbol table (AQE broadcast) and a |sources|-row
-    aggregate."""
-    final, _merges = _bpe_train(spark, sf_dir)
-    n_syms = final.select(
-        "w",
-        F.size(
-            F.split(F.expr("substring(enc, 2, length(enc) - 2)"), r"\)\(")
-        ).alias("n_syms"),
-    )
-    src_freq = (
-        _t(spark, sf_dir, "documents")
-        .select("source", F.explode(T.tokenize(F.col("text"))).alias("w"))
-        .where((F.length("w") >= 2) & F.col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("source", "w")
-        .agg(F.count("*").alias("f"))
-    )
-    return (
-        src_freq.join(n_syms, "w")
-        .groupBy("source")
-        .agg(
-            F.sum("f").cast("bigint").alias("word_occurrences"),
-            F.sum(F.col("f") * F.col("n_syms")).cast("bigint").alias("tokens_total"),
-            F.round(
-                F.sum(F.col("f") * F.col("n_syms")) * 1.0 / F.sum("f"), 4
-            ).alias("fertility"),
-        )
-        .orderBy("source")
-    )
+# llm_tokenizer_fertility moved to unigram.py (round 14): the fertility
+# comparison now covers BOTH trained tokenizers (BPE vs unigram LM) and
+# lives with the unigram trainer; the BPE training half stays here and is
+# imported from there (_BPE_BASE_CTES / _bpe_steps_sql / _bpe_train).
