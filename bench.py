@@ -187,6 +187,10 @@ HEADLINE = [
     # cross-modal integrity rollup (one keyed full-outer join).
     "dedup_image_phash",
     "multimodal_pair_integrity",
+    # round 14: the audio fingerprint dedup tier (decode + energy-delta
+    # fingerprint Arrow pass + 8-band Hamming join — production path
+    # end-to-end, the audio sibling of dedup_image_phash).
+    "dedup_audio_fingerprint",
     # round 13b: binned two-sample KS (one events scan + histogram walk),
     # conversion-latency percentiles (keyed rollup + histogram walk), and
     # the SQL-text txntable read (same DV-table plan as the DataFrame

@@ -300,29 +300,89 @@ def image_ahash(
     )
 
 
-def ahash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(media_id_a < media_id_b, hamming) for every image pair within
-    `max_hamming` bits under the 4×16-bit band encoding of image_ahash.
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    n_windows: int = 65,
+) -> DataFrame:
+    """Chromaprint-style banded audio fingerprint per clip — the
+    spectral-free integer tier (energy-delta sign bits): decode RAWA,
+    partition the sample stream into `n_windows` equal windows with
+    floor boundaries (window k covers samples [floor(k*n/W),
+    floor((k+1)*n/W)) — the image_ahash grid trick on the time axis),
+    take per-window energy E[k] = Σ sample², and emit one bit per
+    adjacent-window delta: bit[k] = 1 iff E[k+1] > E[k]. 65 windows →
+    64 bits, packed as 8 bands × 8 bits (bands[b] = Σ_j bit[8b+j]<<j).
+
+    Integer-exact end to end (energies are int64 sums of int16²; bits
+    are pure comparisons), so a SQL oracle can re-derive it. 8 bands
+    make banded candidate generation LOSSLESS for Hamming radius ≤ 7
+    (pigeonhole) under banded_hamming_pairs. Real chromaprint replaces
+    the energy windows with chroma-filtered spectral frames — that swap
+    lives entirely inside this function; the banded-join consumer is
+    unchanged. One Arrow pass; output is 1 row × ~70 bytes per clip.
+
+    Overflow bound: per-window energy ≤ n_window_samples × 2³⁰ — safe
+    to ~2³³ samples per window (≈ 10 days of 48 kHz audio per WINDOW)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands_out = [], []
+            for mid, b in zip(pdf[id_col], pdf[data_col]):
+                samples, _rate = _decode_audio(bytes(b))
+                n = len(samples)
+                wb = (np.arange(n_windows + 1) * n) // n_windows
+                cs = np.concatenate(
+                    [[0], np.cumsum(samples.astype(np.int64) ** 2)]
+                )
+                e = cs[wb[1:]] - cs[wb[:-1]]
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                bands = [
+                    int(sum(int(bits[8 * g + j]) << j for j in range(8)))
+                    for g in range((n_windows - 1) // 8)
+                ]
+                ids.append(mid)
+                bands_out.append(bands)
+            yield pd.DataFrame({"media_id": ids, "bands": bands_out})
+
+    return df.select(id_col, data_col).mapInPandas(
+        run, schema="media_id long, bands array<int>"
+    )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame, max_hamming: int, n_bands: int
+) -> DataFrame:
+    """(media_id_a < media_id_b, hamming) for every pair within
+    `max_hamming` bits under an `n_bands`-band Hamming-space encoding
+    (`bands` array column) — the banded machinery of ahash_neardup_pairs
+    generalized over band count (VERDICT r13 agenda #3): image aHash
+    uses 4 × 16-bit bands (radius ≤ 3), the audio fingerprint 8 × 8-bit
+    bands (radius ≤ 7).
 
     Plan shape (the MinHash-LSH discipline applied to Hamming space):
       1. IDENTICAL hashes pair by a plain equi-join on the band array —
          the overwhelmingly common exact-re-upload case never enters the
          banded join, so its cost is the true output size, not a blowup.
-      2. DISTINCT hashes: explode 4 (band, value) keys per hash → equi-join
-         on (band, value) → distinct candidate hash pairs → exact Hamming
-         via zip_with/bit_count (JVM built-ins) → join ids back. For
-         max_hamming ≤ 3 this is EXACT (pigeonhole over 4 bands), so the
-         brute-force all-pairs oracle and this banded plan provably agree.
+      2. DISTINCT hashes: explode n_bands (band, value) keys per hash →
+         equi-join on (band, value) → distinct candidate hash pairs →
+         exact Hamming via zip_with/bit_count (JVM built-ins) → join ids
+         back. For max_hamming < n_bands this is EXACT (pigeonhole: two
+         hashes ≤ max_hamming bits apart must agree on ≥ 1 band), so the
+         brute-force all-pairs oracle and this banded plan provably
+         agree.
     Never an all-pairs comparison; candidate volume per band bucket is
-    |bucket|² over a 2^16 key space per band — at larger radii raise the
-    band count, the same knob LSH tunes. The plan references `hashes`
-    six times (two banded legs, two id joins, two identical-hash legs):
-    pass a persisted/materialized relation or each reference re-derives
-    the hashes from source (queries/multimodalq._phash_for does this)."""
-    if max_hamming > 3:
+    |bucket|² over a 2^(64/n_bands) key space per band — at larger radii
+    raise the band count, the same knob LSH tunes. The plan references
+    `hashes` six times (two banded legs, two id joins, two identical-hash
+    legs): pass a persisted/materialized relation or each reference
+    re-derives the hashes from source (queries/multimodalq._phash_for
+    does this)."""
+    if max_hamming >= n_bands:
         raise ValueError(
-            "4-band encoding is lossless only for Hamming radius <= 3; "
-            "raise the band count in image_ahash for larger radii"
+            f"{n_bands}-band encoding is lossless only for Hamming radius "
+            f"<= {n_bands - 1}; raise the band count for larger radii"
         )
     dist = hashes.select("bands").distinct()
     keyed = dist.select(
@@ -369,3 +429,9 @@ def ahash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
     )
     return cross.unionByName(same)
+
+
+def ahash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image-aHash near-dup pairs: banded_hamming_pairs under the 4 ×
+    16-bit band encoding of image_ahash (lossless for radius ≤ 3)."""
+    return banded_hamming_pairs(hashes, max_hamming, n_bands=4)

@@ -323,6 +323,125 @@ def image_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.ahash_neardup_pairs(_phash_for(spark, sf_dir), max_hamming=3)
 
 
+# --------------------------------------------------------------------------
+# Audio near-dup dedup (round 14, VERDICT r13 agenda #3): the remaining
+# modality with decode support but no dedup tier. Same architecture as the
+# image leg: synthesize RAW containers whose content is a pure function of
+# the text (so the oracle re-derives the fingerprint arithmetically), run
+# the REAL decode+fingerprint operator, banded Hamming join.
+# --------------------------------------------------------------------------
+
+_AFP_CACHE: dict[str, DataFrame] = {}
+
+
+def _synthesize_audio_from_text(docs: DataFrame) -> DataFrame:
+    """documents → RAWA 'audio' whose samples ARE the text bytes (sample
+    i = byte i as int16, 8 kHz): near-duplicate texts become
+    near-duplicate waveforms, which is what gives the fingerprint dedup a
+    real planted-twin population — the audio leg of the
+    _synthesize_images geometry trick (the constant-amplitude synthesizer
+    above stays for the features query, where exact RMS matters)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                samples = np.frombuffer(text.encode(), np.uint8).astype(
+                    np.int16
+                )
+                ids.append(did)
+                payloads.append(M.encode_rawa(samples, 8000))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, data binary"
+    )
+
+
+def _afp_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-sf_dir fingerprint table (the _phash_for discipline:
+    the pair plan references the relation six times)."""
+    h = _AFP_CACHE.get(sf_dir)
+    if h is None:
+        h = M.audio_fingerprint(
+            _synthesize_audio_from_text(_t(spark, sf_dir, "documents"))
+        ).persist()
+        _AFP_CACHE[sf_dir] = h
+    return h
+
+
+# fingerprint derivation shared by the pair query: window energies from
+# text bytes (sample j = byte j, so E[k] = Σ ord² over the window), floor
+# window boundaries inverted per-sample as wk = ceil((j+1)·65/L) - 1 (the
+# _AHASH_ORACLE grid trick on the time axis), delta bits, 8×8-bit bands.
+_AFP_ORACLE = """
+    WITH aud AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents
+    ),
+    px AS (
+      SELECT doc_id, i - 1 AS j, ord(substr(text, i, 1)) AS v, L
+      FROM aud, UNNEST(generate_series(1, L)) AS t(i)
+    ),
+    we AS (
+      SELECT doc_id, ((j + 1) * 65 + L - 1) // L - 1 AS wk, sum(v * v) AS e
+      FROM px GROUP BY 1, 2
+    ),
+    grid AS (  -- all 65 windows per clip (empty windows → energy 0, so a
+               -- zero-length clip still fingerprints to all-zero bands)
+      SELECT a.doc_id, g.wk, coalesce(w.e, 0) AS e
+      FROM aud a
+      CROSS JOIN UNNEST(generate_series(0, 64)) AS g(wk)
+      LEFT JOIN we w ON w.doc_id = a.doc_id AND w.wk = g.wk
+    ),
+    bits AS (
+      SELECT g.doc_id, g.wk AS k,
+             CASE WHEN g2.e > g.e THEN 1 ELSE 0 END AS bit
+      FROM grid g JOIN grid g2 ON g2.doc_id = g.doc_id AND g2.wk = g.wk + 1
+      WHERE g.wk < 64
+    ),
+    abands AS (
+      SELECT doc_id, k // 8 AS band, sum(bit << (k % 8))::BIGINT AS bv
+      FROM bits GROUP BY 1, 2
+    ),
+    afp AS (
+      SELECT doc_id, list(bv ORDER BY band) AS bands FROM abands GROUP BY doc_id
+    )
+"""
+
+_AFP_HAM = " + ".join(
+    f"bit_count(xor(a.bands[{i}], b.bands[{i}]))" for i in range(1, 9)
+)
+
+
+@query(
+    "dedup_audio_fingerprint",
+    oracle=_AFP_ORACLE
+    + f"""
+    SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+           ({_AFP_HAM})::INT AS hamming
+    FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+    WHERE {_AFP_HAM} <= 7
+    """,
+)
+def audio_fingerprint_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs under the 64-bit energy-delta
+    fingerprint, Hamming radius 7: synthesize RAWA containers, decode +
+    fingerprint with the REAL audio_fingerprint operator (one Arrow
+    pass, integer-exact window energies, persisted once per sf_dir),
+    then banded_hamming_pairs with 8 × 8-bit bands — identical
+    fingerprints pair by equi-join, distinct ones meet only inside a
+    (band, 8-bit value) bucket, and the 8-band split makes radius-7
+    candidate generation LOSSLESS (pigeonhole), which is why the
+    brute-force all-pairs oracle matches a plan that never compares all
+    pairs. At 100 TB: fingerprint output is ~70 bytes/clip and payloads
+    never leave the executors; for billion-clip corpora raise bits per
+    band (wider windows) to keep per-bucket candidate volume bounded —
+    the LSH band/row knob."""
+    return M.banded_hamming_pairs(
+        _afp_for(spark, sf_dir), max_hamming=7, n_bands=8
+    )
+
+
 @query(
     "multimodal_pair_integrity",
     oracle="""

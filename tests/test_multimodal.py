@@ -177,3 +177,90 @@ def test_ahash_bits_integer_exact_contract(spark):
                 if cs * tp > ts * (r1 - r0) * (c1 - c0):
                     want[rg // 2] += 1 << (cg + 8 * (rg % 2))
     assert list(row.bands) == want
+
+
+def _aud_df(spark, sample_arrays, rate=8000):
+    rows = [
+        (i, bytearray(M.encode_rawa(np.asarray(a, np.int16), rate)))
+        for i, a in enumerate(sample_arrays)
+    ]
+    return spark.createDataFrame(rows, "media_id long, data binary")
+
+
+def test_audio_fingerprint_planted_perturbed_twin(spark):
+    """A clip and a lightly perturbed twin (a few samples nudged — a
+    couple of window energies change) must land within Hamming radius 7
+    and pair; an unrelated clip must not."""
+    rng = np.random.RandomState(11)
+    base = rng.randint(-3000, 3000, size=650).astype(np.int16)
+    twin = base.copy()
+    twin[5:8] += 40        # perturb two-ish windows' energies
+    twin[300:303] -= 40
+    other = rng.randint(-3000, 3000, size=650).astype(np.int16)
+    fps = M.audio_fingerprint(_aud_df(spark, [base, twin, other])).persist()
+    pairs = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in M.banded_hamming_pairs(fps, max_hamming=7, n_bands=8).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 7
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_audio_fingerprint_banded_join_matches_bruteforce(spark):
+    """The 8-band candidate join is LOSSLESS at radius <= 7: compare
+    against brute-force all-pairs Hamming on a batch of random clips."""
+    rng = np.random.RandomState(13)
+    clips = [
+        rng.randint(-500, 500, size=rng.randint(64, 400)).astype(np.int16)
+        for _ in range(24)
+    ]
+    # plant twins so the expected set is non-trivial
+    clips.append(clips[0].copy())
+    t = clips[3].copy(); t[10:12] += 25
+    clips.append(t)
+    fps = M.audio_fingerprint(_aud_df(spark, clips)).persist()
+    rows = fps.collect()
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x.bands, y.bands))
+    brute = {
+        (x.media_id, y.media_id): ham(x, y)
+        for x in rows for y in rows
+        if x.media_id < y.media_id and ham(x, y) <= 7
+    }
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in M.banded_hamming_pairs(fps, max_hamming=7, n_bands=8).collect()
+    }
+    assert got == brute and len(brute) >= 2
+
+
+def test_audio_fingerprint_integer_exact_contract(spark):
+    """The fingerprint must be reproducible from pure integer arithmetic
+    over the sample windows (the property the SQL oracle relies on),
+    including the empty-clip edge (all-zero bands)."""
+    rng = np.random.RandomState(17)
+    samples = rng.randint(-2000, 2000, size=337).astype(np.int16)
+    [row, empty] = (
+        M.audio_fingerprint(_aud_df(spark, [samples, np.zeros(0, np.int16)]))
+        .orderBy("media_id")
+        .collect()
+    )
+    n = len(samples)
+    wb = [(k * n) // 65 for k in range(66)]
+    e = [
+        sum(int(v) ** 2 for v in samples[wb[k]:wb[k + 1]]) for k in range(65)
+    ]
+    bits = [1 if e[k + 1] > e[k] else 0 for k in range(64)]
+    want = [
+        sum(bits[8 * g + j] << j for j in range(8)) for g in range(8)
+    ]
+    assert list(row.bands) == want
+    assert list(empty.bands) == [0] * 8
+
+
+def test_banded_hamming_pairs_radius_guard():
+    """Pigeonhole losslessness requires max_hamming < n_bands."""
+    with pytest.raises(ValueError):
+        M.banded_hamming_pairs(None, max_hamming=8, n_bands=8)
+    with pytest.raises(ValueError):
+        M.ahash_neardup_pairs(None, max_hamming=4)
