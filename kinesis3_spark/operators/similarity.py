@@ -830,6 +830,126 @@ def read_ivfpq_index(spark, path: str) -> DataFrame:
     return df.select("id", F.col("cell").cast("int").alias("cell"), "codes")
 
 
+def knn_graph_ivfpq(
+    emb: DataFrame,
+    index: tuple[np.ndarray, np.ndarray],
+    enc: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OFFLINE kNN-graph construction over an IVF-PQ index: every corpus
+    vector is a query; returns the (query_id, rank, neighbor_id) edge
+    table a graph tier consumes (link prediction, components, semantic
+    clustering). VERDICT r13 agenda #4 (carried from r12 #8).
+
+    This is NOT cosine_topk_ivfpq with qset=corpus: that operator
+    collects the query set driver-side to build per-query LUTs (correct
+    for bounded serving batches, impossible for |corpus| queries). The
+    all-vectors shape is fully distributed:
+
+      1. DECODE once: each encoded row reconstructs its approximate
+         vector C[cell] + concat(books[s][code_s]) in one mapInPandas
+         pass — the codebooks are driver constants in the closure
+         (~100 KB), raw corpus vectors are never read on this side.
+      2. PROBE-ASSIGN queries: one mapInPandas pass over the corpus
+         emits (query_id, probed cell, normalized vector) x nprobe —
+         np.argsort(kind="stable") so cell routing is deterministic.
+      3. ONE equi-join on `cell` co-shuffles queries and decoded
+         candidates (the only shuffle of the build); scoring is the
+         JVM-side zip_with/aggregate dot product — ADC semantics
+         (qn · decoded), matching cosine_topk_ivfpq's ranking.
+      4. Per-query top-k window (rank ties broken by neighbor_id).
+
+    Scale: per-cell work is |Q_cell| x |X_cell| — the IVF balance knob;
+    with n_centroids ~ sqrt(N) (train_ivfpq's derivation) each cell's
+    candidate block stays ~N, total ~N·nprobe·N/n_centroids ≈ the
+    textbook IVF build cost. Skewed cells are AQE skew-join territory;
+    the decoded side is (dim+2) doubles/row — 2000x smaller than
+    payloads, safe to shuffle."""
+    C, books = index
+    m, _kcode, sub = books.shape
+
+    def dec_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        srange = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["cell"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            dvec = C[cells] + books[srange[None, :], codes].reshape(
+                len(pdf), m * sub
+            )
+            yield pd.DataFrame(
+                {
+                    "cell": cells,
+                    "neighbor_id": pdf["id"].to_numpy(),
+                    "dvec": list(dvec),
+                }
+            )
+
+    dec = enc.mapInPandas(
+        dec_batches, schema="cell int, neighbor_id long, dvec array<double>"
+    )
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            Q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(Q, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Qn = Q / norms
+            top = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :nprobe]
+            reps = np.repeat(np.arange(len(ids)), nprobe)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[reps],
+                    "cell": top.ravel().astype("int32"),
+                    "qn": list(Qn[reps]),
+                }
+            )
+
+    probes = emb.select(id_col, vec_col).mapInPandas(
+        probe_batches, schema="query_id long, cell int, qn array<double>"
+    )
+    scored = (
+        probes.join(dec, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("qn", "dvec", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("cos"),
+        )
+    )
+    if rerank_mult <= 0:
+        return _topk_from_scores(scored, k)
+    # exact REFINE (FAISS's IVFPQ,Refine shape): keep the ADC top
+    # rerank_mult*k shortlist per query, fetch ONLY those raw vectors
+    # (bounded raw I/O: R rows per query, never the probed cells), and
+    # re-rank by exact cosine — PQ routes and prunes, floats decide.
+    shortlist = _topk_from_scores(scored, rerank_mult * k).select(
+        "query_id", "neighbor_id"
+    )
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    exact = (
+        shortlist.join(nv, "neighbor_id")
+        .join(qv, "query_id")
+        .select("query_id", "neighbor_id", cosine_similarity("qv", "nv").alias("cos"))
+    )
+    return _topk_from_scores(exact, k)
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: np.ndarray,

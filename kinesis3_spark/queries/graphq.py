@@ -502,3 +502,172 @@ def capped_common_neighbor_candidates(
         .orderBy(F.desc("n_common"), "part_x", "part_y")
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Offline kNN graph over the persisted IVF-PQ index (round 14, VERDICT r13
+# agenda #4, carried from r12 #8): materialize per-vector top-k neighbors
+# as an edge table and feed the existing graph tier.
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+def _knn_truth_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT kNN edge table (query_id, rank, neighbor_id): brute-force
+    cosine top-5 with every vector as a query. Cross-engine stable — the
+    _TOPK_ORACLE discipline (adjacent cosine gaps dominate double-
+    summation noise; ties break on neighbor_id) verified to hold for the
+    all-vectors query set at sf0.001/0.01/0.1 (10k edges bit-equal)."""
+    from ..operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(emb, emb, k=_KNN_K)
+
+
+# exact brute-force 5-NN in SQL — shared by both kNN-graph oracles
+_KNN_TRUTH_SQL = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.v, e.v)
+               / sqrt(list_dot_product(q.v, q.v)
+                      * list_dot_product(e.v, e.v)) AS c
+      FROM e q JOIN e ON e.vec_id <> q.vec_id
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        FROM s
+      ) WHERE rnk <= {_KNN_K}
+    )
+"""
+
+
+@query(
+    "graph_knn_edges_recall_band",
+    oracle=f"""
+    WITH {_KNN_TRUTH_SQL}
+    SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+           (SELECT count(*) FROM knn)::BIGINT AS n_truth_pairs,
+           1 AS edges_complete, 1 AS recall_ok
+    """,
+)
+def graph_knn_edges_recall_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH BUILD over the persisted IVF-PQ index, banded-recall
+    form (the sim_ivf_recall_band pattern): knn_graph_ivfpq materializes
+    per-vector top-5 edges — probe-assign, one cell-keyed co-shuffle,
+    ADC shortlist, exact refine of rerank_mult*k raw vectors per query
+    (FAISS's IVFPQ,Refine) — and the result is audited against the
+    brute-force exact 5-NN graph computed in the same job:
+
+      n_truth_pairs  — exact edge count, oracle-derived independently
+                       (the brute SQL side re-ranks all pairs)
+      edges_complete — the ANN build produced exactly as many edges as
+                       the truth (every vector got its full k — probed
+                       cells starving a query would flip it)
+      recall_ok      — edge recall >= 30%. Measured with nprobe=8/16 +
+                       4x refine: 62.6% (sf0.001), 60.6% (sf0.01),
+                       37.1% (sf0.1 — recall on this near-orthogonal
+                       random corpus degrades with N, the known ANN
+                       behavior); a routing/decode/refine bug drops to
+                       ~nprobe/n_centroids x shortlist odds (~2%), so
+                       the floor is a real regression gate.
+
+    Scale: the build's only all-pairs-ish cost is per probed cell
+    (|Q_cell| x |X_cell| — the IVF balance knob); the brute TRUTH side
+    is the offline index-quality audit, run on a sampled query set in
+    production, exhaustive here because the bench corpus is small."""
+    from ..operators import similarity as S
+    from .similarity import _ivfpq_persisted_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C, books, path = _ivfpq_persisted_index(spark, sf_dir)
+    enc = S.read_ivfpq_index(spark, path)
+    edges = S.knn_graph_ivfpq(
+        emb, (C, books), enc, k=_KNN_K, nprobe=8, rerank_mult=4
+    ).persist()
+    truth = _knn_truth_edges(spark, sf_dir).persist()
+    t_stats = truth.agg(F.count("*").cast("bigint").alias("n_truth_pairs"))
+    n_vec = emb.agg(F.count("*").cast("bigint").alias("n_vectors"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    hits = (
+        truth.select("query_id", "neighbor_id")
+        .join(
+            edges.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        n_vec.crossJoin(t_stats)
+        .crossJoin(n_edges)
+        .crossJoin(hits)
+        .select(
+            "n_vectors",
+            "n_truth_pairs",
+            (F.col("n_edges") == F.col("n_truth_pairs"))
+            .cast("int")
+            .alias("edges_complete"),
+            (F.col("n_hits") * 100 >= 30 * F.col("n_truth_pairs"))
+            .cast("int")
+            .alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "graph_knn_linkpred",
+    oracle=f"""
+    WITH {_KNN_TRUTH_SQL},
+    kedges AS (
+      SELECT DISTINCT least(query_id, neighbor_id) AS u,
+             greatest(query_id, neighbor_id) AS v
+      FROM knn
+    ),
+    und AS (SELECT u, v FROM kedges UNION ALL SELECT v AS u, u AS v FROM kedges),
+    wedge AS (
+      SELECT a.v AS x, b.v AS y, count(*) AS common
+      FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.x, w.y, w.common
+      FROM wedge w LEFT JOIN kedges e ON e.u = w.x AND e.v = w.y
+      WHERE e.u IS NULL)
+    SELECT CAST(x AS BIGINT) AS vec_x, CAST(y AS BIGINT) AS vec_y,
+           CAST(common AS BIGINT) AS n_common
+    FROM cand
+    ORDER BY n_common DESC, vec_x, vec_y
+    LIMIT 20
+    """,
+)
+def graph_knn_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph tier CONSUMING a materialized kNN edge table: common-
+    neighbor link prediction (the graph_common_neighbor_linkpred scorer)
+    over the exact 5-NN semantic graph — 'vectors likely semantically
+    adjacent that the kNN edges don't directly connect', the candidate
+    generator a retrieval/recommendation pipeline layers on its vector
+    index. Runs on the EXACT graph so every number that crosses the
+    oracle boundary is integer wedge arithmetic over a cross-engine-
+    stable edge set (see _knn_truth_edges); the ANN-built edge table is
+    the same shape, and its quality gate is graph_knn_edges_recall_band.
+
+    Scale: undirected 5-NN edges give bounded degree (<= 2k), so the
+    wedge self-join is ~N·(2k)² — no cap needed, unlike the co-purchase
+    graph whose hubs require one."""
+    edges = (
+        _knn_truth_edges(spark, sf_dir)
+        .select(
+            F.least("query_id", "neighbor_id").alias("u"),
+            F.greatest("query_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+    )
+    return common_neighbor_candidates(edges, 20).select(
+        F.col("part_x").alias("vec_x"),
+        F.col("part_y").alias("vec_y"),
+        "n_common",
+    )

@@ -376,3 +376,49 @@ def test_tombstoned_top1_is_replaced_by_next_live(spark, tmp_path):
     live = enc.join(F.broadcast(tomb), "id", "left_anti")
     after = S.cosine_topk_ivfpq(emb, q, k=1, index=(C, books), enc=live, nprobe=12)
     assert after.first().neighbor_id == 2
+
+
+def test_knn_graph_edges_stay_within_planted_clusters(spark, clustered_dir):
+    """knn_graph_ivfpq over the planted 4-cluster corpus: every vector's
+    top-5 edges must point at cluster-mates (wide cosine margin), every
+    vector gets exactly 5 edges, and the graph contains no self-loops —
+    the distributed all-vectors build, not the driver-side query path."""
+    d, labels = clustered_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    C, books = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    enc = S.ivfpq_encode(emb, C, books)
+    edges = S.knn_graph_ivfpq(
+        emb, (C, books), enc, k=5, nprobe=2, rerank_mult=4
+    ).collect()
+    assert len(edges) == len(labels) * 5
+    per_q: dict[int, list] = {}
+    for r in edges:
+        assert r.query_id != r.neighbor_id
+        assert labels[r.query_id] == labels[r.neighbor_id]
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_knn_graph_refine_matches_bruteforce_on_planted(spark, clustered_dir):
+    """With enough probes to cover a cluster's cells AND a shortlist
+    wider than the cluster (rerank_mult*k = 80 > 50 cluster-mates, whose
+    ADC scores dominate every cross-cluster candidate by the planted
+    margin), the exact-refine stage must reproduce the brute-force top-5
+    exactly. A shortlist NARROWER than the cluster legitimately drops
+    true neighbors (ADC noise reorders near-identical cluster-mates) —
+    that regime is covered by the recall band, not exactness."""
+    d, _labels = clustered_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    C, books = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    enc = S.ivfpq_encode(emb, C, books)
+    got = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.knn_graph_ivfpq(
+            emb, (C, books), enc, k=5, nprobe=4, rerank_mult=16
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.cosine_topk_bruteforce(emb, emb, k=5).collect()
+    }
+    assert got == want
