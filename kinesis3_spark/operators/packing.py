@@ -92,3 +92,55 @@ def bin_stats(packed: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("bin_tokens"),
         F.max("oversize").alias("oversize"),
     )
+
+
+def cumulative_token_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """(id, n_tokens, cum): inclusive running token total in `id_col`
+    order — the primitive behind concat-and-chunk sequence packing, where
+    every example/bin assignment is a pure function of the cumulative
+    count (token at global position p lands in example p // L).
+
+    A single global `Window.orderBy(id)` would funnel the whole corpus
+    through one task; this is the TWO-LEVEL distributed scan instead:
+    order-preserving range buckets (id DIV bucket_width) localize the
+    per-row cumsum (a keyed window), the per-bucket totals roll up to a
+    |buckets|-row relation whose *exclusive* cumsum gives each bucket its
+    global offset (the only ordered window, over bucket count not row
+    count), and one broadcast join adds the offsets back. At extreme
+    scale the offset rollup itself re-buckets — same recursion, one more
+    level; at 100 TB with width 1024 it is a ~10⁶-row window, fine."""
+    from pyspark.sql import Window
+
+    d = df.select(
+        id_col,
+        F.col(token_col).cast("long").alias(token_col),
+        F.expr(f"CAST({id_col} DIV {bucket_width} AS BIGINT)").alias("__b"),
+    )
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("__lc", F.sum(token_col).over(w_local))
+    w_off = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        d.groupBy("__b")
+        .agg(F.sum(token_col).alias("__bt"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    return local.join(F.broadcast(offs), "__b").select(
+        id_col,
+        token_col,
+        (F.col("__lc") + F.col("__off")).cast("long").alias("cum"),
+    )

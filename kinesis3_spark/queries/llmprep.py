@@ -230,6 +230,110 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Concat-and-chunk sequence packing (round 14, VERDICT r13 agenda #5): the
+# SPLIT-policy packer — documents concatenate in doc_id order and the token
+# stream chunks into fixed L-token training examples, docs crossing example
+# boundaries (the GPT-2 pretraining layout; llm_pack_sequences above is the
+# complementary BOUNDARY-RESPECTING policy, whole docs FFD-binned with
+# padding). Integer-exact closed form: token at global position p lands in
+# example p DIV L, so a doc spans examples (cum-n) DIV L .. (cum-1) DIV L —
+# bin membership is a pure function of the cumulative token count, which is
+# what makes a SQL oracle able to re-derive the full per-example layout.
+# --------------------------------------------------------------------------
+
+PACK_L = 512  # tokens per packed training example
+
+
+@query(
+    "llm_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
+             CAST(sum(len(string_split(text, ' ')))
+                  OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, n, cum,
+             (cum - n) // {PACK_L} AS fb, (cum - 1) // {PACK_L} AS lb
+      FROM d WHERE n > 0
+    ),
+    x AS (
+      SELECT doc_id, fb, lb, b AS bin_id,
+             least(cum, (b + 1) * {PACK_L})
+               - greatest(cum - n, b * {PACK_L}) AS t
+      FROM spans, UNNEST(generate_series(fb, lb)) AS g(b)
+    )
+    SELECT bin_id::BIGINT AS bin_id,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN fb = lb THEN 1 ELSE 0 END)::BIGINT AS n_whole_docs,
+           CAST(sum(t) AS BIGINT) AS bin_tokens,
+           CAST(sum(doc_id * t) AS BIGINT) AS docs_digest
+    FROM x GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-example layout of the concat-and-chunk packer: one row per
+    L=512-token training example with its document membership —
+    n_docs touching the example, n_whole_docs fully inside it (the
+    boundary accounting), bin_tokens (= L everywhere except the final
+    partial example — a built-in completeness check), and docs_digest =
+    Σ doc_id·tokens_in_example, an order-free integer membership digest
+    that changes if ANY document lands in the wrong example or
+    contributes the wrong token share.
+
+    Scale: the cumulative positions come from the two-level distributed
+    scan (operators/packing.cumulative_token_positions — never a global
+    single-task window); the span explode emits ≤ n/L + 1 rows per doc;
+    the rollup is map-side-combined on example id. The whole plan is
+    JVM expression tier."""
+    from ..operators.packing import cumulative_token_positions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _wc(F.col("text")).cast("long").alias("n_tokens")
+    )
+    pos = cumulative_token_positions(d).where(F.col("n_tokens") > 0)
+    spans = pos.select(
+        "doc_id",
+        "n_tokens",
+        "cum",
+        F.expr(f"(cum - n_tokens) DIV {PACK_L}").alias("fb"),
+        F.expr(f"(cum - 1) DIV {PACK_L}").alias("lb"),
+    )
+    x = spans.select(
+        "doc_id",
+        "fb",
+        "lb",
+        F.explode(F.sequence("fb", "lb")).alias("bin_id"),
+        "cum",
+        "n_tokens",
+    ).select(
+        "doc_id",
+        "fb",
+        "lb",
+        "bin_id",
+        (
+            F.least(F.col("cum"), (F.col("bin_id") + 1) * PACK_L)
+            - F.greatest(F.col("cum") - F.col("n_tokens"), F.col("bin_id") * PACK_L)
+        ).alias("t"),
+    )
+    return (
+        x.groupBy(F.col("bin_id").cast("bigint").alias("bin_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("fb") == F.col("lb")).cast("int"))
+            .cast("bigint")
+            .alias("n_whole_docs"),
+            F.sum("t").cast("bigint").alias("bin_tokens"),
+            F.sum(F.col("doc_id") * F.col("t")).cast("bigint")
+            .alias("docs_digest"),
+        )
+        .orderBy("bin_id")
+    )
+
+
 _SHARD_CACHE: dict[str, str] = {}
 _N_SHARDS = 32
 _MANIFEST_NAME = "_MANIFEST.json"

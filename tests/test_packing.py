@@ -54,3 +54,67 @@ def test_ffd_actually_packs(spark):
     total = df.agg(F.sum("n_tokens")).first()[0]
     # lower bound: ceil(total/budget); FFD within 2 groups should be close.
     assert n_bins <= (total // BUDGET) + 2 + 2  # +2 slack per group
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk (split-policy) packer: cumulative_token_positions must
+# equal a single-sequence running total regardless of bucket_width, and the
+# derived example layout must chunk exactly (full bins = L, docs crossing a
+# boundary appear in every bin they touch, token shares conserve).
+# ---------------------------------------------------------------------------
+
+from kinesis3_spark.operators.packing import cumulative_token_positions
+
+L = 10
+
+
+def test_cumsum_matches_serial_scan_any_bucket_width(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    expect, c = {}, 0
+    for i, n in rows:
+        c += n
+        expect[i] = c
+    for w in (1, 4, 1024):
+        got = {
+            r["doc_id"]: r["cum"]
+            for r in cumulative_token_positions(df, bucket_width=w).collect()
+        }
+        assert got == expect, f"bucket_width={w}"
+
+
+def test_chunk_layout_boundaries(spark):
+    # doc sizes chosen to exercise: exact fit (10), spanning one boundary
+    # (15 -> bins 1,2), spanning multiple (25 -> bins 2,3,4), and a
+    # trailing partial bin.
+    rows = [(0, 10), (1, 15), (2, 25), (3, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    pos = cumulative_token_positions(df)
+    spans = pos.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) DIV {L}").alias("fb"),
+        F.expr(f"(cum - 1) DIV {L}").alias("lb"),
+        "cum",
+    )
+    x = spans.select(
+        "doc_id",
+        F.explode(F.sequence("fb", "lb")).alias("bin_id"),
+        (
+            F.least(F.col("cum"), (F.col("bin_id") + 1) * L)
+            - F.greatest(F.col("cum") - F.col("n_tokens"), F.col("bin_id") * L)
+        ).alias("t"),
+    )
+    layout = {
+        (r["doc_id"], r["bin_id"]): r["t"] for r in x.collect()
+    }
+    # total stream = 53 tokens -> bins 0..5, last bin holds 3.
+    assert layout == {
+        (0, 0): 10,
+        (1, 1): 10, (1, 2): 5,
+        (2, 2): 5, (2, 3): 10, (2, 4): 10,
+        (3, 5): 3,
+    }
+    bins = (
+        x.groupBy("bin_id").agg(F.sum("t").alias("bt")).orderBy("bin_id").collect()
+    )
+    assert [r["bt"] for r in bins] == [10, 10, 10, 10, 10, 3]
