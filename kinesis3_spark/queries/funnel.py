@@ -781,15 +781,20 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Contiguous pattern matching (round 13): the MATCH_RECOGNIZE class —
-# the running-min funnel above asks "did v, then c, then p EVER happen in
-# order"; this asks for the CONTIGUOUS motif v c* p (a view, zero-or-more
-# clicks, then purchase with NOTHING in between) — the intent-burst signal
-# interleaved noise destroys. Each user's event-type initials become one
-# ordered string (bounded by per-user event count, the sessionize
-# discipline) and the motif is a regex both engines count identically
-# (leftmost non-overlapping, pattern is RE2-and-Java compatible).
+# Contiguous pattern matching (round 13; lifted to the parameterized
+# operators/sequence.user_motif_counts in round 14): the MATCH_RECOGNIZE
+# class — the running-min funnel above asks "did v, then c, then p EVER
+# happen in order"; this asks for the CONTIGUOUS motif v c* p (a view,
+# zero-or-more clicks, then purchase with NOTHING in between) — the
+# intent-burst signal interleaved noise destroys. Each user's event-type
+# initials become one ordered string (bounded by per-user event count, the
+# sessionize discipline) and the motif is a regex both engines count
+# identically (leftmost non-overlapping; the operator VALIDATES the pattern
+# down to the RE2-and-Java-identical subset at call time).
 # --------------------------------------------------------------------------
+
+# distinct event_type initials in the events table: c e p s v
+_MOTIF_ALPHABET = "cepsv"
 @query(
     "seq_pattern_contiguous_funnel",
     oracle="""
@@ -812,28 +817,67 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def seq_pattern_contiguous_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One keyed rollup: per-user ordered initials string (array_sort of
-    (ts, event_id, initial) structs — map-side combinable collect), one
-    regexp_count in the same stage, one global aggregate. At 100 TB the
-    per-user string is bounded by that user's event count — the same
-    envelope every sessionization carries — and nothing global sorts."""
-    ev = _t(spark, sf_dir, "events")
-    seq = ev.groupBy("user_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
-                    )
-                ),
-                lambda x: x["i"],
-            ),
-        ).alias("seq")
+    """One keyed rollup via operators/sequence.user_motif_counts: per-user
+    ordered initials string (array_sort of (ts, event_id, initial)
+    structs — map-side combinable collect), one regexp_count in the same
+    stage, one global aggregate. At 100 TB the per-user string is bounded
+    by that user's event count — the same envelope every sessionization
+    carries — and nothing global sorts."""
+    from ..operators.sequence import user_motif_counts
+
+    m = user_motif_counts(
+        _t(spark, sf_dir, "events"), "vc*p", alphabet=_MOTIF_ALPHABET
     )
-    m = seq.select(F.regexp_count("seq", F.lit("vc*p")).cast("bigint").alias("n_matches"))
     return m.agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.sum((F.col("n_matches") > 0).cast("int")).cast("bigint").alias("n_matched_users"),
         F.sum("n_matches").cast("bigint").alias("total_matches"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Error-recovery motif (round 14): a DIFFERENT motif through the same
+# parameterized operator — e[cv]*p: an error, then nothing but browse
+# events (clicks/views), then a purchase. The "conversion survived a
+# failure" signal, exercising the operator's character-class branch; the
+# rollup reports the matched-user count plus the per-user match-count
+# distribution's max so heavy recoverers are visible.
+# --------------------------------------------------------------------------
+@query(
+    "seq_pattern_error_recovery",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id,
+             len(regexp_extract_all(seq, 'e[cv]*p'))::BIGINT AS n_matches
+      FROM s
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_matched_users,
+           sum(n_matches)::BIGINT AS total_matches,
+           max(n_matches)::BIGINT AS max_per_user
+    FROM m
+    """,
+)
+def seq_pattern_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single-shuffle plan as seq_pattern_contiguous_funnel — the
+    motif (with its character class) is validated into the
+    RE2∩Java-identical subset by the operator, so both engines count
+    leftmost non-overlapping matches identically by construction."""
+    from ..operators.sequence import user_motif_counts
+
+    m = user_motif_counts(
+        _t(spark, sf_dir, "events"), "e[cv]*p", alphabet=_MOTIF_ALPHABET
+    )
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum((F.col("n_matches") > 0).cast("int")).cast("bigint").alias("n_matched_users"),
+        F.sum("n_matches").cast("bigint").alias("total_matches"),
+        F.max("n_matches").cast("bigint").alias("max_per_user"),
     )
