@@ -435,3 +435,63 @@ def ahash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image-aHash near-dup pairs: banded_hamming_pairs under the 4 ×
     16-bit band encoding of image_ahash (lossless for radius ≤ 3)."""
     return banded_hamming_pairs(hashes, max_hamming, n_bands=4)
+
+
+def banded_hamming_matches(
+    probe: DataFrame, history: DataFrame, max_hamming: int, n_bands: int
+) -> DataFrame:
+    """Distinct probe `media_id`s whose hash lies within `max_hamming`
+    bits of AT LEAST ONE history hash — the cross-relation (probe vs
+    static history) form of banded_hamming_pairs, the primitive behind
+    ingest-time admission gates (round 14): admit a new item iff this
+    returns no row for it.
+
+    Same two-leg shape, same losslessness: identical hashes match by a
+    plain left-semi equi-join on the band array (the dominant exact
+    re-upload case never enters the banded join); distinct hashes meet
+    only inside a (band, value) bucket, exact Hamming via
+    zip_with/bit_count over DISTINCT (probe-hash, history-hash) pairs,
+    matched hash values semi-joined back to probe ids. Pigeonhole makes
+    the candidate generation exact for max_hamming < n_bands regardless
+    of which relation each hash came from. History appears as values
+    only — ids are never needed — so pass its distinct-hash projection
+    once (persisted) and every micro-batch pays |batch| + |buckets hit|,
+    never |batch| × |history|."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"{n_bands}-band encoding is lossless only for Hamming radius "
+            f"<= {n_bands - 1}; raise the band count for larger radii"
+        )
+    hdist = history.select("bands").distinct()
+    exact = probe.join(hdist, "bands", "left_semi").select("media_id")
+    pk = (
+        probe.select("bands").distinct()
+        .select("bands", F.posexplode("bands").alias("band", "bv"))
+    )
+    hk = hdist.select(
+        F.col("bands").alias("hbands"),
+        F.posexplode("bands").alias("band", "bv"),
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("bands"), F.col("hbands"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    near_hashes = (
+        pk.join(
+            hk,
+            (pk["band"] == hk["band"])
+            & (pk["bv"] == hk["bv"])
+            & (pk["bands"] != hk["hbands"]),
+        )
+        .select(pk["bands"], hk["hbands"])
+        .distinct()
+        .where(ham <= max_hamming)
+        .select("bands")
+        .distinct()
+    )
+    near = probe.join(near_hashes, "bands", "left_semi").select("media_id")
+    return exact.unionByName(near).distinct()

@@ -264,3 +264,38 @@ def test_banded_hamming_pairs_radius_guard():
         M.banded_hamming_pairs(None, max_hamming=8, n_bands=8)
     with pytest.raises(ValueError):
         M.ahash_neardup_pairs(None, max_hamming=4)
+
+
+def _hash_df(spark, rows):
+    # rows: (media_id, [b0, b1, b2, b3]) 16-bit band values
+    return spark.createDataFrame(
+        [(i, b) for i, b in rows], "media_id long, bands array<int>"
+    )
+
+
+def test_banded_hamming_matches_both_legs_and_admit(spark):
+    """The admission primitive: identical hash matches via the exact
+    equi-join leg, a radius-3 neighbor via the banded leg, an
+    out-of-radius hash matches nothing (admitted)."""
+    hist = _hash_df(spark, [(100, [7, 0, 0, 0]), (101, [0, 0, 255, 9])])
+    probe = _hash_df(
+        spark,
+        [
+            (1, [7, 0, 0, 0]),        # identical to 100 -> exact leg
+            (2, [7, 1, 2, 0]),        # hamming 2 from 100 -> banded leg
+            (3, [255, 255, 255, 255]),  # far from everything -> admitted
+            (4, [0, 0, 255, 8]),      # hamming 1 from 101 -> banded leg
+        ],
+    )
+    got = sorted(
+        r["media_id"]
+        for r in M.banded_hamming_matches(
+            probe, hist, max_hamming=3, n_bands=4
+        ).collect()
+    )
+    assert got == [1, 2, 4]
+
+
+def test_banded_hamming_matches_radius_guard():
+    with pytest.raises(ValueError):
+        M.banded_hamming_matches(None, None, max_hamming=4, n_bands=4)
