@@ -276,10 +276,38 @@ def _source_hash(fn, oracle: str | None) -> str:
     ).hexdigest()
 
 
+def _legacy_source_hash(fn, oracle: str | None) -> str:
+    """The pre-r14 hash formula (query function source + oracle SQL only,
+    no machinery digest) — kept VERBATIM so ledger entries recorded before
+    the machinery-digest transition stay comparable. A recorded hash that
+    matches the legacy form means function and oracle are unchanged since
+    that round's check; treating it as unmodified grandfathers the old
+    rounds instead of mass-fronting all 280+ queries the first round after
+    the formula change (which would crowd this round's genuinely-new
+    queries out of the 50-slot official window). Self-expiring: from r14
+    on the ledger records machinery-inclusive hashes, which a legacy hash
+    can never equal, so the machinery-rewrite fronting is fully active for
+    every post-transition record."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = f"{fn.__module__}.{fn.__qualname__}"
+    return hashlib.md5((src + "\n" + (oracle or "")).encode()).hexdigest()
+
+
 def _current_hashes() -> dict[str, str]:
     from kinesis3_spark.queries import ORACLE, QUERIES
 
     return {n: _source_hash(f, ORACLE.get(n)) for n, f in QUERIES.items()}
+
+
+def _legacy_hashes() -> dict[str, str]:
+    from kinesis3_spark.queries import ORACLE, QUERIES
+
+    return {n: _legacy_source_hash(f, ORACLE.get(n)) for n, f in QUERIES.items()}
 
 
 def _recorded_hashes() -> dict[str, dict[str, str]]:
@@ -343,6 +371,7 @@ def _ordered(names: dict) -> list[str]:
     hist = _coverage_history()
     rec = _recorded_hashes()
     cur = _current_hashes() if rec else {}
+    leg = _legacy_hashes() if rec else {}
     prio = {n: i for i, n in enumerate(_PRIORITY)}
 
     def key(item):
@@ -355,11 +384,16 @@ def _ordered(names: dict) -> list[str]:
         # for re-certification. Unknown hash at the check round (pre-r7
         # history) degrades to "unmodified".
         at_check = rec.get(str(rnd), {}).get(n)
+        # Modified = the recorded hash matches NEITHER the current
+        # machinery-inclusive hash NOR the legacy (function+oracle-only)
+        # form — the latter grandfathers pre-transition ledger entries
+        # (see _legacy_source_hash).
         modified = (
             checked
             and green
             and at_check is not None
             and at_check != cur.get(n, at_check)
+            and at_check != leg.get(n, at_check)
         )
         # checked-NOT-green < modified-since-check < never-checked < green:
         # a standing official FAIL/err row is worse than an unchecked one

@@ -58,6 +58,11 @@ def test_modified_since_check_fronts_before_never_checked(monkeypatch):
     monkeypatch.setattr(
         entry, "_current_hashes", lambda: {"rewritten": "hash-now"}
     )
+    # legacy (pre-machinery-digest) form must also mismatch, or the
+    # grandfather rule would classify the rewrite as unmodified
+    monkeypatch.setattr(
+        entry, "_legacy_hashes", lambda: {"rewritten": "hash-now-legacy"}
+    )
     assert entry._ordered(names) == ["red", "rewritten", "fresh", "old_green"]
 
 
@@ -93,6 +98,11 @@ def test_rewritten_greens_land_in_next_window(monkeypatch):
     cur = {n: f"old-{n}" for n in names}
     cur.update({f"rw{i}": "rewritten" for i in range(8)})
     monkeypatch.setattr(entry, "_current_hashes", lambda: cur)
+    leg = {n: f"old-legacy-{n}" for n in names}  # mismatches everywhere:
+    # recorded hashes here are post-transition style, so the legacy form
+    # must not mask the 8 genuine rewrites (nor un-modify the 60 stable
+    # greens, whose recorded hash equals their CURRENT hash already)
+    monkeypatch.setattr(entry, "_legacy_hashes", lambda: leg)
     window = set(entry._ordered(names)[:50])
     for i in range(8):
         assert f"rw{i}" in window, f"rw{i}"
@@ -140,3 +150,25 @@ def test_record_tool_keys_next_official_round(tmp_path, monkeypatch):
     assert r.main() == 0
     data = json.loads((tmp_path / "QUERY_HASHES.json").read_text())
     assert list(data) == ["6"] and data["6"] == {"q": "h"}
+
+
+def test_legacy_hash_match_grandfathers_pre_transition_records(monkeypatch):
+    """A green whose recorded hash was written with the pre-r14 formula
+    (function+oracle only) and whose function/oracle are UNCHANGED must
+    stay in the green class even though the machinery-inclusive hash
+    differs — the one-time transition rule that keeps the formula change
+    itself from fronting the entire registry at once."""
+    names = {"fresh": None, "grandfathered": None}
+    monkeypatch.setattr(
+        entry, "_coverage_history", lambda: {"grandfathered": (8, True)}
+    )
+    monkeypatch.setattr(
+        entry, "_recorded_hashes", lambda: {"8": {"grandfathered": "legacy-h"}}
+    )
+    monkeypatch.setattr(
+        entry, "_current_hashes", lambda: {"grandfathered": "machinery-h"}
+    )
+    monkeypatch.setattr(
+        entry, "_legacy_hashes", lambda: {"grandfathered": "legacy-h"}
+    )
+    assert entry._ordered(names) == ["fresh", "grandfathered"]
