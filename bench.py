@@ -202,6 +202,20 @@ HEADLINE = [
     "sql_txntable_view",
     # contiguous-motif pattern match: one keyed rollup + regex in-stage
     "seq_pattern_contiguous_funnel",
+    # round 14b: concat-and-chunk sequence packing (two-level distributed
+    # cumsum + span explode + keyed rollup — the training-export path),
+    # a second motif through the parameterized matcher (character-class
+    # branch), and the streaming pHash admission gate (run 1 pays the
+    # availableNow drain — per-batch Arrow decode+hash + bucket-bounded
+    # history joins — later runs read the admitted ledger, the
+    # stream_file_sink_roundtrip discipline; full drain cost stays
+    # visible in BENCH_DETAIL's run-1 spread).
+    # graph_knn_edges_recall_band / graph_knn_linkpred stay OUT (banded
+    # recall audit carries the exact kNN oracle pass); llm_unigram_train
+    # stays OUT (memoized train-once lifecycle, see llm_unigram note).
+    "llm_sequence_packing",
+    "seq_pattern_error_recovery",
+    "stream_image_phash_admission",
 ]
 
 
