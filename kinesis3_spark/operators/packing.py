@@ -128,6 +128,7 @@ def cumulative_token_positions(
     )
     local = d.withColumn("__lc", F.sum(token_col).over(w_local))
     w_off = (
+        # scale-ok: input is the |buckets| = |ids|/bucket_width rollup, not corpus rows (~10^6 at 10^9 docs; re-bucket the rollup — same recursion — if it outgrows one task)
         Window.orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
