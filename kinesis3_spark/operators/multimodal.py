@@ -274,30 +274,36 @@ def image_ahash(
         for pdf in batches:
             ids, bands_out = [], []
             for mid, b in zip(pdf[id_col], pdf[data_col]):
-                a = _decode_image(bytes(b)).astype(np.int64).sum(axis=2)
-                h, w = a.shape
-                rb = (np.arange(9) * h) // 8
-                cb = (np.arange(9) * w) // 8
-                ts, tp = int(a.sum()), h * w
-                bands = [0, 0, 0, 0]
-                for rg in range(8):
-                    r0, r1 = int(rb[rg]), int(rb[rg + 1])
-                    if r0 == r1:
-                        continue
-                    for cg in range(8):
-                        c0, c1 = int(cb[cg]), int(cb[cg + 1])
-                        if c0 == c1:
-                            continue
-                        cs = int(a[r0:r1, c0:c1].sum())
-                        if cs * tp > ts * (r1 - r0) * (c1 - c0):
-                            bands[rg // 2] += 1 << (cg + 8 * (rg % 2))
                 ids.append(mid)
-                bands_out.append(bands)
+                bands_out.append(_ahash_bands_of(bytes(b)))
             yield pd.DataFrame({"media_id": ids, "bands": bands_out})
 
     return df.select(id_col, data_col).mapInPandas(
         run, schema="media_id long, bands array<int>"
     )
+
+
+def _ahash_bands_of(payload: bytes) -> list[int]:
+    """The aHash kernel of image_ahash as a pure function (shared with
+    frame_ahash): RAWI/codec payload → 4 × 16-bit band values."""
+    a = _decode_image(payload).astype(np.int64).sum(axis=2)
+    h, w = a.shape
+    rb = (np.arange(9) * h) // 8
+    cb = (np.arange(9) * w) // 8
+    ts, tp = int(a.sum()), h * w
+    bands = [0, 0, 0, 0]
+    for rg in range(8):
+        r0, r1 = int(rb[rg]), int(rb[rg + 1])
+        if r0 == r1:
+            continue
+        for cg in range(8):
+            c0, c1 = int(cb[cg]), int(cb[cg + 1])
+            if c0 == c1:
+                continue
+            cs = int(a[r0:r1, c0:c1].sum())
+            if cs * tp > ts * (r1 - r0) * (c1 - c0):
+                bands[rg // 2] += 1 << (cg + 8 * (rg % 2))
+    return bands
 
 
 def audio_fingerprint(
@@ -495,3 +501,147 @@ def banded_hamming_matches(
     )
     near = probe.join(near_hashes, "bands", "left_semi").select("media_id")
     return exact.unionByName(near).distinct()
+
+
+def frame_ahash(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    data_col: str = "data",
+) -> DataFrame:
+    """(media_id, frame_idx, bands): the image aHash applied per sampled
+    frame — sample_frames output feeds straight in. One Arrow pass; the
+    frame payload never leaves the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, bands_out = [], [], []
+            for mid, idx, b in zip(pdf[id_col], pdf[idx_col], pdf[data_col]):
+                ids.append(mid)
+                idxs.append(idx)
+                bands_out.append(_ahash_bands_of(bytes(b)))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "bands": bands_out}
+            )
+
+    return frames.select(id_col, idx_col, data_col).mapInPandas(
+        run, schema="media_id long, frame_idx int, bands array<int>"
+    )
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 3,
+    min_frac: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Video near-dup pairs from per-frame aHashes: two videos pair when
+    the SAME-INDEX frame matches (Hamming ≤ max_hamming) for at least
+    min_frac = (num, den) of the smaller video's sampled frames —
+    n_match · den ≥ min(n_a, n_b) · num, integer cross-multiplied so the
+    threshold is SQL-re-derivable. Aligning on frame_idx is the
+    re-encode/re-upload dedup shape (same cut, same sampling grid);
+    detecting time-shifted clips is the harder shingle-alignment problem
+    and out of scope for this tier.
+
+    Plan (the banded_hamming_pairs discipline, keyed by frame index so
+    candidates never cross frames): identical frame hashes pair by a
+    plain (frame_idx, bands) equi-join; distinct hashes meet only inside
+    a (frame_idx, band, value) bucket, exact Hamming on DISTINCT
+    (frame_idx, hash-pair) rows, ids joined back. Frame matches union
+    DISTINCT (a video pair whose frame matches via both legs counts that
+    frame once), roll up per video pair, and the per-video frame counts
+    join in for the threshold. Never all-pairs across videos or frames;
+    per-bucket candidate volume is the LSH knob (raise bands for larger
+    radii)."""
+    if max_hamming >= 4:
+        raise ValueError(
+            "4-band aHash encoding is lossless only for Hamming radius <= 3"
+        )
+    num, den = min_frac
+    fh = frame_hashes.select("media_id", "frame_idx", "bands")
+    fdist = fh.select("frame_idx", "bands").distinct()
+    keyed = fdist.select(
+        "frame_idx", "bands", F.posexplode("bands").alias("band", "bv")
+    )
+    x, y = keyed.alias("x"), keyed.alias("y")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("ba"), F.col("bb"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    near = (
+        x.join(
+            y,
+            (F.col("x.frame_idx") == F.col("y.frame_idx"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.bands") < F.col("y.bands")),
+        )
+        .select(
+            F.col("x.frame_idx").alias("fi"),
+            F.col("x.bands").alias("ba"),
+            F.col("y.bands").alias("bb"),
+        )
+        .distinct()
+        .withColumn("__h", ham)
+        .where(F.col("__h") <= max_hamming)
+    )
+    fa = fh.select(
+        F.col("frame_idx").alias("fi"),
+        F.col("bands").alias("ba"),
+        F.col("media_id").alias("ia"),
+    )
+    fb = fh.select(
+        F.col("frame_idx").alias("fi"),
+        F.col("bands").alias("bb"),
+        F.col("media_id").alias("ib"),
+    )
+    near_frames = (
+        near.join(fa, ["fi", "ba"])
+        .join(fb, ["fi", "bb"])
+        .where(F.col("ia") != F.col("ib"))
+        .select("fi", "ia", "ib")
+    )
+    same_frames = (
+        fh.alias("p")
+        .join(
+            fh.alias("q"),
+            (F.col("p.frame_idx") == F.col("q.frame_idx"))
+            & (F.col("p.bands") == F.col("q.bands"))
+            & (F.col("p.media_id") != F.col("q.media_id")),
+        )
+        .select(
+            F.col("p.frame_idx").alias("fi"),
+            F.col("p.media_id").alias("ia"),
+            F.col("q.media_id").alias("ib"),
+        )
+    )
+    matched = (
+        near_frames.unionByName(same_frames)
+        .select(
+            "fi",
+            F.least("ia", "ib").alias("media_id_a"),
+            F.greatest("ia", "ib").alias("media_id_b"),
+        )
+        .distinct()
+    )
+    counts = fh.groupBy("media_id").agg(F.count("*").cast("long").alias("nf"))
+    pairs = matched.groupBy("media_id_a", "media_id_b").agg(
+        F.count("*").cast("long").alias("n_match")
+    )
+    ca = counts.select(
+        F.col("media_id").alias("media_id_a"), F.col("nf").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("media_id").alias("media_id_b"), F.col("nf").alias("n_b")
+    )
+    return (
+        pairs.join(ca, "media_id_a")
+        .join(cb, "media_id_b")
+        .where(
+            F.col("n_match") * den >= F.least("n_a", "n_b") * num
+        )
+        .select("media_id_a", "media_id_b", "n_match", "n_a", "n_b")
+    )

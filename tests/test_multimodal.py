@@ -299,3 +299,90 @@ def test_banded_hamming_matches_both_legs_and_admit(spark):
 def test_banded_hamming_matches_radius_guard():
     with pytest.raises(ValueError):
         M.banded_hamming_matches(None, None, max_hamming=4, n_bands=4)
+
+
+def _frame_hash_df(spark, rows):
+    # rows: (media_id, frame_idx, [b0..b3])
+    return spark.createDataFrame(
+        rows, "media_id long, frame_idx int, bands array<int>"
+    )
+
+
+def test_video_neardup_planted_pair_and_threshold(spark):
+    """Videos 1/2: 4 frames each — 2 identical, 1 within radius 3, 1 far
+    -> 3/4 matching frames, passes the half threshold. Video 3 matches
+    video 1 on only 1 of 4 frames -> below threshold. Video 4 shares NO
+    frame index content."""
+    rows = [
+        (1, 0, [7, 0, 0, 0]), (1, 2, [0, 9, 0, 0]),
+        (1, 4, [1, 2, 3, 4]), (1, 6, [255, 255, 0, 0]),
+        (2, 0, [7, 0, 0, 0]), (2, 2, [0, 9, 0, 0]),      # identical legs
+        (2, 4, [1, 2, 3, 5]), (2, 6, [0, 0, 255, 255]),  # ham 1; far
+        (3, 0, [7, 0, 0, 0]), (3, 2, [21845, 21845, 21845, 21845]),
+        (3, 4, [43690, 43690, 43690, 43690]), (3, 6, [4369, 4369, 4369, 4369]),
+        (4, 0, [64, 64, 64, 64]), (4, 2, [32, 32, 32, 32]),
+    ]
+    out = {
+        (r["media_id_a"], r["media_id_b"]): (r["n_match"], r["n_a"], r["n_b"])
+        for r in M.video_neardup_pairs(
+            _frame_hash_df(spark, rows), max_hamming=3
+        ).collect()
+    }
+    assert out == {(1, 2): (3, 4, 4)}
+
+
+def test_video_neardup_same_index_alignment(spark):
+    """A matching hash at a DIFFERENT frame index must not count — the
+    operator dedups same-cut re-encodes, not shifted clips."""
+    rows = [
+        (1, 0, [7, 0, 0, 0]), (1, 2, [0, 9, 0, 0]),
+        (2, 2, [7, 0, 0, 0]), (2, 4, [0, 9, 0, 0]),  # shifted by one slot
+    ]
+    assert (
+        M.video_neardup_pairs(_frame_hash_df(spark, rows), max_hamming=3).count()
+        == 0
+    )
+
+
+def test_video_neardup_min_frac_smaller_video(spark):
+    """Threshold is against the SMALLER video's frame count: a 2-frame
+    clip fully contained in a 6-frame video's sampled grid pairs."""
+    rows = [(1, i, [i, 0, 0, 0]) for i in (0, 2, 4, 6, 8, 10)] + [
+        (2, 0, [0, 0, 0, 0]), (2, 2, [2, 0, 0, 0]),
+    ]
+    out = M.video_neardup_pairs(
+        _frame_hash_df(spark, rows), max_hamming=3
+    ).collect()
+    assert len(out) == 1 and out[0]["n_match"] == 2
+
+
+def test_video_neardup_radius_guard():
+    with pytest.raises(ValueError):
+        M.video_neardup_pairs(None, max_hamming=4)
+
+
+def test_frame_ahash_matches_image_ahash_per_frame(spark):
+    """frame_ahash over sampled RAWV frames == image_ahash over the same
+    frames re-encoded standalone (the shared kernel), end-to-end through
+    real decode; a re-encoded twin with one perturbed frame pairs."""
+    rng = np.random.RandomState(3)
+    f0 = rng.randint(0, 256, size=(3, 16, 16)).astype(np.uint8)
+    twin = f0.copy()
+    twin[1] = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)  # 1 of 3
+    vids = spark.createDataFrame(
+        [(1, M.encode_rawv(f0)), (2, M.encode_rawv(twin))],
+        "media_id long, data binary",
+    )
+    fh = M.frame_ahash(M.sample_frames(vids, every_n=1))
+    # kernel equivalence on one frame
+    one = spark.createDataFrame(
+        [(99, M.encode_rawi(f0[2][:, :, None]))], "media_id long, data binary"
+    )
+    [img_row] = M.image_ahash(one).collect()
+    [frame_row] = fh.where("media_id = 1 AND frame_idx = 2").collect()
+    assert list(img_row.bands) == list(frame_row.bands)
+    # twin pairs: 2 of 3 frames identical -> passes the half threshold
+    out = M.video_neardup_pairs(fh, max_hamming=3).collect()
+    assert len(out) == 1
+    assert (out[0]["media_id_a"], out[0]["media_id_b"]) == (1, 2)
+    assert out[0]["n_match"] >= 2
