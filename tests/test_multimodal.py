@@ -386,3 +386,33 @@ def test_frame_ahash_matches_image_ahash_per_frame(spark):
     assert len(out) == 1
     assert (out[0]["media_id_a"], out[0]["media_id_b"]) == (1, 2)
     assert out[0]["n_match"] >= 2
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_video_neardup_query_oracle_parity(spark, sf):
+    """Full driver-style parity for the PENDING video dedup query
+    (registration deferred to r15 by the round-14 window cap): the Spark
+    operator chain must hash-match the brute-force DuckDB re-derivation
+    at both small SFs."""
+    import duckdb
+
+    from kinesis3_spark.queries.multimodalq import (
+        _VIDEO_PAIRS_ORACLE,
+        video_neardup_dedup_q,
+    )
+
+    sf_dir = f"/root/testdata/{sf}"
+    s = video_neardup_dedup_q(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    d = con.sql(_VIDEO_PAIRS_ORACLE).df()
+    assert len(s) == len(d)
+    assert sorted(s.columns) == sorted(d.columns)
+    cols = sorted(s.columns)
+    sa = sorted(map(tuple, s[cols].astype(str).values.tolist()))
+    da = sorted(map(tuple, d[cols].astype(str).values.tolist()))
+    assert sa == da
+    assert len(s) > 0  # the planted near-dup corpus must produce pairs
