@@ -16,9 +16,10 @@ semantics — and leftmost non-overlapping counting — provably coincide:
 - quantifiers ``*`` ``+`` ``?`` and bounded ``{m}`` / ``{m,n}``
 
 Everything else — backslash escapes, ``.``, anchors, lookaround,
-backreferences, possessive/reluctant quantifiers — is rejected at call
-time, so a pattern that validates here runs on both engines with the same
-answer by construction.
+backreferences, possessive/reluctant quantifiers, and NULLABLE patterns
+(matching the empty string — the zero-width-match zone where engines'
+count semantics diverge) — is rejected at call time, so a pattern that
+validates here runs on both engines with the same answer by construction.
 
 Reference parity note: the reference engine has no sequence-pattern
 operator; this generalizes its funnel-style event queries (core.clj's
@@ -85,9 +86,24 @@ def validate_motif(pattern: str, alphabet: str) -> str:
                 f"(alphabet {alphabet!r} + class/group/alt/quantifier)"
             )
     try:
-        re.compile(pattern)
+        compiled = re.compile(pattern)
     except re.error as e:  # e.g. dangling quantifier, unbalanced parens
         raise ValueError(f"motif does not compile: {e}") from None
+    # NULLABLE motifs (matching the empty string) are rejected: zero-width
+    # matches are exactly where the engines' count semantics diverge
+    # (after an empty match, Python re retries the same position for a
+    # non-empty match while RE2 and java.util.regex advance — 'e*|c' on
+    # "c" counts 3 vs 2; found by the cross-engine hypothesis property in
+    # tests/test_sequence_ops.py). A motif with no empty match has only
+    # length>=1 matches, where leftmost-first non-overlapping counting
+    # provably coincides — and an empty-matching "motif" (a hit between
+    # every two events) is meaningless for sequence analysis anyway.
+    if compiled.fullmatch(""):
+        raise ValueError(
+            f"nullable motif {pattern!r} (matches the empty string) — "
+            f"zero-width match counting diverges across engines; anchor "
+            f"the motif with at least one required symbol"
+        )
     return pattern
 
 
