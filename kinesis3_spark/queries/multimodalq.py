@@ -815,3 +815,129 @@ def video_neardup_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_neardup_pairs(fh, max_hamming=3, min_frac=(1, 2)).orderBy(
         "media_id_a", "media_id_b"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming audio admission (round 14 pre-build — REGISTRATION PENDING
+# r15, same window-cap reason as the video tier above): the audio
+# fingerprint gate as an ingest job — clips stream in, each admitted iff
+# its energy-delta fingerprint is not within Hamming 7 of the static
+# src0+src1 history. The image gate's architecture verbatim with the
+# 8-band encoding; banded_hamming_matches is band-agnostic.
+# --------------------------------------------------------------------------
+
+_STREAM_AFP_CACHE: dict[str, str] = {}
+
+
+def _stream_afp_materialize(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from .. import tmpdirs
+    from ..streaming import stream_documents
+    from ..streaming.run import await_or_raise
+
+    path = _STREAM_AFP_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    out = tmpdirs.mkdtemp(prefix="k3s_stream_afp_") + "/admitted"
+    ck = tmpdirs.mkdtemp(prefix="k3s_stream_afp_ck_")
+    docs = _t(spark, sf_dir, "documents")
+    hist = (
+        _afp_for(spark, sf_dir)
+        .join(
+            docs.where(F.col("source").isin("src0", "src1")).select(
+                F.col("doc_id").alias("media_id")
+            ),
+            "media_id",
+            "left_semi",
+        )
+        .select("bands")
+        .distinct()
+        .persist()
+    )
+    hist.count()  # materialize once; every micro-batch reuses it
+
+    def gate_batch(bdf, batch_id: int) -> None:
+        probe_docs = bdf.where(~F.col("source").isin("src0", "src1"))
+        fp = M.audio_fingerprint(_synthesize_audio_from_text(probe_docs))
+        matched = M.banded_hamming_matches(fp, hist, max_hamming=7, n_bands=8)
+        (
+            probe_docs.select(F.col("doc_id").alias("media_id"), "source")
+            .join(matched.withColumn("__hit", F.lit(1)), "media_id", "left")
+            .select(
+                "media_id",
+                "source",
+                F.coalesce(F.lit(1) - F.col("__hit"), F.lit(1)).alias("admitted"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream_documents(spark, sf_dir)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    _STREAM_AFP_CACHE[sf_dir] = out
+    return out
+
+
+_AFP_HAM_PH = " + ".join(
+    f"bit_count(xor(pr.bands[{i}], h.bands[{i}]))" for i in range(1, 9)
+)
+
+_STREAM_AFP_ORACLE = (
+    _AFP_ORACLE
+    + f"""
+    ,
+    hist AS (
+      SELECT DISTINCT p.bands FROM afp p
+      JOIN documents d ON d.doc_id = p.doc_id
+      WHERE d.source IN ('src0', 'src1')
+    ),
+    probe AS (
+      SELECT p.doc_id, d.source, p.bands FROM afp p
+      JOIN documents d ON d.doc_id = p.doc_id
+      WHERE d.source NOT IN ('src0', 'src1')
+    ),
+    rej AS (
+      SELECT DISTINCT pr.doc_id FROM probe pr, hist h
+      WHERE {_AFP_HAM_PH} <= 7
+    )
+    SELECT pr.source,
+           count(*)::BIGINT AS n_seen,
+           sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_admitted,
+           CAST(sum(CASE WHEN r.doc_id IS NULL THEN pr.doc_id ELSE 0 END)
+                AS BIGINT) AS admitted_digest
+    FROM probe pr LEFT JOIN rej r ON r.doc_id = pr.doc_id
+    GROUP BY pr.source ORDER BY pr.source
+    """
+)
+
+
+def stream_audio_fingerprint_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source admission ledger of the streaming audio gate — the
+    image gate's contract on the audio tier (decisions depend ONLY on
+    the static src0+src1 history, so the ledger is batch-split-invariant
+    and the brute-force oracle re-derives it). Per-batch cost is one
+    Arrow decode+fingerprint pass plus bucket-bounded (band, 8-bit
+    value) joins against the once-materialized distinct-fingerprint
+    history."""
+    out = spark.read.parquet(_stream_afp_materialize(spark, sf_dir))
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seen"),
+            F.sum("admitted").cast("bigint").alias("n_admitted"),
+            F.sum(F.col("media_id") * F.col("admitted"))
+            .cast("bigint")
+            .alias("admitted_digest"),
+        )
+        .orderBy("source")
+    )

@@ -416,3 +416,35 @@ def test_video_neardup_query_oracle_parity(spark, sf):
     da = sorted(map(tuple, d[cols].astype(str).values.tolist()))
     assert sa == da
     assert len(s) > 0  # the planted near-dup corpus must produce pairs
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_stream_audio_admission_oracle_parity(spark, sf):
+    """Driver-style parity for the PENDING streaming audio admission
+    query (r15 registration): the foreachBatch gate's ledger must
+    hash-match the brute-force DuckDB re-derivation. The sf0.01 corpus
+    plants fingerprint twins across the history boundary, so the reject
+    path is exercised there (asserted); sf0.001 happens to admit all."""
+    import duckdb
+
+    from kinesis3_spark.queries.multimodalq import (
+        _STREAM_AFP_ORACLE,
+        stream_audio_fingerprint_admission,
+    )
+
+    sf_dir = f"/root/testdata/{sf}"
+    s = stream_audio_fingerprint_admission(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    d = con.sql(_STREAM_AFP_ORACLE).df()
+    assert len(s) == len(d)
+    assert sorted(s.columns) == sorted(d.columns)
+    cols = sorted(s.columns)
+    assert sorted(map(tuple, s[cols].astype(str).values.tolist())) == sorted(
+        map(tuple, d[cols].astype(str).values.tolist())
+    )
+    if sf == "sf0.01":
+        assert int(s["n_admitted"].sum()) < int(s["n_seen"].sum())
