@@ -645,3 +645,101 @@ def video_neardup_pairs(
         )
         .select("media_id_a", "media_id_b", "n_match", "n_a", "n_b")
     )
+
+
+def audio_subfingerprints(
+    df: DataFrame,
+    frame: int = 256,
+    bits: int = 16,
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """(media_id, k, sv): the TIME-LOCAL tier of the audio fingerprint —
+    fixed `frame`-sample windows (absolute, not clip-relative, so the
+    same content produces the same values wherever it sits in the clip),
+    energy-delta sign bits, and at each window position k the `bits`
+    consecutive bits packed into sub-fingerprint sv. A clip shifted by
+    EXACTLY m frames reproduces the other clip's sub-fingerprints at
+    k+m — what audio_offset_match_pairs exploits; the whole-clip
+    audio_fingerprint above cannot see shifted content because its
+    window grid stretches with clip length.
+
+    Integer-exact (int64 energy sums, pure comparisons); one Arrow pass;
+    output ≤ n_samples/frame rows × ~20 bytes per clip. `bits` is the
+    selectivity knob: the downstream join buckets on sv, so per-bucket
+    candidate volume scales with corpus_subfingerprints / 2^bits —
+    raise it (and/or add a coarse energy quantile to the key) for
+    billion-clip corpora, exactly the LSH band/row trade."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ks, svs = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[data_col]):
+                samples, _rate = _decode_audio(bytes(b))
+                n = len(samples) // frame
+                if n < 2:
+                    continue
+                s = samples[: n * frame].astype(np.int64)
+                e = (s * s).reshape(n, frame).sum(axis=1)
+                dbits = (e[1:] > e[:-1]).astype(np.int64)  # n-1 bits
+                for k in range(len(dbits) - bits + 1):
+                    sv = 0
+                    for j in range(bits):
+                        sv |= int(dbits[k + j]) << j
+                    ids.append(mid)
+                    ks.append(k)
+                    svs.append(sv)
+            yield pd.DataFrame({"media_id": ids, "k": ks, "sv": svs})
+
+    return df.select(id_col, data_col).mapInPandas(
+        run, schema="media_id long, k int, sv long"
+    )
+
+
+def audio_offset_match_pairs(
+    sub: DataFrame, min_matches: int = 4
+) -> DataFrame:
+    """Offset-invariant audio near-dup pairs from sub-fingerprint
+    sequences — the Shazam/chromaprint alignment shape: two clips match
+    when ≥ `min_matches` sub-fingerprints agree AT A CONSISTENT TIME
+    OFFSET (join on sub-fingerprint value, histogram the per-pair k
+    deltas, keep the best-supported delta). Catches trims, padding, and
+    concatenation — the duplicate classes the frame-aligned and
+    whole-clip tiers both miss.
+
+    Plan: one equi-join on sv (bucket-bounded by the sub-fingerprint
+    key space — the audio_subfingerprints `bits` knob), a map-side-
+    combinable (a, b, delta) count rollup, and an argmax window over
+    each pair's bounded delta histogram. Never all-pairs; never a
+    global sort."""
+    from pyspark.sql.window import Window
+
+    a = sub.select(
+        F.col("media_id").alias("ia"), F.col("k").alias("ka"), "sv"
+    )
+    b = sub.select(
+        F.col("media_id").alias("ib"), F.col("k").alias("kb"), "sv"
+    )
+    hits = (
+        a.join(b, "sv")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy(
+            "ia", "ib", (F.col("ka") - F.col("kb")).alias("delta")
+        )
+        .agg(F.count("*").cast("long").alias("n_aligned"))
+    )
+    # scale-ok: partitioned by (ia, ib); each pair's delta histogram is
+    # bounded by the two clips' sub-fingerprint counts
+    w = Window.partitionBy("ia", "ib").orderBy(
+        F.col("n_aligned").desc(), F.col("delta")
+    )
+    return (
+        hits.withColumn("__r", F.row_number().over(w))
+        .where((F.col("__r") == 1) & (F.col("n_aligned") >= min_matches))
+        .select(
+            F.col("ia").alias("media_id_a"),
+            F.col("ib").alias("media_id_b"),
+            "delta",
+            "n_aligned",
+        )
+    )

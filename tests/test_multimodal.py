@@ -448,3 +448,75 @@ def test_stream_audio_admission_oracle_parity(spark, sf):
     )
     if sf == "sf0.01":
         assert int(s["n_admitted"].sum()) < int(s["n_seen"].sum())
+
+
+def test_audio_offset_match_planted_shift(spark):
+    """A clip and a copy shifted by an exact number of frames must pair
+    at exactly that delta; an unrelated clip must not pair. Frame 32 so
+    short test clips still carry enough sub-fingerprints."""
+    rng = np.random.RandomState(13)
+    base = rng.randint(-2000, 2000, size=32 * 40).astype(np.int16)
+    shift = 5  # frames
+    shifted = np.concatenate(
+        [rng.randint(-2000, 2000, size=32 * shift).astype(np.int16), base]
+    )
+    other = rng.randint(-2000, 2000, size=32 * 40).astype(np.int16)
+    df = _aud_df(spark, [base, shifted, other])
+    sub = M.audio_subfingerprints(df, frame=32, bits=16)
+    out = M.audio_offset_match_pairs(sub, min_matches=8).collect()
+    got = {(r.media_id_a, r.media_id_b): (r.delta, r.n_aligned) for r in out}
+    assert (0, 1) in got
+    d, n = got[(0, 1)]
+    assert d == -shift and n >= 8  # base's k aligns to shifted's k+5
+    assert all(2 not in pair for pair in got)
+
+
+def test_audio_offset_match_trim_and_concat(spark):
+    """The duplicate classes the aligned tiers miss: a TRIMMED copy
+    (prefix removed) and a CONCATENATION (clip embedded in a longer
+    stream) both pair with the original at the embedding offset."""
+    rng = np.random.RandomState(29)
+    base = rng.randint(-2000, 2000, size=32 * 60).astype(np.int16)
+    trimmed = base[32 * 10 :]
+    embedded = np.concatenate(
+        [
+            rng.randint(-2000, 2000, size=32 * 7).astype(np.int16),
+            base,
+            rng.randint(-2000, 2000, size=32 * 9).astype(np.int16),
+        ]
+    )
+    df = _aud_df(spark, [base, trimmed, embedded])
+    sub = M.audio_subfingerprints(df, frame=32, bits=16)
+    got = {
+        (r.media_id_a, r.media_id_b): r.delta
+        for r in M.audio_offset_match_pairs(sub, min_matches=8).collect()
+    }
+    assert got.get((0, 1)) == 10   # base k=10 aligns with trimmed k=0
+    assert got.get((0, 2)) == -7   # base k=0 aligns with embedded k=7
+
+
+def test_audio_subfingerprints_shift_reproduces_values(spark):
+    """The absolute-frame contract: an m-frame shift reproduces the
+    base clip's sub-fingerprint VALUES at k+m (interior positions,
+    where the 16-bit packing window sits fully inside shared content)."""
+    rng = np.random.RandomState(31)
+    base = rng.randint(-2000, 2000, size=32 * 30).astype(np.int16)
+    m = 3
+    shifted = np.concatenate(
+        [rng.randint(-2000, 2000, size=32 * m).astype(np.int16), base]
+    )
+    sub = {
+        (r.media_id, r.k): r.sv
+        for r in M.audio_subfingerprints(
+            _aud_df(spark, [base, shifted]), frame=32, bits=16
+        ).collect()
+    }
+    agree = sum(
+        1
+        for (mid, k), sv in sub.items()
+        if mid == 0 and sub.get((1, k + m)) == sv
+    )
+    n_base = sum(1 for (mid, _k) in sub if mid == 0)
+    # every interior base position must reproduce (boundary windows can
+    # differ where the delta chain crosses the splice)
+    assert agree >= n_base - 2 and n_base > 10
