@@ -743,3 +743,50 @@ def audio_offset_match_pairs(
             "n_aligned",
         )
     )
+
+
+def video_offset_match_pairs(
+    frame_hashes: DataFrame, min_matches: int = 3
+) -> DataFrame:
+    """Offset-invariant video near-dup pairs — the delta-histogram shape
+    of audio_offset_match_pairs on the frame-hash table: two videos
+    match when ≥ `min_matches` frames carry IDENTICAL aHashes at a
+    consistent frame-index offset (trims, prepended intros, clips
+    embedded in longer reels — the classes the frame-ALIGNED
+    video_neardup_pairs misses because it requires equal indices).
+
+    Join buckets on the exact 64-bit hash (the dominant same-cut
+    re-upload case); a tolerance tier would swap the key for the
+    (band, value) buckets of banded_hamming_pairs and verify — the same
+    upgrade path, deliberately not paid here. One equi-join, one
+    map-side-combinable (pair, delta) rollup, one argmax window over
+    each pair's bounded delta histogram."""
+    a = frame_hashes.select(
+        F.col("media_id").alias("ia"), F.col("frame_idx").alias("ka"), "bands"
+    )
+    b = frame_hashes.select(
+        F.col("media_id").alias("ib"), F.col("frame_idx").alias("kb"), "bands"
+    )
+    hits = (
+        a.join(b, "bands")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib", (F.col("ka") - F.col("kb")).alias("delta"))
+        .agg(F.count("*").cast("long").alias("n_aligned"))
+    )
+    from pyspark.sql.window import Window
+
+    # scale-ok: partitioned by (ia, ib); each pair's delta histogram is
+    # bounded by the two videos' sampled frame counts
+    w = Window.partitionBy("ia", "ib").orderBy(
+        F.col("n_aligned").desc(), F.col("delta")
+    )
+    return (
+        hits.withColumn("__r", F.row_number().over(w))
+        .where((F.col("__r") == 1) & (F.col("n_aligned") >= min_matches))
+        .select(
+            F.col("ia").alias("media_id_a"),
+            F.col("ib").alias("media_id_b"),
+            "delta",
+            "n_aligned",
+        )
+    )

@@ -520,3 +520,41 @@ def test_audio_subfingerprints_shift_reproduces_values(spark):
     # every interior base position must reproduce (boundary windows can
     # differ where the delta chain crosses the splice)
     assert agree >= n_base - 2 and n_base > 10
+
+
+def test_video_offset_match_trim_and_embed(spark):
+    """A trimmed cut and an embedded copy pair with the original at the
+    recoverable frame offset; the frame-ALIGNED pair join misses both.
+    Distinct random frames make hash collisions across unrelated
+    positions implausible."""
+    rng = np.random.RandomState(37)
+    base = rng.randint(0, 256, size=(12, 16, 16)).astype(np.uint8)
+    trimmed = base[4:]  # first 4 frames cut
+    embedded = np.concatenate(
+        [rng.randint(0, 256, size=(3, 16, 16)).astype(np.uint8), base]
+    )
+    other = rng.randint(0, 256, size=(12, 16, 16)).astype(np.uint8)
+    vids = spark.createDataFrame(
+        [
+            (1, M.encode_rawv(base)),
+            (2, M.encode_rawv(trimmed)),
+            (3, M.encode_rawv(embedded)),
+            (4, M.encode_rawv(other)),
+        ],
+        "media_id long, data binary",
+    )
+    fh = M.frame_ahash(M.sample_frames(vids, every_n=1))
+    got = {
+        (r.media_id_a, r.media_id_b): (r.delta, r.n_aligned)
+        for r in M.video_offset_match_pairs(fh, min_matches=3).collect()
+    }
+    assert got[(1, 2)][0] == 4    # base frame k matches trimmed frame k-4
+    assert got[(1, 3)][0] == -3   # base frame k matches embedded frame k+3
+    assert all(4 not in pair for pair in got)
+    # the frame-aligned tier misses the trim (no same-index identical run
+    # of >= half the frames)
+    aligned = {
+        (r.media_id_a, r.media_id_b)
+        for r in M.video_neardup_pairs(fh, max_hamming=3).collect()
+    }
+    assert (1, 2) not in aligned
