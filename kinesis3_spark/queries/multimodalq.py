@@ -941,3 +941,82 @@ def stream_audio_fingerprint_admission(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Offset-invariant audio alignment (round 14 pre-build — REGISTRATION
+# PENDING r15): the Shazam/chromaprint tier — clips pair when enough
+# TIME-LOCAL sub-fingerprints agree at one consistent frame offset,
+# catching trims/padding/concatenation the whole-clip fingerprint misses.
+# Frame 16 samples / 16-bit packing / min 6 alignments: tuned on the
+# corpus (best-alignment histogram is bimodal — a >=6 cluster of true
+# aligned content over a 1-3 collision tail).
+# --------------------------------------------------------------------------
+
+_OFFSET_FRAME = 16
+_OFFSET_MIN = 6
+
+_AUDIO_OFFSET_ORACLE = f"""
+    WITH aud AS (
+      SELECT doc_id, text, octet_length(encode(text)) // {_OFFSET_FRAME} AS nw
+      FROM documents
+      WHERE octet_length(encode(text)) // {_OFFSET_FRAME} >= 2
+    ),
+    px AS (  -- sample j = byte j; fixed {_OFFSET_FRAME}-sample frames,
+             -- tail beyond the last full frame dropped (samples[:n*frame])
+      SELECT doc_id, (i - 1) // {_OFFSET_FRAME} AS w,
+             ord(substr(text, i, 1)) AS v
+      FROM aud, UNNEST(generate_series(1, nw * {_OFFSET_FRAME})) AS t(i)
+    ),
+    we AS (SELECT doc_id, w, sum(v * v) AS e FROM px GROUP BY 1, 2),
+    bits AS (
+      SELECT a.doc_id, a.w AS k, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM we a JOIN we b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+    ),
+    mk AS (SELECT doc_id, max(k) AS mk FROM bits GROUP BY 1),
+    sub AS (  -- 16 consecutive delta bits packed at each position
+      SELECT g.doc_id, g.k, CAST(sum(b.bit << (b.k - g.k)) AS BIGINT) AS sv
+      FROM bits g
+      JOIN mk m ON m.doc_id = g.doc_id
+      JOIN bits b ON b.doc_id = g.doc_id AND b.k >= g.k AND b.k <= g.k + 15
+      WHERE g.k <= m.mk - 15
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.k - b.k AS delta,
+             count(*) AS n
+      FROM sub a JOIN sub b ON a.sv = b.sv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT ia, ib, delta, n,
+             row_number() OVER (PARTITION BY ia, ib
+                                ORDER BY n DESC, delta) AS r
+      FROM hits
+    )
+    SELECT ia AS media_id_a, ib AS media_id_b, delta::BIGINT AS delta,
+           n::BIGINT AS n_aligned
+    FROM best WHERE r = 1 AND n >= {_OFFSET_MIN}
+    ORDER BY 1, 2
+"""
+
+
+def dedup_audio_offset_align_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-invariant audio near-dup pairs over the corpus: synthesize
+    RAWA clips (samples = text bytes), run the REAL audio_subfingerprints
+    (fixed absolute frames → energy-delta sign bits → 16-bit
+    sub-fingerprints, one Arrow pass) and audio_offset_match_pairs (one
+    sv-bucketed equi-join, map-side-combined (pair, delta) histogram,
+    per-pair bounded argmax window). The brute-force oracle re-derives
+    every sub-fingerprint arithmetically. At 100 TB the `bits` knob
+    (wider packing or an added coarse-energy key) keeps per-bucket
+    candidate volume bounded — the LSH trade, documented on the
+    operator."""
+    sub = M.audio_subfingerprints(
+        _synthesize_audio_from_text(_t(spark, sf_dir, "documents")),
+        frame=_OFFSET_FRAME,
+        bits=16,
+    )
+    return M.audio_offset_match_pairs(sub, min_matches=_OFFSET_MIN).orderBy(
+        "media_id_a", "media_id_b"
+    )

@@ -558,3 +558,33 @@ def test_video_offset_match_trim_and_embed(spark):
         for r in M.video_neardup_pairs(fh, max_hamming=3).collect()
     }
     assert (1, 2) not in aligned
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_audio_offset_align_query_oracle_parity(spark, sf):
+    """Driver-style parity for the PENDING offset-alignment query (r15
+    registration): the sv-bucketed Spark plan must hash-match the
+    brute-force DuckDB sub-fingerprint re-derivation, with a non-empty
+    pair set (the corpus' planted near-dup texts align)."""
+    import duckdb
+
+    from kinesis3_spark.queries.multimodalq import (
+        _AUDIO_OFFSET_ORACLE,
+        dedup_audio_offset_align_q,
+    )
+
+    sf_dir = f"/root/testdata/{sf}"
+    s = dedup_audio_offset_align_q(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    d = con.sql(_AUDIO_OFFSET_ORACLE).df()
+    assert len(s) == len(d)
+    assert sorted(s.columns) == sorted(d.columns)
+    cols = sorted(s.columns)
+    assert sorted(map(tuple, s[cols].astype(str).values.tolist())) == sorted(
+        map(tuple, d[cols].astype(str).values.tolist())
+    )
+    assert len(s) > 0
