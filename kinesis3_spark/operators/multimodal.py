@@ -746,7 +746,9 @@ def audio_offset_match_pairs(
 
 
 def video_offset_match_pairs(
-    frame_hashes: DataFrame, min_matches: int = 3
+    frame_hashes: DataFrame,
+    min_matches: int = 3,
+    max_hash_docs: int | None = None,
 ) -> DataFrame:
     """Offset-invariant video near-dup pairs — the delta-histogram shape
     of audio_offset_match_pairs on the frame-hash table: two videos
@@ -761,6 +763,19 @@ def video_offset_match_pairs(
     upgrade path, deliberately not paid here. One equi-join, one
     map-side-combinable (pair, delta) rollup, one argmax window over
     each pair's bounded delta histogram."""
+    if max_hash_docs is not None:
+        # stop-hash exclusion: frame hashes shared by more than
+        # `max_hash_docs` distinct videos (uniform/padding frames — the
+        # corpus-wide heavy hitters) are dropped from BOTH join sides;
+        # without it those buckets go corpus-quadratic, the same
+        # heavy-gram pruning ExactSubstr and the postings tier apply.
+        rare = (
+            frame_hashes.groupBy("bands")
+            .agg(F.count_distinct("media_id").alias("__nd"))
+            .where(F.col("__nd") <= max_hash_docs)
+            .select("bands")
+        )
+        frame_hashes = frame_hashes.join(rare, "bands", "left_semi")
     a = frame_hashes.select(
         F.col("media_id").alias("ia"), F.col("frame_idx").alias("ka"), "bands"
     )

@@ -1020,3 +1020,90 @@ def dedup_audio_offset_align_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_offset_match_pairs(sub, min_matches=_OFFSET_MIN).orderBy(
         "media_id_a", "media_id_b"
     )
+
+
+# --------------------------------------------------------------------------
+# Offset-invariant video alignment (round 14 pre-build — REGISTRATION
+# PENDING r15): the video sibling of the audio alignment tier — videos
+# pair when >= 4 frames carry identical aHashes at one consistent frame
+# offset, with corpus-wide STOP-HASHES (frame hashes in > 16 distinct
+# videos: uniform/padding frames) excluded from both join sides, the
+# heavy-gram pruning discipline. Thresholds tuned on the corpus (with the
+# filter, the best-alignment histogram separates a >=4 cluster from a
+# <=3 tail; without it a handful of stop-hashes appear in 130+ of 500
+# docs and the join goes corpus-quadratic).
+# --------------------------------------------------------------------------
+
+_VOFF_MIN = 4
+_VOFF_MAXDOCS = 16
+
+_VIDEO_OFFSET_ORACLE = f"""
+    WITH vid AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS L,
+             greatest(1, (octet_length(encode(text)) + 15) // 16) AS nf
+      FROM documents
+    ),
+    fidx AS (  -- every frame (alignment uses the full sequence)
+      SELECT v.doc_id, v.text, v.L, g.fi
+      FROM vid v, UNNEST(generate_series(0, v.nf - 1)) AS g(fi)
+    ),
+    px AS (
+      SELECT f.doc_id, f.fi, p.i AS pi,
+             CASE WHEN 16 * f.fi + p.i + 1 <= f.L
+                  THEN ord(substr(f.text, 16 * f.fi + p.i + 1, 1))
+                  ELSE 0 END AS v
+      FROM fidx f, UNNEST(generate_series(0, 15)) AS p(i)
+    ),
+    ft AS (SELECT doc_id, fi, sum(v) AS ts FROM px GROUP BY 1, 2),
+    bits AS (
+      SELECT p.doc_id, p.fi, p.pi // 4 AS r, p.pi % 4 AS c,
+             CASE WHEN p.v * 16 > t.ts THEN 1 ELSE 0 END AS bit
+      FROM px p JOIN ft t ON t.doc_id = p.doc_id AND t.fi = p.fi
+    ),
+    fbands AS (
+      SELECT doc_id, fi, r AS band, sum(bit << (2 * c + 9))::BIGINT AS bv
+      FROM bits GROUP BY 1, 2, 3
+    ),
+    fph0 AS (
+      SELECT doc_id, fi, list(bv ORDER BY band) AS bands
+      FROM fbands GROUP BY 1, 2
+    ),
+    rare AS (
+      SELECT bands FROM (
+        SELECT bands, count(DISTINCT doc_id) AS nd FROM fph0 GROUP BY 1
+      ) WHERE nd <= {_VOFF_MAXDOCS}
+    ),
+    fph AS (SELECT f.* FROM fph0 f JOIN rare USING (bands)),
+    hits AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.fi - b.fi AS delta,
+             count(*) AS n
+      FROM fph a JOIN fph b ON a.bands = b.bands AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT ia, ib, delta, n,
+             row_number() OVER (PARTITION BY ia, ib
+                                ORDER BY n DESC, delta) AS r
+      FROM hits
+    )
+    SELECT ia AS media_id_a, ib AS media_id_b, delta::BIGINT AS delta,
+           n::BIGINT AS n_aligned
+    FROM best WHERE r = 1 AND n >= {_VOFF_MIN}
+    ORDER BY 1, 2
+"""
+
+
+def dedup_video_offset_align_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-invariant video near-dup pairs over the corpus: text-slice
+    RAWV videos → sample_frames(every_n=1) → frame_ahash →
+    video_offset_match_pairs with stop-hash exclusion (frame hashes in
+    > 16 distinct videos dropped from both join sides — without the
+    filter, uniform/padding frames alone put a handful of hash values in
+    a quarter of the corpus and the bucket join goes corpus-quadratic;
+    with it, candidate volume is per-rare-hash bounded). The brute-force
+    oracle re-derives every frame hash and the same frequency filter."""
+    vids = _synthesize_videos_from_text(_t(spark, sf_dir, "documents"))
+    fh = M.frame_ahash(M.sample_frames(vids, every_n=1))
+    return M.video_offset_match_pairs(
+        fh, min_matches=_VOFF_MIN, max_hash_docs=_VOFF_MAXDOCS
+    ).orderBy("media_id_a", "media_id_b")

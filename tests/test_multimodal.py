@@ -588,3 +588,32 @@ def test_audio_offset_align_query_oracle_parity(spark, sf):
         map(tuple, d[cols].astype(str).values.tolist())
     )
     assert len(s) > 0
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_video_offset_align_query_oracle_parity(spark, sf):
+    """Driver-style parity for the PENDING video offset-alignment query
+    (r15 registration), including the stop-hash frequency filter on both
+    engines."""
+    import duckdb
+
+    from kinesis3_spark.queries.multimodalq import (
+        _VIDEO_OFFSET_ORACLE,
+        dedup_video_offset_align_q,
+    )
+
+    sf_dir = f"/root/testdata/{sf}"
+    s = dedup_video_offset_align_q(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    d = con.sql(_VIDEO_OFFSET_ORACLE).df()
+    assert len(s) == len(d)
+    assert sorted(s.columns) == sorted(d.columns)
+    cols = sorted(s.columns)
+    assert sorted(map(tuple, s[cols].astype(str).values.tolist())) == sorted(
+        map(tuple, d[cols].astype(str).values.tolist())
+    )
+    assert len(s) > 0
