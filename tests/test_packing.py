@@ -118,3 +118,63 @@ def test_chunk_layout_boundaries(spark):
         x.groupBy("bin_id").agg(F.sum("t").alias("bt")).orderBy("bin_id").collect()
     )
     assert [r["bt"] for r in bins] == [10, 10, 10, 10, 10, 3]
+
+
+# ---------------------------------------------------------------------------
+# Property: for ANY doc-size multiset, the concat-and-chunk layout must
+# conserve tokens, fill every non-final example to exactly L, and keep
+# each doc's per-example shares summing to its size. Hypothesis hunts the
+# boundary cases (empty docs, docs >> L, totals landing exactly on a
+# boundary).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(0, 37), min_size=1, max_size=30),
+    Lq=st.sampled_from([7, 10, 16]),
+)
+def test_chunk_layout_properties(spark, sizes, Lq):
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    pos = cumulative_token_positions(df).where(F.col("n_tokens") > 0)
+    spans = pos.select(
+        "doc_id",
+        "n_tokens",
+        "cum",
+        F.expr(f"(cum - n_tokens) DIV {Lq}").alias("fb"),
+        F.expr(f"(cum - 1) DIV {Lq}").alias("lb"),
+    )
+    x = spans.select(
+        "doc_id",
+        F.explode(F.sequence("fb", "lb")).alias("bin_id"),
+        (
+            F.least(F.col("cum"), (F.col("bin_id") + 1) * Lq)
+            - F.greatest(F.col("cum") - F.col("n_tokens"), F.col("bin_id") * Lq)
+        ).alias("t"),
+    ).collect()
+    total = sum(n for n in sizes)
+    # conservation: every doc's shares sum to its size
+    per_doc = {}
+    per_bin = {}
+    for r in x:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["t"]
+        per_bin[r["bin_id"]] = per_bin.get(r["bin_id"], 0) + r["t"]
+    assert per_doc == {i: n for i, n in rows if n > 0}
+    assert sum(per_bin.values()) == total
+    if total:
+        # exact chunking: bins 0..B-1 contiguous; all but the last == L
+        bins = sorted(per_bin)
+        assert bins == list(range((total + Lq - 1) // Lq))
+        for b in bins[:-1]:
+            assert per_bin[b] == Lq
+        assert per_bin[bins[-1]] == total - Lq * bins[-1]
+        # every share is positive and <= L
+        assert all(0 < r["t"] <= Lq for r in x)
