@@ -533,6 +533,8 @@ def video_neardup_pairs(
     frame_hashes: DataFrame,
     max_hamming: int = 3,
     min_frac: tuple[int, int] = (1, 2),
+    frac_of: str = "min",
+    min_aligned: int = 1,
 ) -> DataFrame:
     """Video near-dup pairs from per-frame aHashes: two videos pair when
     the SAME-INDEX frame matches (Hamming ≤ max_hamming) for at least
@@ -557,6 +559,14 @@ def video_neardup_pairs(
         raise ValueError(
             "4-band aHash encoding is lossless only for Hamming radius <= 3"
         )
+    if frac_of not in ("min", "max"):
+        raise ValueError("frac_of must be 'min' or 'max'")
+    # frac_of='min' is the containment form (a short clip fully inside a
+    # longer one passes); 'max' is the strict re-encode form — BOTH sides
+    # must match nearly everywhere, which is the right gate when short
+    # clips would otherwise pair promiscuously (a 1-frame video passes
+    # the 'min' half-threshold with a single frame hit). min_aligned
+    # floors the absolute evidence either way.
     num, den = min_frac
     fh = frame_hashes.select("media_id", "frame_idx", "bands")
     fdist = fh.select("frame_idx", "bands").distinct()
@@ -637,11 +647,13 @@ def video_neardup_pairs(
     cb = counts.select(
         F.col("media_id").alias("media_id_b"), F.col("nf").alias("n_b")
     )
+    ref = F.least("n_a", "n_b") if frac_of == "min" else F.greatest("n_a", "n_b")
     return (
         pairs.join(ca, "media_id_a")
         .join(cb, "media_id_b")
         .where(
-            F.col("n_match") * den >= F.least("n_a", "n_b") * num
+            (F.col("n_match") * den >= ref * num)
+            & (F.col("n_match") >= min_aligned)
         )
         .select("media_id_a", "media_id_b", "n_match", "n_a", "n_b")
     )
@@ -804,4 +816,95 @@ def video_offset_match_pairs(
             "delta",
             "n_aligned",
         )
+    )
+
+
+def video_neardup_matches(
+    probe: DataFrame,
+    history: DataFrame,
+    max_hamming: int = 3,
+    min_frac: tuple[int, int] = (1, 2),
+    frac_of: str = "min",
+    min_aligned: int = 1,
+) -> DataFrame:
+    """Distinct probe `media_id`s whose video is a frame-aligned near-dup
+    of AT LEAST ONE history video — the cross-relation form of
+    video_neardup_pairs (the admission-gate primitive, like
+    banded_hamming_matches for single images): a probe matches a history
+    video when their same-index frames agree within `max_hamming` for
+    ≥ min_frac of the smaller side's frame count.
+
+    Same bucketed discipline: identical frame hashes meet by a
+    (frame_idx, bands) equi-join, distinct ones only inside a
+    (frame_idx, band, value) bucket with exact Hamming on DISTINCT hash
+    pairs; per-(probe, history-video) aligned-frame counts roll up
+    map-side and the integer cross-multiplied threshold decides. History
+    frame hashes are values + ids (ids needed for the per-video frame
+    counts) — still ~50 bytes/frame, materialized once."""
+    if max_hamming >= 4:
+        raise ValueError(
+            "4-band aHash encoding is lossless only for Hamming radius <= 3"
+        )
+    if frac_of not in ("min", "max"):
+        raise ValueError("frac_of must be 'min' or 'max'")
+    num, den = min_frac
+    p = probe.select("media_id", "frame_idx", "bands")
+    h = history.select("media_id", "frame_idx", "bands")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("pb"), F.col("hb"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    pk = p.select("frame_idx", "bands").distinct().select(
+        "frame_idx", F.col("bands").alias("pb"),
+        F.posexplode("bands").alias("band", "bv"),
+    )
+    hk = h.select("frame_idx", "bands").distinct().select(
+        "frame_idx", F.col("bands").alias("hb"),
+        F.posexplode("bands").alias("band", "bv"),
+    )
+    near = (
+        pk.join(
+            hk.withColumnRenamed("frame_idx", "fi2"),
+            (F.col("frame_idx") == F.col("fi2"))
+            & (pk["band"] == hk["band"])
+            & (pk["bv"] == hk["bv"])
+            & (F.col("pb") != F.col("hb")),
+        )
+        .select("frame_idx", "pb", "hb")
+        .distinct()
+        .where(ham <= max_hamming)
+    )
+    pa = p.select(
+        "frame_idx", F.col("bands").alias("pb"), F.col("media_id").alias("ip")
+    )
+    hb_ = h.select(
+        "frame_idx", F.col("bands").alias("hb"), F.col("media_id").alias("ih")
+    )
+    near_frames = near.join(pa, ["frame_idx", "pb"]).join(
+        hb_, ["frame_idx", "hb"]
+    ).select("frame_idx", "ip", "ih")
+    same_frames = (
+        pa.withColumnRenamed("pb", "bands")
+        .join(hb_.withColumnRenamed("hb", "bands"), ["frame_idx", "bands"])
+        .select("frame_idx", "ip", "ih")
+    )
+    matched = near_frames.unionByName(same_frames).distinct()
+    np_ = p.groupBy("media_id").agg(F.count("*").cast("long").alias("n_p"))
+    nh = h.groupBy("media_id").agg(F.count("*").cast("long").alias("n_h"))
+    counts = matched.groupBy("ip", "ih").agg(
+        F.count("*").cast("long").alias("n_match")
+    )
+    ref = F.least("n_p", "n_h") if frac_of == "min" else F.greatest("n_p", "n_h")
+    return (
+        counts.join(np_.withColumnRenamed("media_id", "ip"), "ip")
+        .join(nh.withColumnRenamed("media_id", "ih"), "ih")
+        .where(
+            (F.col("n_match") * den >= ref * num)
+            & (F.col("n_match") >= min_aligned)
+        )
+        .select(F.col("ip").alias("media_id"))
+        .distinct()
     )

@@ -714,7 +714,11 @@ def stream_image_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synthesized deterministically from text (consecutive 16-byte slices as
 # 4x4 gray frames, so near-dup texts become near-dup frame sequences and
 # the oracle re-derives every frame hash arithmetically), REAL
-# sample_frames -> frame_ahash -> video_neardup_pairs operators.
+# sample_frames -> frame_ahash -> video_neardup_pairs operators. The threshold is the STRICT re-encode
+# form — >=90% of the LARGER video's sampled frames matching, floor 2 —
+# because the containment (half-of-smaller) form lets 1-frame clips pair
+# promiscuously at this tiny synthetic geometry (3929 pairs at sf0.001 vs
+# 28 strict).
 # --------------------------------------------------------------------------
 
 def _synthesize_videos_from_text(docs: DataFrame) -> DataFrame:
@@ -746,7 +750,9 @@ def _synthesize_videos_from_text(docs: DataFrame) -> DataFrame:
 # even groups to empty), so bit(r, c) = 1 iff 16·v > frame_sum, and band
 # r packs bits at positions 2c+9 — the closed form of the image kernel at
 # this geometry, re-derived independently below.
-_VIDEO_PAIRS_ORACLE = """
+# Shared CTE prefix: WITH vid ... fph (per-doc sampled-frame hashes) —
+# consumed by the pair oracle below and the admission oracle further down.
+_VIDEO_FPH_CTES = """
     WITH vid AS (
       SELECT doc_id, text, octet_length(encode(text)) AS L,
              greatest(1, (octet_length(encode(text)) + 15) // 16) AS nf
@@ -777,7 +783,11 @@ _VIDEO_PAIRS_ORACLE = """
     fph AS (
       SELECT doc_id, fi, list(bv ORDER BY band) AS bands
       FROM fbands GROUP BY 1, 2
-    ),
+    )
+"""
+
+_VIDEO_PAIRS_ORACLE = _VIDEO_FPH_CTES + """
+    ,
     fmatch AS (  -- same-index frames within Hamming 3 (brute force)
       SELECT a.doc_id AS ia, b.doc_id AS ib, a.fi
       FROM fph a JOIN fph b ON a.fi = b.fi AND a.doc_id < b.doc_id
@@ -794,7 +804,8 @@ _VIDEO_PAIRS_ORACLE = """
     FROM nmatch n
     JOIN nfr ca ON ca.doc_id = n.ia
     JOIN nfr cb ON cb.doc_id = n.ib
-    WHERE n.n_match * 2 >= least(ca.nfr, cb.nfr)
+    WHERE n.n_match * 10 >= 9 * greatest(ca.nfr, cb.nfr)
+      AND n.n_match >= 2
     ORDER BY 1, 2
 """
 
@@ -804,17 +815,17 @@ def video_neardup_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL sample_frames (every_n=2) → frame_ahash (one Arrow pass per
     stage) → video_neardup_pairs — same-index frames matched at Hamming
     ≤3 inside (frame_idx, band, value) buckets only, videos paired when
-    at least half the smaller video's sampled frames match (integer
-    cross-multiplied). The brute-force oracle re-derives every frame
+    ≥90% of the LARGER video's sampled frames match with ≥2 aligned
+    frames (integer cross-multiplied; the strict re-encode form). The brute-force oracle re-derives every frame
     hash arithmetically from the text-slice geometry. At 100 TB: frame
     hashes are ~50 bytes/frame, payloads never leave the executors, and
     candidate volume is per-(frame_idx, band, value) bucket — never
     corpus-quadratic."""
     vids = _synthesize_videos_from_text(_t(spark, sf_dir, "documents"))
     fh = M.frame_ahash(M.sample_frames(vids, every_n=2))
-    return M.video_neardup_pairs(fh, max_hamming=3, min_frac=(1, 2)).orderBy(
-        "media_id_a", "media_id_b"
-    )
+    return M.video_neardup_pairs(
+        fh, max_hamming=3, min_frac=(9, 10), frac_of="max", min_aligned=2
+    ).orderBy("media_id_a", "media_id_b")
 
 
 # --------------------------------------------------------------------------
@@ -1107,3 +1118,128 @@ def dedup_video_offset_align_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_offset_match_pairs(
         fh, min_matches=_VOFF_MIN, max_hash_docs=_VOFF_MAXDOCS
     ).orderBy("media_id_a", "media_id_b")
+
+
+# --------------------------------------------------------------------------
+# Streaming video admission (round 14 pre-build — REGISTRATION PENDING
+# r15): completes the admission-gate modality matrix (image official r14,
+# audio pending, video here). A probe video is rejected iff it is a
+# strict frame-aligned near-dup (>=90% of the larger side's sampled
+# frames, floor 2, radius 3) of ANY history (src0+src1) video — decisions
+# depend only on the static history, so the ledger is batch-split-
+# invariant and the brute-force oracle re-derives it.
+# --------------------------------------------------------------------------
+
+_STREAM_VPH_CACHE: dict[str, str] = {}
+
+
+def _stream_vph_materialize(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from .. import tmpdirs
+    from ..streaming import stream_documents
+    from ..streaming.run import await_or_raise
+
+    path = _STREAM_VPH_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    out = tmpdirs.mkdtemp(prefix="k3s_stream_vph_") + "/admitted"
+    ck = tmpdirs.mkdtemp(prefix="k3s_stream_vph_ck_")
+    docs = _t(spark, sf_dir, "documents")
+    hist_docs = docs.where(F.col("source").isin("src0", "src1"))
+    hist = M.frame_ahash(
+        M.sample_frames(_synthesize_videos_from_text(hist_docs), every_n=2)
+    ).persist()
+    hist.count()  # materialize the history frame hashes once
+
+    def gate_batch(bdf, batch_id: int) -> None:
+        probe_docs = bdf.where(~F.col("source").isin("src0", "src1"))
+        fh = M.frame_ahash(
+            M.sample_frames(_synthesize_videos_from_text(probe_docs), every_n=2)
+        )
+        matched = M.video_neardup_matches(
+            fh, hist, max_hamming=3, min_frac=(9, 10), frac_of="max",
+            min_aligned=2,
+        )
+        (
+            probe_docs.select(F.col("doc_id").alias("media_id"), "source")
+            .join(matched.withColumn("__hit", F.lit(1)), "media_id", "left")
+            .select(
+                "media_id",
+                "source",
+                F.coalesce(F.lit(1) - F.col("__hit"), F.lit(1)).alias("admitted"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream_documents(spark, sf_dir)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    _STREAM_VPH_CACHE[sf_dir] = out
+    return out
+
+
+_STREAM_VPH_ORACLE = _VIDEO_FPH_CTES + """
+    ,
+    hsrc AS (
+      SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    psrc AS (
+      SELECT doc_id, source FROM documents
+      WHERE source NOT IN ('src0', 'src1')
+    ),
+    fmatch AS (  -- probe frame vs history frame, same index, Hamming <= 3
+      SELECT p.doc_id AS ip, h.doc_id AS ih, p.fi
+      FROM fph p JOIN psrc ps ON ps.doc_id = p.doc_id
+      JOIN fph h ON h.fi = p.fi
+      JOIN hsrc hs ON hs.doc_id = h.doc_id
+      WHERE bit_count(xor(p.bands[1], h.bands[1]))
+          + bit_count(xor(p.bands[2], h.bands[2]))
+          + bit_count(xor(p.bands[3], h.bands[3]))
+          + bit_count(xor(p.bands[4], h.bands[4])) <= 3
+    ),
+    nmatch AS (SELECT ip, ih, count(*) AS n FROM fmatch GROUP BY 1, 2),
+    nfr AS (SELECT doc_id, count(*) AS nfr FROM fph GROUP BY 1),
+    rej AS (
+      SELECT DISTINCT m.ip AS doc_id
+      FROM nmatch m
+      JOIN nfr a ON a.doc_id = m.ip
+      JOIN nfr b ON b.doc_id = m.ih
+      WHERE m.n * 10 >= 9 * greatest(a.nfr, b.nfr) AND m.n >= 2
+    )
+    SELECT pr.source,
+           count(*)::BIGINT AS n_seen,
+           sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_admitted,
+           CAST(sum(CASE WHEN r.doc_id IS NULL THEN pr.doc_id ELSE 0 END)
+                AS BIGINT) AS admitted_digest
+    FROM psrc pr LEFT JOIN rej r ON r.doc_id = pr.doc_id
+    GROUP BY pr.source ORDER BY pr.source
+"""
+
+
+def stream_video_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source admission ledger of the streaming video gate — the
+    image/audio gates' contract on the video tier: per batch one Arrow
+    synthesize+sample+hash chain, then video_neardup_matches against the
+    once-materialized history frame hashes (identical frames by
+    equi-join, near frames only inside (frame_idx, band, value)
+    buckets); strict 90%-of-larger threshold."""
+    out = spark.read.parquet(_stream_vph_materialize(spark, sf_dir))
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seen"),
+            F.sum("admitted").cast("bigint").alias("n_admitted"),
+            F.sum(F.col("media_id") * F.col("admitted"))
+            .cast("bigint")
+            .alias("admitted_digest"),
+        )
+        .orderBy("source")
+    )

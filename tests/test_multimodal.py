@@ -617,3 +617,66 @@ def test_video_offset_align_query_oracle_parity(spark, sf):
         map(tuple, d[cols].astype(str).values.tolist())
     )
     assert len(s) > 0
+
+
+def test_video_neardup_matches_cross_relation(spark):
+    """Admission primitive: probe 1 identical to a history video, probe 2
+    near (1 of its 2 frames within radius on the matching index, the
+    other identical), probe 3 matches only 1 of 4 frames (below half),
+    probe 4 unrelated."""
+    hist = _frame_hash_df(
+        spark,
+        [
+            (100, 0, [7, 0, 0, 0]), (100, 2, [0, 9, 0, 0]),
+            (101, 0, [255, 255, 0, 0]), (101, 2, [0, 0, 255, 255]),
+            (101, 4, [1, 1, 1, 1]), (101, 6, [2, 2, 2, 2]),
+        ],
+    )
+    probe = _frame_hash_df(
+        spark,
+        [
+            (1, 0, [7, 0, 0, 0]), (1, 2, [0, 9, 0, 0]),          # identical
+            (2, 0, [7, 1, 0, 0]), (2, 2, [0, 9, 0, 0]),          # ham 1 + exact
+            (3, 0, [255, 255, 0, 0]), (3, 2, [21845, 21845, 21845, 21845]),
+            (3, 4, [43690, 43690, 43690, 43690]), (3, 6, [4369, 4369, 4369, 4369]),
+            (4, 0, [64, 64, 64, 64]),
+        ],
+    )
+    got = sorted(
+        r["media_id"]
+        for r in M.video_neardup_matches(probe, hist).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_video_neardup_matches_radius_guard():
+    with pytest.raises(ValueError):
+        M.video_neardup_matches(None, None, max_hamming=4)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_stream_video_admission_oracle_parity(spark, sf):
+    """Driver-style parity for the PENDING streaming video admission
+    query (r15 registration) — completes the gate matrix (image, audio,
+    video)."""
+    import duckdb
+
+    from kinesis3_spark.queries.multimodalq import (
+        _STREAM_VPH_ORACLE,
+        stream_video_phash_admission,
+    )
+
+    sf_dir = f"/root/testdata/{sf}"
+    s = stream_video_phash_admission(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    d = con.sql(_STREAM_VPH_ORACLE).df()
+    assert len(s) == len(d)
+    assert sorted(s.columns) == sorted(d.columns)
+    cols = sorted(s.columns)
+    assert sorted(map(tuple, s[cols].astype(str).values.tolist())) == sorted(
+        map(tuple, d[cols].astype(str).values.tolist())
+    )
