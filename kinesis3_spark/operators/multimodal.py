@@ -358,7 +358,10 @@ def audio_fingerprint(
 
 
 def banded_hamming_pairs(
-    hashes: DataFrame, max_hamming: int, n_bands: int
+    hashes: DataFrame,
+    max_hamming: int,
+    n_bands: int,
+    flip_superbands: int | None = None,
 ) -> DataFrame:
     """(media_id_a < media_id_b, hamming) for every pair within
     `max_hamming` bits under an `n_bands`-band Hamming-space encoding
@@ -384,17 +387,27 @@ def banded_hamming_pairs(
     `hashes` six times (two banded legs, two id joins, two identical-hash
     legs): pass a persisted/materialized relation or each reference
     re-derives the hashes from source (queries/multimodalq._phash_for
-    does this)."""
+    does this).
+
+    `flip_superbands=g` switches candidate generation to the two-level
+    pigeonhole (OPTIMIZATION_r14: narrow band values bucket too
+    coarsely — the 8-bit audio bands put 5k fingerprints into 256
+    buckets per band, 1.2M candidate pairs at sf0.1): adjacent bands
+    group into g superbands of 64/g bits; a pair within `max_hamming`
+    bits has SOME superband within floor(max_hamming/g) ≤ 1 bit
+    (pigeonhole), and a ≤1-bit superband match is caught by equi-joining
+    one side's exact superband values against the other side's value
+    XOR {0, each single bit} — still exact, still lossless, but keyed
+    over the full 2^(64/g) superband space, so buckets shatter. Key
+    rows per hash grow g·(64/g + 2)-fold; candidate volume drops by the
+    bucket-shatter factor (measured 12.5x on the audio tier). Requires
+    max_hamming < 2·g (the ≤1-bit guarantee) and g | n_bands."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"{n_bands}-band encoding is lossless only for Hamming radius "
             f"<= {n_bands - 1}; raise the band count for larger radii"
         )
     dist = hashes.select("bands").distinct()
-    keyed = dist.select(
-        "bands", F.posexplode("bands").alias("band", "bv")
-    )
-    x, y = keyed.alias("x"), keyed.alias("y")
     ham = F.aggregate(
         F.zip_with(
             F.col("ba"), F.col("bb"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
@@ -402,14 +415,61 @@ def banded_hamming_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("int")
-    cand = (
-        x.join(
+    if flip_superbands:
+        g = flip_superbands
+        if n_bands % g or max_hamming >= 2 * g:
+            raise ValueError(
+                "flip_superbands must divide n_bands and satisfy "
+                "max_hamming < 2 * flip_superbands (the <=1-bit-per-"
+                "superband pigeonhole)"
+            )
+        m = n_bands // g          # bands per superband
+        w = 64 // n_bands         # bits per band
+        sb_vals = F.array(
+            *[
+                sum(
+                    (
+                        F.element_at("bands", sb * m + j + 1).cast("long")
+                        * F.lit(1 << (w * j))
+                        for j in range(1, m)
+                    ),
+                    start=F.element_at("bands", sb * m + 1).cast("long"),
+                )
+                for sb in range(g)
+            ]
+        )
+        plain = dist.select(
+            "bands", F.posexplode(sb_vals).alias("sb", "v")
+        )
+        flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(w * m)])
+        flipped = plain.select(
+            "bands",
+            "sb",
+            F.explode(flips).alias("flip"),
+            F.col("v"),
+        ).select(
+            "bands", "sb", F.col("v").bitwiseXOR(F.col("flip")).alias("v")
+        )
+        x, y = plain.alias("x"), flipped.alias("y")
+        raw = x.join(
+            y,
+            (F.col("x.sb") == F.col("y.sb"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.bands") < F.col("y.bands")),
+        )
+    else:
+        keyed = dist.select(
+            "bands", F.posexplode("bands").alias("band", "bv")
+        )
+        x, y = keyed.alias("x"), keyed.alias("y")
+        raw = x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bv") == F.col("y.bv"))
             & (F.col("x.bands") < F.col("y.bands")),
         )
-        .select(F.col("x.bands").alias("ba"), F.col("y.bands").alias("bb"))
+    cand = (
+        raw.select(F.col("x.bands").alias("ba"), F.col("y.bands").alias("bb"))
         .distinct()
         .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)

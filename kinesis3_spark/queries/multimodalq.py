@@ -429,16 +429,19 @@ def audio_fingerprint_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint with the REAL audio_fingerprint operator (one Arrow
     pass, integer-exact window energies, persisted once per sf_dir),
     then banded_hamming_pairs with 8 × 8-bit bands — identical
-    fingerprints pair by equi-join, distinct ones meet only inside a
-    (band, 8-bit value) bucket, and the 8-band split makes radius-7
-    candidate generation LOSSLESS (pigeonhole), which is why the
+    fingerprints pair by equi-join; distinct ones meet inside a 16-bit
+    SUPERBAND bucket via the two-level pigeonhole (flip_superbands=4,
+    OPTIMIZATION_r14: a radius-7 pair has some 16-bit superband within
+    1 bit, caught by equi-joining exact superband values against the
+    other side's single-bit flips — still LOSSLESS, which is why the
     brute-force all-pairs oracle matches a plan that never compares all
-    pairs. At 100 TB: fingerprint output is ~70 bytes/clip and payloads
+    pairs, and the 2^16 key space shatters the 256-value 8-bit buckets
+    that generated 1.2M candidate pairs at sf0.1 into 96k). At 100 TB: fingerprint output is ~70 bytes/clip and payloads
     never leave the executors; for billion-clip corpora raise bits per
     band (wider windows) to keep per-bucket candidate volume bounded —
     the LSH band/row knob."""
     return M.banded_hamming_pairs(
-        _afp_for(spark, sf_dir), max_hamming=7, n_bands=8
+        _afp_for(spark, sf_dir), max_hamming=7, n_bands=8, flip_superbands=4
     )
 
 
