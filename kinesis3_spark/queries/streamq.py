@@ -44,7 +44,10 @@ _FMT = "%Y-%m-%d %H:%M:%S"
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
-        tumbling_counts(stream_events(spark, sf_dir)), output_mode="complete"
+        tumbling_counts(stream_events(spark, sf_dir)),
+        output_mode="complete",
+        # complete mode re-emits the identical table on a no-data batch
+        final_no_data_batch=False,
     )
 
 
@@ -65,7 +68,10 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
-        sliding_value_stats(stream_events(spark, sf_dir)), output_mode="complete"
+        sliding_value_stats(stream_events(spark, sf_dir)),
+        output_mode="complete",
+        # complete mode re-emits the identical table on a no-data batch
+        final_no_data_batch=False,
     )
 
 
@@ -98,7 +104,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
-        session_counts(stream_events(spark, sf_dir)), output_mode="complete"
+        session_counts(stream_events(spark, sf_dir)),
+        output_mode="complete",
+        # complete mode re-emits the identical table on a no-data batch
+        final_no_data_batch=False,
     )
 
 
@@ -113,7 +122,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
     deduped = dedup_stream(doubled, keys=("event_id",))
     return run_to_memory(
-        deduped.select("event_id", "event_type", "user_id"), output_mode="append"
+        deduped.select("event_id", "event_type", "user_id"),
+        output_mode="append",
+        # dropDuplicates emits first-writer rows on arrival; the no-data
+        # batch only evicts state
+        final_no_data_batch=False,
     )
 
 
@@ -129,7 +142,11 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, §2b row 46/47): per-user running totals. Single availableNow
     batch → the emitted update per user equals the batch aggregate."""
     return run_to_memory(
-        running_user_totals(stream_events(spark, sf_dir)), output_mode="update"
+        running_user_totals(stream_events(spark, sf_dir)),
+        output_mode="update",
+        # update mode emits touched keys on the data batch; NoTimeout
+        # state has nothing to flush afterwards
+        final_no_data_batch=False,
     )
 
 
@@ -184,7 +201,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = stream_events(spark, sf_dir).where(F.col("event_type") == "click")
     purchases = stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
     return run_to_memory(
-        stream_stream_attribution(clicks, purchases), output_mode="append"
+        stream_stream_attribution(clicks, purchases),
+        output_mode="append",
+        # INNER interval join: matches emit on the data batch; the
+        # watermark governs eviction only (outer variants keep the
+        # default — their unmatched rows flush on the no-data batch)
+        final_no_data_batch=False,
     )
 
 
@@ -247,7 +269,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey).select(
         "event_id", "user_id", "c_name", F.round("value", 2).alias("value")
     )
-    return run_to_memory(joined, output_mode="append")
+    # stateless stream-static join: nothing watermark-gated
+    return run_to_memory(joined, output_mode="append", final_no_data_batch=False)
 
 
 @query(
@@ -336,7 +359,8 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("in_hist").isNull())
         .select("fpr")
     )
-    out = run_to_memory(admitted, output_mode="append")
+    # dropDuplicates + stream-static anti: admissions emit on arrival
+    out = run_to_memory(admitted, output_mode="append", final_no_data_batch=False)
     # order-independent SET checksum with constant agg state (the
     # md5-of-sorted-collect_list form held every admitted fingerprint in
     # one aggregation buffer); sum-over-empty is NULL on both engines —
@@ -395,6 +419,8 @@ if _protobuf_available():
             return run_to_memory(
                 running_user_totals_tws(stream_events(spark, sf_dir)),
                 output_mode="update",
+                # same eligibility as stream_stateful_user_totals
+                final_no_data_batch=False,
             )
         finally:
             if old is None:
@@ -839,7 +865,11 @@ def stream_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
     deduped = dedup_stream(doubled, keys=("event_id",), within_watermark=True)
     return run_to_memory(
-        deduped.select("event_id", "event_type", "user_id"), output_mode="append"
+        deduped.select("event_id", "event_type", "user_id"),
+        output_mode="append",
+        # dropDuplicatesWithinWatermark also emits on arrival; the
+        # watermark bounds state retention, not emission
+        final_no_data_batch=False,
     )
 
 
