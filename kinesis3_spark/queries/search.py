@@ -36,7 +36,8 @@ _QUERY_TERMS = ("window", "hash", "merge")
 
 
 def bm25_scores(d: DataFrame, terms, k1: float = _K1,
-                b: float = _B) -> DataFrame:
+                b: float = _B,
+                stats: tuple[int, float] | None = None) -> DataFrame:
     """BM25 score of every document against a bag-of-words query.
     ``terms`` is a static tuple (isin filter in the scan stage) or a
     1-column ``term`` DataFrame (broadcast equi-join — the dynamic-query
@@ -54,7 +55,12 @@ def bm25_scores(d: DataFrame, terms, k1: float = _K1,
     groupBy+join would duplicate the whole scan→tokenize→tf subtree
     (column pruning defeats ReusedExchange; the round-4 TF-IDF lesson),
     measured as a third corpus scan in the plan audit. avgdl/N are a
-    1-row aggregate-only pass broadcast into the score via a cross join.
+    1-row aggregate-only pass broadcast into the score via a cross join —
+    OR, when the caller already paid that pass, passed in as `stats`
+    = (n_docs, avgdl) and inlined as literals (a collected Python float
+    IS the IEEE double F.avg produced, so the score doubles are
+    bit-identical; OPTIMIZATION_r14 — the PRF query calls this twice and
+    was paying the corpus-width stats subtree per call).
     """
     from pyspark.sql.window import Window
 
@@ -74,19 +80,25 @@ def bm25_scores(d: DataFrame, terms, k1: float = _K1,
     # Document frequency per query term: distinct-doc row-count over tf
     # (one row per (doc, term)) via window — no join, no second subtree.
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    stats = toks_df.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
-    )
+    if stats is None:
+        stats_df = toks_df.agg(
+            F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+        )
+        scored_src = tf.crossJoin(F.broadcast(stats_df))
+        n_docs_col, avgdl_col = F.col("n_docs"), F.col("avgdl")
+    else:
+        scored_src = tf
+        n_docs_col, avgdl_col = F.lit(int(stats[0])), F.lit(float(stats[1]))
     idf = F.log(
         1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + (n_docs_col - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     contrib = idf * (
         F.col("tf") * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl_col))
     )
     return (
-        tf.crossJoin(F.broadcast(stats))
+        scored_src
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(contrib), 4).alias("bm25"),
@@ -181,17 +193,30 @@ def llm_dup_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses single-node. A gram-hash collision could overcount one dup gram
     (P ≈ n²/2⁶⁵ — the decontamination tier accepts the same trade)."""
     d = _t(spark, sf_dir, "documents")
+    # OPTIMIZATION_r14 (guide §2.3/§2.4): the exploded distinct gram
+    # relation feeds BOTH the doc-frequency aggregate and the join back;
+    # unpersisted, Catalyst re-executed the explode+distinct subtree
+    # (exchange included) per alias. Persist it per call (64-bit hashes,
+    # ContextCleaner reaps it with the plan), and join against only the
+    # DUP subset (df >= 2) with a hit flag instead of the full frequency
+    # table — n_dup = count(hit) is identical, and the build side
+    # shrinks to the duplicated grams (AQE broadcasts it when small).
     grams = d.select(
         "doc_id", "source",
         F.explode(ngram_hashes(F.col("text"), 8)).alias("gh"),
-    ).distinct()
-    gdf = grams.groupBy("gh").agg(F.count("*").alias("n_docs_with"))
+    ).distinct().persist()
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("n_docs_with"))
+        .where(F.col("n_docs_with") >= 2)
+        .select("gh", F.lit(1).alias("hit"))
+    )
     per_doc = (
-        grams.join(gdf, "gh")
+        grams.join(dup, "gh", "left")
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_grams"),
-            F.count(F.when(F.col("n_docs_with") >= 2, True)).alias("n_dup"),
+            F.count("hit").alias("n_dup"),
         )
     )
     return (
@@ -960,22 +985,38 @@ def search_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent terms inside them (originals excluded; integer counts with
     alphabetical tie-break — deterministic), re-score with the expanded
     query, serve the top-20. Pass 2 reuses the ONE bm25_scores
-    definition with the expansion set as a broadcast term DataFrame, so
-    the mechanism a production relevance stack tunes (feedback depth,
-    expansion width) is two parameters over green machinery. Scale: pass
-    1's plan unchanged; the feedback mine joins the token stream against
-    a broadcast 10-doc list; pass 2's term filter is a
-    broadcast 8-term join ahead of the only corpus-width shuffle."""
+    definition, so the mechanism a production relevance stack tunes
+    (feedback depth, expansion width) is two parameters over green
+    machinery.
+
+    Scale / OPTIMIZATION_r14 (guide §2.3/§2.4 — this query was 5 corpus
+    tokenize passes, now 3): (n_docs, avgdl) is computed ONCE and
+    collected (2 scalars), then inlined into BOTH scoring passes as
+    literals instead of re-running the corpus-width stats subtree per
+    bm25_scores call; the feedback mine joins the broadcast 10-doc list
+    against `documents` BEFORE tokenizing, so it explodes 10 documents'
+    tokens, not the corpus's; and the bounded expansion set (≤8 terms,
+    deterministic) is collected and fed to pass 2 as a static isin —
+    the term filter lands in pass 2's scan stage with no join at all.
+    The two driver collects are O(1)-bounded decisions of the algorithm
+    itself (10 doc ids never leave the plan; 5 terms + 2 scalars do),
+    exactly the worked-example discipline of deciding on small rows."""
     d = _t(spark, sf_dir, "documents")
+    n_docs, avgdl = (
+        d.select(F.size(tokenize(F.col("text"))).alias("dl"))
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    st = (int(n_docs), float(avgdl))
     top = (
-        bm25_scores(d, _QUERY_TERMS)
+        bm25_scores(d, _QUERY_TERMS, stats=st)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_PRF_FEEDBACK_DOCS)
         .select("doc_id")
     )
-    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     exp = (
-        toks.join(F.broadcast(top), "doc_id")
+        d.join(F.broadcast(top), "doc_id")
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
         .where(~F.col("term").isin(*_QUERY_TERMS))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
@@ -983,11 +1024,9 @@ def search_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PRF_EXPANSION)
         .select("term")
     )
-    spark_terms = exp.unionByName(
-        spark.createDataFrame([(t,) for t in _QUERY_TERMS], "term string")
-    )
+    expanded = tuple(r.term for r in exp.collect()) + _QUERY_TERMS
     return (
-        bm25_scores(d, spark_terms)
+        bm25_scores(d, expanded, stats=st)
         .select("doc_id", "bm25", "n_terms_hit")
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
