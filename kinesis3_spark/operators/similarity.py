@@ -955,6 +955,7 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    baseline: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, codes[m], err_micro): nearest-codeword assignment per subspace
     — one vectorized distance computation per Arrow batch per subspace
@@ -962,32 +963,45 @@ def pq_encode(
     array ships to executors in the closure, ~32 KB at 8x64x8). err_micro
     is the per-vector squared reconstruction error in 1e-6 units —
     integer-quantized WITHIN the vector before any cross-row aggregation
-    (float-parity discipline)."""
+    (float-parity discipline).
+
+    `baseline` (OPTIMIZATION_r14, guide §4.1): a second (m', k', sub')
+    codebook array scored in the SAME Arrow pass, adding a
+    `base_err_micro` column with identical per-vector arithmetic — the
+    reconstruction-band query previously ran a whole second
+    decode+encode corpus pass just for the k=1 baseline error sum."""
     m, k, sub = codebooks.shape
+
+    def _err_codes(X: np.ndarray, books: np.ndarray):
+        bm, bk, bsub = books.shape
+        codes = np.empty((len(X), bm), np.int32)
+        err = np.zeros(len(X))
+        for s in range(bm):
+            Xs = X[:, s * bsub : (s + 1) * bsub]
+            d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+            err += d2[np.arange(len(X)), codes[:, s]]
+        return codes, np.floor(err * 1e6).astype(np.int64)
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = np.empty((len(X), m), np.int32)
-            err = np.zeros(len(X))
-            for s in range(m):
-                Xs = X[:, s * sub : (s + 1) * sub]
-                d2 = ((Xs[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
-                err += d2[np.arange(len(X)), codes[:, s]]
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(),
-                    "codes": list(codes),
-                    "err_micro": np.floor(err * 1e6).astype(np.int64),
-                }
-            )
+            codes, err = _err_codes(X, codebooks)
+            out = {
+                "id": pdf[id_col].to_numpy(),
+                "codes": list(codes),
+                "err_micro": err,
+            }
+            if baseline is not None:
+                out["base_err_micro"] = _err_codes(X, baseline)[1]
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        encode_batches, schema="id long, codes array<int>, err_micro long"
-    )
+    schema = "id long, codes array<int>, err_micro long"
+    if baseline is not None:
+        schema += ", base_err_micro long"
+    return emb.select(id_col, vec_col).mapInPandas(encode_batches, schema=schema)
 
 
 # --------------------------------------------------------------------------

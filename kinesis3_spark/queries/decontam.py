@@ -301,36 +301,47 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-count aggregate with map-side combine, one scoring pass whose
     per-doc sum shuffles on doc_id) and a TakeOrderedAndProject top-k.
     At 100 TB the stats pass is computed once and persisted; scoring is
-    embarrassingly parallel. The two passes are deliberate — feeding
-    one exploded gram relation to both aggregates would re-execute the
-    explode per alias anyway (Spark re-plans non-materialized subtrees;
-    see SCALE.md alias-subtree note)."""
+    embarrassingly parallel.
+
+    OPTIMIZATION_r14 (guide §2.3/§5): the tokenize→explode→md5 gram
+    stream — the expensive subtree — previously ran TWICE (once under
+    the bucket-count aggregate, once under the scoring join; Spark
+    re-plans non-materialized subtrees per alias). It now folds ONCE
+    into a per-(doc, bucket) count histogram that is persisted per call
+    (≤ 4096 buckets/doc — orders of magnitude smaller than the gram
+    stream; ContextCleaner reaps the cache when the plan is GC'd) and
+    feeds BOTH the global bucket counts and the scoring join. A doc's
+    score is Σ_grams wt[b] = Σ_b cnt[doc,b]·wt[b] — integer-exact, so
+    results are unchanged (oracle-verified)."""
     d = _t(spark, sf_dir, "documents")
     from ..operators.dedup import portable_hash60
 
-    def grams_of(df):
-        return df.select(
-            "doc_id", "source", F.explode(ngrams(F.col("text"), 2)).alias("g")
-        ).select(
-            "doc_id",
-            "source",
-            (portable_hash60(F.col("g")) % _DSIR_B).cast("int").alias("b"),
-        )
-
+    grams = d.select(
+        "doc_id", "source", F.explode(ngrams(F.col("text"), 2)).alias("g")
+    ).select(
+        "doc_id",
+        "source",
+        (portable_hash60(F.col("g")) % _DSIR_B).cast("int").alias("b"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
     is_tgt = F.col("source") == _DSIR_TARGET
-    counts = grams_of(d).groupBy("b").agg(
-        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~is_tgt, 1).otherwise(0)).alias("cs"),
+    counts = per_doc.groupBy("b").agg(
+        F.sum(F.when(is_tgt, F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_tgt, F.col("c")).otherwise(0)).alias("cs"),
     )
     w = counts.where(F.col("cs") > 0).select(
         "b",
         F.expr("CAST((ct + 1) * 1000000L DIV (cs + 1) AS BIGINT)").alias("wt"),
     )
     scored = (
-        grams_of(d.where(~is_tgt))
+        per_doc.where(~is_tgt)
         .join(F.broadcast(w), "b")
         .groupBy("doc_id")
-        .agg(F.sum("wt").cast("bigint").alias("score"))
+        .agg(F.sum(F.col("c") * F.col("wt")).cast("bigint").alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(25)
 

@@ -562,10 +562,18 @@ def seq_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct subtree once per join alias (Spark re-executes
     # non-materialized subtrees per alias) and shuffled the expanded
     # pair rows; this shape shuffles (basket, brand) rows exactly once
+    # OPTIMIZATION_r14 (guide §2.4): the basket table feeds BOTH the
+    # pair explode and the basket-count scalar; unpersisted, Catalyst
+    # re-executed the join+collect_set subtree (its exchange included)
+    # once per alias. Persisting the compact (okey, brands) relation
+    # per call (one small row per order; ContextCleaner reaps it with
+    # the plan) builds it once — the lazy-broadcast-scalar discipline
+    # below is unchanged (VERDICT r8).
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.col("l_orderkey").alias("okey"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .persist()
     )
     # the basket count enters as a LAZY broadcast scalar (1-row cross
     # join), not a driver-side .count() at query-construction time — an

@@ -113,7 +113,17 @@ def pipeline_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% the %")
         & (2 * uniq >= wc)
     )
-    q = corpus.where(keep).select("doc_id", "source", "n_chars", "text")
+    # OPTIMIZATION_r14 (guide §2.3): `q` is consumed by BOTH the gram
+    # explode and the anti join; the duplicated subtree was map-only but
+    # re-ran the split/array_distinct quality predicates (the CPU cost
+    # of this stage) per alias. Persist the filtered slice per call
+    # (survivor rows only; ContextCleaner reaps it with the plan) so the
+    # quality gate is evaluated once.
+    q = (
+        corpus.where(keep)
+        .select("doc_id", "source", "n_chars", "text")
+        .persist()
+    )
 
     # 2./3. swapped vs the oracle's CTE order (result-identical): duplicate
     # texts share their contamination status, so decontaminating BEFORE the

@@ -200,11 +200,15 @@ def topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell — re-derived here because the bench corpus is small); the probe
     shuffles only probed-cell candidates. The enc subtree feeds both the
     invariant aggregate and the probe join — at 100 TB that is one
-    persisted table read twice, not two encode passes."""
+    persisted table read twice, not two encode passes; OPTIMIZATION_r14
+    makes the bench path match that story: enc is persisted per call
+    (compact 1+m-byte index rows; ContextCleaner reaps it with the
+    plan), so the Arrow encode pass runs ONCE instead of once per
+    consumer."""
     emb = _t(spark, sf_dir, "embeddings")
     qset = _query_set(spark, sf_dir)
     C, books = S.train_ivfpq(emb)
-    enc = S.ivfpq_encode(emb, C, books)
+    enc = S.ivfpq_encode(emb, C, books).persist()
     topk = S.cosine_topk_ivfpq(emb, qset, k=_K, index=(C, books), enc=enc)
     return _ivfpq_banded_result(topk, emb, qset, enc, C, books)
 
@@ -674,8 +678,10 @@ def embed_pq_reconstruction_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     X = S.fetch_pq_sample(emb)
     books = S.train_pq_codebooks(emb, m=8, k=64, X=X)
     base = S.train_pq_codebooks(emb, m=8, k=1, iters=2, X=X)
-    enc = S.pq_encode(emb, books)
-    enc_base = S.pq_encode(emb, base)
+    # OPTIMIZATION_r14 (guide §4.1): the k=1 baseline error is scored in
+    # the SAME Arrow pass (pq_encode's `baseline` column) — previously a
+    # whole second decode+encode corpus pass fed the baseline aggregate.
+    enc = S.pq_encode(emb, books, baseline=base)
 
     in_range = (F.array_min("codes") >= 0) & (F.array_max("codes") < 64)
     # ONE aggregate over ONE encode pass (ADVICE r6: the old separate
@@ -691,14 +697,14 @@ def embed_pq_reconstruction_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vectors"),
         F.min(F.when(in_range, 1).otherwise(0)).alias("codes_ok"),
         F.sum("err_micro").alias("pq_err"),
+        F.sum("base_err_micro").alias("base_err"),
         *pos_aggs,
     )
-    baseline = enc_base.agg(F.sum("err_micro").alias("base_err"))
     diverse = reduce(
         lambda a, b: a & b,
         [F.col(f"cmin{m}") < F.col(f"cmax{m}") for m in range(8)],
     )
-    return main.crossJoin(baseline).select(
+    return main.select(
         "n_vectors",
         F.lit(8).alias("n_subspaces"),
         F.lit(64).alias("codebook_k"),

@@ -197,12 +197,20 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS → left-semi, NOT EXISTS → left-anti, both equi-keyed on
-    orderkey with the suppkey inequality as a residual — the same orderkey
-    hash-partitioning serves the build join, the semi, and the anti, so
-    the exchange is computed once and reused. The late relation is
-    collapsed to DISTINCT (orderkey, suppkey) before the subquery joins so
-    multi-line orders don't fan out."""
+    """OPTIMIZATION_r14 (guide §2.3/§3): the correlated EXISTS / NOT
+    EXISTS are decided per ORDER, not per (order, supplier) pair —
+    because every l1 supplier is itself one of its order's suppliers,
+    "another supplier <> mine exists in the order" ⟺ the order has ≥ 2
+    distinct suppliers (min ≠ max over l_suppkey — one map-side-combined
+    aggregate over lineitem, no residual-inequality join shipping full
+    (okey, skey) pairs), and "no OTHER supplier was late" ⟺ the order
+    has exactly 1 distinct late supplier (count over the deduped late
+    pairs — necessarily mine). Both reduce to single-key semi joins on
+    orderkey. The deduped late relation feeds its own base AND the
+    late-count aggregate, so it is persisted per call (compact distinct
+    pairs; ContextCleaner reaps it with the plan) instead of
+    re-executing the lineitem⋈orders subtree per alias. Set-semantics
+    equivalence is exact; the oracle pins it."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
     late = (
@@ -210,23 +218,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        .persist()
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("s_lo"), F.max("l_suppkey").alias("s_hi"))
+        .where(F.col("s_lo") != F.col("s_hi"))
+        .select("l_orderkey")
     )
-    l3 = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_late_supp"))
+        .where(F.col("n_late_supp") == 1)
+        .select("l_orderkey")
     )
-    l1 = late.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2_orderkey"))
-        & (F.col("l_suppkey") != F.col("o2_suppkey")),
-        "left_semi",
-    ).join(
-        l3,
-        (F.col("l_orderkey") == F.col("o3_orderkey"))
-        & (F.col("l_suppkey") != F.col("o3_suppkey")),
-        "left_anti",
+    l1 = late.join(multi_supp, "l_orderkey", "left_semi").join(
+        sole_late, "l_orderkey", "left_semi"
     )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")

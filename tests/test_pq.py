@@ -75,3 +75,24 @@ def test_pq_training_is_deterministic(spark, sf_dir):
     b1 = S.train_pq_codebooks(emb, m=8, k=16, iters=4)
     b2 = S.train_pq_codebooks(emb, m=8, k=16, iters=4)
     assert np.array_equal(b1, b2)
+
+
+def test_pq_encode_baseline_column_matches_separate_pass(spark, pq_dir):
+    """OPTIMIZATION_r14: pq_encode(baseline=...) scores the second
+    codebook in the SAME Arrow pass; its base_err_micro must be
+    bit-identical to a separate pq_encode run over the baseline books
+    (same floor(err*1e6) per-vector arithmetic), and the main
+    codes/err_micro must be unchanged by the extra column."""
+    d, _ = pq_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    X = S.fetch_pq_sample(emb)
+    books = S.train_pq_codebooks(emb, m=8, k=4, iters=8, seed=0, X=X)
+    base = S.train_pq_codebooks(emb, m=8, k=1, iters=2, X=X)
+    combined = {r["id"]: r for r in S.pq_encode(emb, books, baseline=base).collect()}
+    main_only = {r["id"]: r for r in S.pq_encode(emb, books).collect()}
+    base_only = {r["id"]: r for r in S.pq_encode(emb, base).collect()}
+    assert set(combined) == set(main_only) == set(base_only)
+    for i, r in combined.items():
+        assert r["codes"] == main_only[i]["codes"]
+        assert r["err_micro"] == main_only[i]["err_micro"]
+        assert r["base_err_micro"] == base_only[i]["err_micro"]
