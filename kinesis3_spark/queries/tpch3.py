@@ -197,20 +197,23 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPTIMIZATION_r14 (guide §2.3/§3): the correlated EXISTS / NOT
-    EXISTS are decided per ORDER, not per (order, supplier) pair —
-    because every l1 supplier is itself one of its order's suppliers,
-    "another supplier <> mine exists in the order" ⟺ the order has ≥ 2
-    distinct suppliers (min ≠ max over l_suppkey — one map-side-combined
-    aggregate over lineitem, no residual-inequality join shipping full
-    (okey, skey) pairs), and "no OTHER supplier was late" ⟺ the order
-    has exactly 1 distinct late supplier (count over the deduped late
-    pairs — necessarily mine). Both reduce to single-key semi joins on
-    orderkey. The deduped late relation feeds its own base AND the
-    late-count aggregate, so it is persisted per call (compact distinct
-    pairs; ContextCleaner reaps it with the plan) instead of
-    re-executing the lineitem⋈orders subtree per alias. Set-semantics
-    equivalence is exact; the oracle pins it."""
+    """EXISTS → left-semi, NOT EXISTS → left-anti, both equi-keyed on
+    orderkey with the suppkey inequality as a residual — the same orderkey
+    hash-partitioning serves the build join, the semi, and the anti, so
+    the exchange is computed once and reused. The late relation is
+    collapsed to DISTINCT (orderkey, suppkey) before the subquery joins so
+    multi-line orders don't fan out.
+
+    OPTIMIZATION_r14: `late` feeds both the l1 base and the anti side;
+    it is persisted per call so the lineitem⋈orders+distinct subtree
+    builds once instead of once per alias (interleaved min-of-6 A/B:
+    1.33 vs 1.29 s plain — free locally, and the duplicated heavy join
+    is what hurts at scale). A per-order-aggregate rewrite of the
+    EXISTS/NOT EXISTS (min≠max over suppliers / late-supplier count=1,
+    single-key semi joins, no residual) was ALSO tried and measured
+    consistently SLOWER at sf0.1 (1.83 vs 1.64 same-session; reverted —
+    the residual-join shape lets the one orderkey exchange serve all
+    three joins, which beats the extra aggregation passes)."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
     late = (
@@ -220,20 +223,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    multi_supp = (
-        li.groupBy("l_orderkey")
-        .agg(F.min("l_suppkey").alias("s_lo"), F.max("l_suppkey").alias("s_hi"))
-        .where(F.col("s_lo") != F.col("s_hi"))
-        .select("l_orderkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
     )
-    sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.count("*").alias("n_late_supp"))
-        .where(F.col("n_late_supp") == 1)
-        .select("l_orderkey")
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
     )
-    l1 = late.join(multi_supp, "l_orderkey", "left_semi").join(
-        sole_late, "l_orderkey", "left_semi"
+    l1 = late.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
     )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
