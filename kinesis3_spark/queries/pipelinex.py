@@ -256,31 +256,45 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = T.tokenize("text")
-    size_rows = docs.agg(
+    fp = T.fingerprint(F.col("text"))
+    # OPTIMIZATION_r14 (guide §1.2): the size aggregate and the
+    # exact-dup aggregate were two separate full corpus passes over the
+    # same scan (tokenize in one, md5 fingerprint in the other); one
+    # global aggregate computes docs/tokens/dup together — same values,
+    # one pass. lang/domain keep their own passes (different groupings).
+    size_dup_rows = docs.agg(
         F.count("*").cast("bigint").alias("docs"),
         F.sum(F.size(toks)).cast("bigint").alias("tokens"),
+        (F.count("*") - F.count_distinct(fp)).cast("bigint").alias("dups"),
     ).select(
         F.explode(
-            F.create_map(
-                F.lit("docs"), F.col("docs"), F.lit("tokens"), F.col("tokens")
+            F.array(
+                F.struct(
+                    F.lit("size").alias("section"),
+                    F.lit("docs").alias("key"),
+                    F.col("docs").alias("n"),
+                ),
+                F.struct(
+                    F.lit("size").alias("section"),
+                    F.lit("tokens").alias("key"),
+                    F.col("tokens").alias("n"),
+                ),
+                F.struct(
+                    F.lit("dedup").alias("section"),
+                    F.lit("exact_dup_docs").alias("key"),
+                    F.col("dups").alias("n"),
+                ),
             )
-        ).alias("key", "n")
-    ).select(F.lit("size").alias("section"), "key", "n")
+        ).alias("r")
+    ).select("r.section", "r.key", "r.n")
     lang_rows = docs.groupBy(F.col("lang").alias("key")).agg(
         F.count("*").cast("bigint").alias("n")
     ).select(F.lit("lang").alias("section"), "key", "n")
     domain_rows = tag_domains(docs).groupBy(F.col("domain").alias("key")).agg(
         F.count("*").cast("bigint").alias("n")
     ).select(F.lit("domain").alias("section"), "key", "n")
-    fp = T.fingerprint(F.col("text"))
-    dup_rows = docs.select(fp.alias("fp")).agg(
-        (F.count("*") - F.count_distinct("fp")).cast("bigint").alias("n")
-    ).select(
-        F.lit("dedup").alias("section"), F.lit("exact_dup_docs").alias("key"), "n"
-    )
     return (
-        size_rows.unionByName(lang_rows)
+        size_dup_rows.unionByName(lang_rows)
         .unionByName(domain_rows)
-        .unionByName(dup_rows)
         .orderBy("section", "key")
     )
