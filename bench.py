@@ -346,7 +346,28 @@ def main() -> None:
         "n_errors": len(errors),
         "queries_detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(summary))
+    # Per-query mins in the FINAL line (VERDICT r14 "Next round" #2: the
+    # driver's PERF/scaling comparison parses only this line, so without a
+    # `queries` map here PERF_r*.per_query comes up empty). The full
+    # 111-query map is ~3.7 KB and the driver keeps only a bounded ~2 KB
+    # stdout tail (BENCH_r07 recorded parsed=null when the oversized
+    # detail line was last), so the map that can actually reach the driver
+    # is bounded: pack mins most-expensive-first — where the performance
+    # signal lives — up to a hard line budget, and say how many were
+    # elided (`queries_elided`; the guide's no-silent-caps rule). The
+    # complete map is unchanged in the detail line above and in
+    # BENCH_DETAIL.json.
+    line_budget = 1900
+    summary["queries"] = {}
+    summary["queries_elided"] = len(timings)
+    for q_name, q_sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        summary["queries"][q_name] = q_sec
+        summary["queries_elided"] = len(timings) - len(summary["queries"])
+        if len(json.dumps(summary, separators=(",", ":"))) > line_budget:
+            del summary["queries"][q_name]
+            summary["queries_elided"] = len(timings) - len(summary["queries"])
+            break
+    print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
 
 

@@ -425,6 +425,29 @@ def banded_hamming_pairs(
             )
         m = n_bands // g          # bands per superband
         w = 64 // n_bands         # bits per band
+        # Band-width contract (ADVICE r14): packing assumes every band
+        # value fits in w = 64/n_bands bits — a wider value would overlap
+        # the adjacent band's lanes in the packed superband, and a 1-bit
+        # band difference would no longer be a 1-bit flip of v (silently
+        # dropped pairs). Current callers (8x8-bit audio, 4x16-bit image)
+        # satisfy it by construction; this guard turns a future caller's
+        # violation into a loud failure instead of missing duplicates.
+        # Cost: w-bit range checks on the distinct-hash relation only.
+        band_in_range = F.forall(
+            "bands", lambda b: (b >= 0) & (b < F.lit(1 << w))
+        )
+        band_guard = F.assert_true(
+            band_in_range,
+            F.lit(
+                f"flip_superbands={g} requires band values < 2^{w} "
+                f"(= 64/n_bands bits); got a wider band — pack with more "
+                f"bands or disable the flip path"
+            ),
+        )
+        # assert_true yields NULL when the predicate holds, so this filter
+        # keeps every valid row; `| lit(True)` would let BooleanSimplification
+        # fold the assert away entirely.
+        dist = dist.where(band_guard.isNull())
         sb_vals = F.array(
             *[
                 sum(

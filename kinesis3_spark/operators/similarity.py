@@ -599,10 +599,9 @@ def ivfpq_encode(
     )
 
 
-def cosine_topk_ivfpq(
+def ivfpq_adc_scores(
     emb: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     nprobe: int = 4,
     n_centroids: int = 16,
     id_col: str = "vec_id",
@@ -610,18 +609,14 @@ def cosine_topk_ivfpq(
     index: tuple[np.ndarray, np.ndarray] | None = None,
     enc: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-PQ ANN top-k via asymmetric distance computation (ADC): probe
-    the `nprobe` nearest cells per query and rank candidates WITHOUT ever
-    touching raw corpus vectors — approx_cos(q, x) = q·C[cell] +
-    Σ_s LUT_q[s][code_s], where LUT_q[s][j] = q_sub_s · books[s][j].
-    Because codebooks are shared across cells, each query's (m, k) lookup
-    table is built ONCE driver-side (queries are bounded) and shipped in
-    the mapInPandas closure with the (|Q|, n_centroids) query-centroid dot
-    matrix; scoring a candidate is m table lookups + adds over the 1+m
-    byte index row. This is the full production ANN shape: compressed
-    index scan, cell-pruned candidates, no raw-vector I/O on the probe
-    path. Pass `index`/`enc` to reuse a trained index and its encoded
-    corpus across queries."""
+    """The ADC-scored candidate relation `(query_id, neighbor_id, cos)`
+    underlying `cosine_topk_ivfpq` — exposed so a caller that needs the
+    SAME probe at several k values (e.g. the retrieve-then-rerank audit,
+    which ranks the identical candidates at k=fetch_r and at k=k) can
+    compute the cell-pruned scan + Arrow ADC pass ONCE, persist it, and
+    pay only the bounded top-k windows per consumer (guide §2.3: Spark
+    re-plans a non-materialized subtree under every alias — the r14
+    alias-subtree lesson)."""
     C, books = index if index is not None else train_ivfpq(
         emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
@@ -679,10 +674,42 @@ def cosine_topk_ivfpq(
                 }
             )
 
-    scored = cand.mapInPandas(
+    return cand.mapInPandas(
         adc_batches, schema="query_id long, neighbor_id long, cos double"
     )
-    return _topk_from_scores(scored, k)
+
+
+def cosine_topk_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[np.ndarray, np.ndarray] | None = None,
+    enc: DataFrame | None = None,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN top-k via asymmetric distance computation (ADC): probe
+    the `nprobe` nearest cells per query and rank candidates WITHOUT ever
+    touching raw corpus vectors — approx_cos(q, x) = q·C[cell] +
+    Σ_s LUT_q[s][code_s], where LUT_q[s][j] = q_sub_s · books[s][j].
+    Because codebooks are shared across cells, each query's (m, k) lookup
+    table is built ONCE driver-side (queries are bounded) and shipped in
+    the mapInPandas closure with the (|Q|, n_centroids) query-centroid dot
+    matrix; scoring a candidate is m table lookups + adds over the 1+m
+    byte index row. This is the full production ANN shape: compressed
+    index scan, cell-pruned candidates, no raw-vector I/O on the probe
+    path. Pass `index`/`enc` to reuse a trained index and its encoded
+    corpus across queries; pass `scores` (from `ivfpq_adc_scores`) to
+    reuse an already-computed ADC pass and pay only the top-k window."""
+    if scores is None:
+        scores = ivfpq_adc_scores(
+            emb, queries, nprobe=nprobe, n_centroids=n_centroids,
+            id_col=id_col, vec_col=vec_col, index=index, enc=enc,
+        )
+    return _topk_from_scores(scores, k)
 
 
 def cosine_topk_ivfpq_rerank(
@@ -698,6 +725,7 @@ def cosine_topk_ivfpq_rerank(
     enc: DataFrame | None = None,
     pair_predicate=None,
     carry: tuple[str, ...] = (),
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieve-then-rerank — the standard production recall
     lift over a compressed index (FAISS's refine/`k_factor`, Milvus's
@@ -730,7 +758,7 @@ def cosine_topk_ivfpq_rerank(
     exactly this with ``n_label != q_label``."""
     cand = cosine_topk_ivfpq(
         emb, queries, k=fetch_r, nprobe=nprobe, n_centroids=n_centroids,
-        id_col=id_col, vec_col=vec_col, index=index, enc=enc,
+        id_col=id_col, vec_col=vec_col, index=index, enc=enc, scores=scores,
     ).select("query_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),

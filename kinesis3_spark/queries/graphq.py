@@ -238,8 +238,13 @@ def triangle_census(
     # hints as before (AQE's 218 MB edge broadcast measured 3.5x slower;
     # sort-merge adds a pointless sort) — the strategy that survives
     # 100x edges.
+    # collect_set, not collect_list (ADVICE r14): the census counts via
+    # |N⁺(a) ∩ N⁺(b)|, so a duplicate (u,v) edge row must not inflate the
+    # adjacency array. Callers store distinct edges (identical cost and
+    # result there), but set semantics keeps that precondition from being
+    # load-bearing and implicit.
     adj = oriented.groupBy(F.col("a").alias("node")).agg(
-        F.collect_list("b").alias("nbrs")
+        F.collect_set("b").alias("nbrs")
     )
     tri = (
         oriented.hint("shuffle_hash")

@@ -1007,7 +1007,11 @@ def search_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
-    st = (int(n_docs), float(avgdl))
+    # ADVICE r14: on an empty documents table avg() is NULL — fall back to
+    # avgdl=0.0 so construction stays total (tf=0 everywhere then, so the
+    # avgdl term is never reached and the result is the same empty set the
+    # fully-lazy plan produced).
+    st = (int(n_docs), float(avgdl) if avgdl is not None else 0.0)
     top = (
         bm25_scores(d, _QUERY_TERMS, stats=st)
         .orderBy(F.col("bm25").desc(), "doc_id")

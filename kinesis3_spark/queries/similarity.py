@@ -755,12 +755,26 @@ def topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qset = _query_set(spark, sf_dir)
     C, books, path = _ivfpq_persisted_index(spark, sf_dir)
     enc = S.read_ivfpq_index(spark, path)
+    # OPTIMIZATION_r15 (guide §2.3, the r14 alias-subtree lesson): the
+    # rerank leg (k=fetch_r) and the plain-ADC leg (k=_K) rank the SAME
+    # probe — identical cells, candidates, and ADC scores; only the top-k
+    # cut differs. Previously each leg re-ran the cell-pruned index scan +
+    # Arrow ADC pass (and its own driver-side query collect/LUT build);
+    # the scored relation is now computed once, persisted per call
+    # (bounded: candidates of 12 probed cells, ContextCleaner reaps it),
+    # and both legs pay only their top-k window. Scores are the same IEEE
+    # doubles either way, so both top-ks — and the oracle row — are
+    # unchanged.
+    scores = S.ivfpq_adc_scores(
+        emb, qset, nprobe=_RERANK_NPROBE, index=(C, books), enc=enc
+    ).persist()
     rr = S.cosine_topk_ivfpq_rerank(
         emb, qset, k=_K, fetch_r=_RERANK_R, nprobe=_RERANK_NPROBE,
-        index=(C, books), enc=enc,
+        index=(C, books), enc=enc, scores=scores,
     ).select("query_id", "neighbor_id")
     adc = S.cosine_topk_ivfpq(
-        emb, qset, k=_K, nprobe=_RERANK_NPROBE, index=(C, books), enc=enc
+        emb, qset, k=_K, nprobe=_RERANK_NPROBE, index=(C, books), enc=enc,
+        scores=scores,
     ).select("query_id", "neighbor_id")
     brute = S.cosine_topk_bruteforce(emb, qset, k=_K).select(
         "query_id", "neighbor_id"

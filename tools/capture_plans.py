@@ -6,6 +6,14 @@ Usage: python tools/capture_plans.py <suffix> [query ...]
 
 Plans are built at $SPARK_GRAFT_SF_DIR (default sf0.1) without executing
 the job (explain only), so this is cheap and does not disturb timings.
+
+Exceptions (ADVICE r14): a few queries run bounded jobs at CONSTRUCTION
+time because the algorithm itself consumes O(1) driver-side decisions —
+search_bm25_prf collects (n_docs, avgdl) and the ≤8 expansion terms, the
+ANN queries collect the bounded query set to build probe LUTs, and the
+streaming drains execute their availableNow drain eagerly. For those,
+"capture" does execute corpus jobs; the captured plan is still the final
+served query's plan.
 """
 
 from __future__ import annotations
