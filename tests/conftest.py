@@ -13,6 +13,19 @@ import pytest
 
 from kinesis3_spark.session import get_spark
 from kinesis3_spark.sources import TABLES
+from tests.slow_manifest import SLOW_TESTS
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from the central manifest (round 15): the
+    default profile (`addopts = -m "not slow"`, pytest.ini) must finish
+    inside the driver's verification budget — the full suite is 43 min
+    and the driver's round-14 run timed out at ~74%. Run everything with
+    `pytest -m ""`. See tests/slow_manifest.py for the policy."""
+    for item in items:
+        node = item.nodeid.split("tests/")[-1]
+        if node in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
 
 # Unit/parity tests default to the smallest SF for speed; override with
 # SPARK_GRAFT_TEST_SF_DIR to run the suite at sf0.01 (the driver's t2 SF).

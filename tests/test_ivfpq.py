@@ -422,3 +422,37 @@ def test_knn_graph_refine_matches_bruteforce_on_planted(spark, clustered_dir):
         for r in S.cosine_topk_bruteforce(emb, emb, k=5).collect()
     }
     assert got == want
+
+
+def test_shared_adc_scores_path_matches_per_leg_recompute(spark, clustered_dir):
+    """OPTIMIZATION_r15: sim_cosine_topk_ivfpq_rerank computes ONE
+    ivfpq_adc_scores relation and feeds it to both the rerank (k=fetch_r)
+    and plain-ADC (k=k) legs. The shared-scores path must be row-identical
+    to each leg recomputing its own probe — same candidates, same IEEE
+    scores, same tie-breaks — for both consumers."""
+    d, _labels = clustered_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    qset = emb.where("vec_id < 8")
+    C, books = S.train_ivfpq(emb, n_centroids=8, m=8, k=16)
+    enc = S.ivfpq_encode(emb, C, books)
+    scores = S.ivfpq_adc_scores(emb, qset, nprobe=4, index=(C, books), enc=enc)
+
+    def rows(df):
+        return {(r.query_id, r.rank, r.neighbor_id) for r in df.collect()}
+
+    adc_shared = S.cosine_topk_ivfpq(
+        emb, qset, k=5, nprobe=4, index=(C, books), enc=enc, scores=scores
+    )
+    adc_own = S.cosine_topk_ivfpq(
+        emb, qset, k=5, nprobe=4, index=(C, books), enc=enc
+    )
+    assert rows(adc_shared) == rows(adc_own)
+
+    rr_shared = S.cosine_topk_ivfpq_rerank(
+        emb, qset, k=5, fetch_r=16, nprobe=4, index=(C, books), enc=enc,
+        scores=scores,
+    )
+    rr_own = S.cosine_topk_ivfpq_rerank(
+        emb, qset, k=5, fetch_r=16, nprobe=4, index=(C, books), enc=enc
+    )
+    assert rows(rr_shared) == rows(rr_own)

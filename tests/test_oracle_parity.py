@@ -6,7 +6,12 @@ from __future__ import annotations
 
 import pytest
 
-pytestmark = pytest.mark.slow  # excluded by the -m 'not slow' quick path
+# Round 15: the file-level `slow` mark is gone — with the default profile
+# now `-m "not slow"` (pytest.ini), a file-wide mark would drop EVERY
+# query's parity test from the driver's pytest run. Instead only the
+# measured-heavy params (>8 s call time) are excluded, via
+# tests/slow_manifest.py + the conftest collection hook; the ~250
+# remaining parity params (~5 min) stay in the default run.
 
 from kinesis3_spark.queries import ORACLE, QUERIES
 

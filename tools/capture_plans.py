@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for headline queries into plans/r14/.
+"""Capture .explain("formatted") for headline queries into plans/r15/ (round via $SPARK_GRAFT_PLANS_ROUND).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
   suffix: "before" or "after" (file name becomes <query>_<suffix>.txt)
@@ -38,7 +38,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "plans", "r14")
+                           "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:
