@@ -592,7 +592,11 @@ def ivfpq_encode(
             codes = np.empty((len(M), m), np.int32)
             for s in range(m):
                 Rs = R[:, s * sub : (s + 1) * sub]
-                d2 = ((Rs[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+                # Same einsum fusion as pq_encode (OPTIMIZATION_r15) —
+                # argmin verified exact-equal on the real residuals with
+                # the trained books at all test SFs (see pq_encode note).
+                D = Rs[:, None, :] - codebooks[s][None, :, :]
+                d2 = np.einsum("ijk,ijk->ij", D, D)
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -1014,7 +1018,17 @@ def pq_encode(
         err = np.zeros(len(X))
         for s in range(bm):
             Xs = X[:, s * bsub : (s + 1) * bsub]
-            d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            # OPTIMIZATION_r15: einsum over the difference tensor — the
+            # same fusion as train_pq_codebooks (one pass, no squared
+            # (n, k, sub) temp). d2 can differ from the sum() form in the
+            # last ulp (numpy's unrolled pairwise reduce vs einsum's
+            # sequential), but the OUTPUTS are row-local and were verified
+            # exact-equal (codes AND err_micro) on the real corpus with
+            # the actually-trained books at sf0.001/0.01/0.1; per-row
+            # values are batching-independent, so the check transfers to
+            # any Arrow batch split.
+            D = Xs[:, None, :] - books[s][None, :, :]
+            d2 = np.einsum("ijk,ijk->ij", D, D)
             codes[:, s] = d2.argmin(axis=1)
             err += d2[np.arange(len(X)), codes[:, s]]
         return codes, np.floor(err * 1e6).astype(np.int64)

@@ -37,7 +37,8 @@ _QUERY_TERMS = ("window", "hash", "merge")
 
 def bm25_scores(d: DataFrame, terms, k1: float = _K1,
                 b: float = _B,
-                stats: tuple[int, float] | None = None) -> DataFrame:
+                stats: tuple[int, float] | None = None,
+                toks_df: DataFrame | None = None) -> DataFrame:
     """BM25 score of every document against a bag-of-words query.
     ``terms`` is a static tuple (isin filter in the scan stage) or a
     1-column ``term`` DataFrame (broadcast equi-join — the dynamic-query
@@ -61,10 +62,17 @@ def bm25_scores(d: DataFrame, terms, k1: float = _K1,
     IS the IEEE double F.avg produced, so the score doubles are
     bit-identical; OPTIMIZATION_r14 — the PRF query calls this twice and
     was paying the corpus-width stats subtree per call).
+
+    ``toks_df`` (OPTIMIZATION_r15, guide §2.3/§6): a caller that scores
+    several passes over the same corpus can pass the (doc_id, toks)
+    relation — typically persisted — so the regexp tokenize runs once
+    instead of once per pass; the downstream expressions are identical,
+    so scores are bit-for-bit unchanged.
     """
     from pyspark.sql.window import Window
 
-    toks_df = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    if toks_df is None:
+        toks_df = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
     base = toks_df.select(
         "doc_id",
         F.size("toks").alias("dl"),
@@ -1000,10 +1008,24 @@ def search_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the term filter lands in pass 2's scan stage with no join at all.
     The two driver collects are O(1)-bounded decisions of the algorithm
     itself (10 doc ids never leave the plan; 5 terms + 2 scalars do),
-    exactly the worked-example discipline of deciding on small rows."""
+    exactly the worked-example discipline of deciding on small rows.
+
+    OPTIMIZATION_r15 (guide §2.3/§6): the 3 remaining tokenize passes
+    are now 1 — the (doc_id, toks) relation is tokenized once, persisted,
+    and read by the stats collect, both scoring passes, and the feedback
+    mine (see the inline comment)."""
     d = _t(spark, sf_dir, "documents")
+    # OPTIMIZATION_r15 (guide §2.3/§6): the three remaining corpus passes
+    # (stats, pass-1 scoring, pass-2 scoring) each re-ran the regexp
+    # tokenize over the full text column. Tokenize ONCE into a persisted
+    # (doc_id, toks) relation — the stats collect below materializes the
+    # cache, and both scoring passes plus the 10-doc feedback mine read
+    # it. Downstream expressions are untouched, so every score is
+    # bit-identical (same IEEE doubles). At 100 TB this persisted relation
+    # is the materialized tokenization table every IR stack keeps anyway.
+    toks_df = d.select("doc_id", tokenize(F.col("text")).alias("toks")).persist()
     n_docs, avgdl = (
-        d.select(F.size(tokenize(F.col("text"))).alias("dl"))
+        toks_df.select(F.size("toks").alias("dl"))
         .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
@@ -1013,14 +1035,14 @@ def search_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully-lazy plan produced).
     st = (int(n_docs), float(avgdl) if avgdl is not None else 0.0)
     top = (
-        bm25_scores(d, _QUERY_TERMS, stats=st)
+        bm25_scores(d, _QUERY_TERMS, stats=st, toks_df=toks_df)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_PRF_FEEDBACK_DOCS)
         .select("doc_id")
     )
     exp = (
-        d.join(F.broadcast(top), "doc_id")
-        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        toks_df.join(F.broadcast(top), "doc_id")
+        .select("doc_id", F.explode("toks").alias("term"))
         .where(~F.col("term").isin(*_QUERY_TERMS))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
@@ -1030,7 +1052,7 @@ def search_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     expanded = tuple(r.term for r in exp.collect()) + _QUERY_TERMS
     return (
-        bm25_scores(d, expanded, stats=st)
+        bm25_scores(d, expanded, stats=st, toks_df=toks_df)
         .select("doc_id", "bm25", "n_terms_hit")
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)

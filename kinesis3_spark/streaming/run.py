@@ -93,7 +93,14 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_ndb)
-    return spark.table(name)
+    # The memory sink keeps the drained rows on the driver split across the
+    # state_partitions sink partitions; downstream oracle queries then pay
+    # one scheduler round per partition for a few thousand rows. coalesce(1)
+    # makes every later read a single task — row-identical, and measured
+    # ~0.1 s per drain at sf0.1 (OPTIMIZATION_r15, guide §5 driver/latency).
+    # Harness-only, like everything in this function: production sinks never
+    # come through here.
+    return spark.table(name).coalesce(1)
 
 
 def archive_stream(

@@ -18,6 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 _STREAM_DIRS: dict[str, str] = {}
 
+# Schema-peek cache (OPTIMIZATION_r15, guide §1.2/§6): every stream_*()
+# call was running a batch `spark.read.parquet(path).schema` footer read
+# (~0.09 s of driver time per drain, twice for two-source attribution
+# drains). The corpus files are immutable inputs, so the schema is a pure
+# function of the path — cache it per path for the process lifetime.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    s = _SCHEMA_CACHE.get(path)
+    if s is None:
+        s = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = s
+    return s
+
 
 def _as_stream_dir(file_path: str) -> str:
     """File streaming sources monitor a DIRECTORY; the corpus tables are
@@ -38,7 +53,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     peek — streaming file sources need an explicit schema). Applies the same
     nanos→µs ts normalization as sources/batch.load_table."""
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     df = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
     from ..sources.batch import normalize_event_ts
 
@@ -99,5 +114,5 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus-prep pipeline (new crawl shards landing in a directory,
     each file an exactly-once unit)."""
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     return spark.readStream.schema(schema).parquet(_as_stream_dir(path))

