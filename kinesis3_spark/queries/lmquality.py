@@ -498,39 +498,41 @@ DOMAIN_LEXICON: dict[str, tuple[str, ...]] = {
 def tag_domains(docs: DataFrame) -> DataFrame:
     """(doc_id, source, domain): argmax lexicon-hit domain per document.
 
-    Plan shape: token explode in the scan stage → broadcast equi-join on
-    the term (the lexicon is model config, explicitly `F.broadcast`) →
-    per-(doc, domain) count → per-doc argmax via a window over ≤|domains|
-    rows, partitioned by doc_id (never global) → left join back so
-    zero-hit documents tag 'general'.
+    Plan shape (OPTIMIZATION_r15, guide §2.4): the lexicon is 4 domains of
+    ≤6 terms — model config, not data — so the per-doc argmax is computed
+    entirely IN THE SCAN STAGE with array built-ins: one tokenize, one
+    `size(filter(toks, t ∈ terms))` occurrence count per domain, and the
+    (hits desc, domain asc) argmax as `array_min` over (-hits, domain)
+    structs. Zero shuffles and zero token fan-out, vs the r14 shape's
+    explode → broadcast lexicon join → groupBy(doc, domain) exchange →
+    per-doc window exchange → join-back. Tie-break and the zero-hit →
+    'general' fold are unchanged (struct comparison is lexicographic, so
+    min(-hits, domain) = max hits then alphabetical; hits of a NULL text
+    come back as size(NULL) = -1, which the `< 0` guard also folds to
+    'general', matching the old no-explode-rows behaviour).
     """
-    spark = docs.sparkSession
-    lex_rows = [
-        (term, domain)
-        for domain, terms in sorted(DOMAIN_LEXICON.items())
-        for term in terms
-    ]
-    lexicon = F.broadcast(spark.createDataFrame(lex_rows, "term string, domain string"))
-    hits = (
-        docs.select("doc_id", F.explode(T.tokenize("text")).alias("term"))
-        .join(lexicon, "term")
-        .groupBy("doc_id", "domain")
-        .agg(F.count("*").alias("hits"))
-    )
-    best = (
-        hits.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.col("hits").desc(), F.col("domain")
+    with_toks = docs.select("doc_id", "source", T.tokenize("text").alias("__toks"))
+
+    def _hits(terms: tuple[str, ...]) -> Column:
+        return F.size(F.filter(F.col("__toks"), lambda t: t.isin(*terms)))
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-_hits(terms)).alias("neg_hits"),
+                    F.lit(domain).alias("domain"),
                 )
-            ),
+                for domain, terms in sorted(DOMAIN_LEXICON.items())
+            ]
         )
-        .where(F.col("rk") == 1)
-        .select("doc_id", "domain")
     )
-    return docs.select("doc_id", "source").join(best, "doc_id", "left").select(
-        "doc_id", "source", F.coalesce(F.col("domain"), F.lit("general")).alias("domain")
+    return with_toks.select(
+        "doc_id",
+        "source",
+        F.when(best["neg_hits"] < 0, best["domain"])
+        .otherwise(F.lit("general"))
+        .alias("domain"),
     )
 
 

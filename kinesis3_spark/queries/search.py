@@ -72,6 +72,15 @@ def bm25_scores(d: DataFrame, terms, k1: float = _K1,
     from pyspark.sql.window import Window
 
     if toks_df is None:
+        # Deliberately NOT persisted here (OPTIMIZATION_r15, measured):
+        # with stats=None the stats aggregate and the tf pass both
+        # tokenize, but the stats pass only consumes size(toks) — column
+        # pruning keeps its scan narrow, and an interleaved A/B of a
+        # persisted shared relation measured a wash at sf0.1 (min 0.425
+        # vs 0.405 s) while materializing a tokenized corpus LARGER than
+        # the raw text (bad trade at scale, guide §5). The PRF caller
+        # persists its own toks_df because it has 3+ consumers plus
+        # collect-time jobs — that is the break-even.
         toks_df = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
     base = toks_df.select(
         "doc_id",

@@ -197,23 +197,27 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS → left-semi, NOT EXISTS → left-anti, both equi-keyed on
-    orderkey with the suppkey inequality as a residual — the same orderkey
-    hash-partitioning serves the build join, the semi, and the anti, so
-    the exchange is computed once and reused. The late relation is
-    collapsed to DISTINCT (orderkey, suppkey) before the subquery joins so
-    multi-line orders don't fan out.
+    """Per-order-aggregate form of the EXISTS / NOT EXISTS pair
+    (OPTIMIZATION_r15, VERDICT-r14 item 6):
 
-    OPTIMIZATION_r14: `late` feeds both the l1 base and the anti side;
-    it is persisted per call so the lineitem⋈orders+distinct subtree
-    builds once instead of once per alias (interleaved min-of-6 A/B:
-    1.33 vs 1.29 s plain — free locally, and the duplicated heavy join
-    is what hurts at scale). A per-order-aggregate rewrite of the
-    EXISTS/NOT EXISTS (min≠max over suppliers / late-supplier count=1,
-    single-key semi joins, no residual) was ALSO tried and measured
-    consistently SLOWER at sf0.1 (1.83 vs 1.64 same-session; reverted —
-    the residual-join shape lets the one orderkey exchange serve all
-    three joins, which beats the extra aggregation passes)."""
+    - NOT EXISTS (another late supplier on the order) ⇔ the order has
+      exactly ONE distinct late supplier ⇒ aggregate the DISTINCT
+      (orderkey, suppkey) late relation per order; `count = 1` keeps the
+      order and `min(suppkey)` IS that supplier.
+    - EXISTS (another supplier on the order) ⇔ the order has ≥ 2 distinct
+      suppliers overall ⇒ `min(l_suppkey) < max(l_suppkey)` per order
+      (the late supplier is on the order by construction, so a second
+      distinct supplier always differs from it) ⇒ single-key left-semi.
+
+    Both aggregates are map-side combinable on l_orderkey — strictly fewer
+    shuffled bytes than the r14 residual-join shape (which re-shipped the
+    full lineitem pair list into a semi and the late list into an anti
+    with suppkey-inequality residuals). Same-session interleaved A/B:
+    0.907× at sf0.1 and 0.813× at a synthetic ~sf1 (10× key-shifted
+    replicas), so the aggregate shape wins at both scales; the r14 round
+    had measured the non-persisted variant slower and reverted it — the
+    difference is that this form needs no persist and no residual scan.
+    """
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
     late = (
@@ -221,25 +225,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .persist()
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    cand = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late"), F.min("l_suppkey").alias("l_suppkey"))
+        .where(F.col("n_late") == 1)
     )
-    l3 = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx"))
+        .where(F.col("mn") < F.col("mx"))
+        .select("l_orderkey")
     )
-    l1 = late.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2_orderkey"))
-        & (F.col("l_suppkey") != F.col("o2_suppkey")),
-        "left_semi",
-    ).join(
-        l3,
-        (F.col("l_orderkey") == F.col("o3_orderkey"))
-        & (F.col("l_suppkey") != F.col("o3_suppkey")),
-        "left_anti",
-    )
+    l1 = cand.join(multi, "l_orderkey", "left_semi")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
