@@ -102,6 +102,37 @@ def ngram_hashes(col, n: int) -> Column:
     return _let(tokenize(col), lambda toks: ngram_hashes_from_tokens(toks, n))
 
 
+def run_starts(s: Column) -> Column:
+    """1-based indices where a new run begins in the SORTED array `s` —
+    the scan-stage building block for within-row frequency statistics
+    (OPTIMIZATION_r15): per-group counts over one row's elements never
+    need an explode + exchange; sort the array and read counts off the
+    runs. NULL-safe: a NULL `s` yields NULL (callers explode or guard).
+    Empty-safe: `sequence(1, 0)` would generate a DESCENDING [1, 0] and
+    index 0 is an element_at error, so empty arrays short-circuit."""
+    return F.when(
+        F.size(s) > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size(s)),
+            lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def run_lengths(s: Column, st: Column) -> Column:
+    """Run lengths matching `run_starts(s)` == `st`, via zip_with on the
+    shifted starts (the sentinel end is size(s)+1). size(result) ==
+    size(st); element k is the multiplicity of the k-th distinct value.
+    Empty-safe like run_starts (zip_with would null-pad the sentinel)."""
+    ends = F.concat(
+        F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+        F.array(F.size(s) + 1),
+    )
+    return F.when(
+        F.size(st) > 0, F.zip_with(ends, st, lambda e, b: e - b)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def punct_ratio(col) -> Column:
     """Fraction of characters that are punctuation."""
     c = _c(col)

@@ -157,6 +157,13 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never fires). Pipeline: explode -> hash agg (doc,term) -> window by
     # term -> window by doc — three key exchanges, each carrying
     # |distinct (doc,term)| rows, not |tokens|.
+    # OPTIMIZATION_r15 tried the scan-stage sorted-run tf here (the
+    # text_repetition_signals rewrite): measured SLOWER (interleaved
+    # min-of-8: 0.796 old vs 0.857 s) — per-doc string array_sort costs
+    # more than the map-side-combined hash agg, and unlike the
+    # repetition query the df/rank windows still need their exchanges,
+    # so nothing downstream is saved. Reverted; variant kept in
+    # tools/ab_variants/tfidf_terms.py.
     n_docs = d.count()  # scalar: one job over footer-only count at rest
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()

@@ -173,49 +173,76 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are emitted as exact bigints; ratios are the caller's division
     (integer outputs keep the oracle hash exact — no float boundaries).
 
-    Shape: ONE explode of both gram lengths tagged with an n marker, then
-    two-level aggregation — (doc, n, gram) count, per-doc conditional
-    aggregates — 2 keyed map-side-combined shuffles total, no per-n join
-    (the two-pipeline formulation shuffled twice the volume and joined the
-    doc-level results back; see SCALE.md on self-join/subtree duplication).
-    Grams are 64-bit token-sequence hashes (functions.text), never
-    strings, and the document tokenizes ONCE: a single _let binds the
-    token array for the size gate and both gram lengths (independent
-    ngram_hashes calls would each re-tokenize — no CSE across HOF lambda
-    boundaries, the module's own measured lesson)."""
-    from ..functions.text import _let, ngram_hashes_from_tokens
+    Shape (OPTIMIZATION_r15, guide §2.4): ZERO shuffles. Every signal is a
+    within-document statistic, so the per-doc gram counts never need to
+    leave the row: sort each doc's gram-hash array (array_sort in the scan
+    stage) and read the counts off the runs — run starts via a filtered
+    index sequence, run lengths via zip_with on the shifted starts; then
+    top2_cnt = max run length, distinct2 = #runs, dup3_cnt = n3 − #singleton
+    runs. The r14 shape exploded the tagged gram stream through a
+    (doc, n, gh) exchange and a per-doc exchange — 2 shuffles whose rows
+    scaled with the token count of the corpus. Grams stay 64-bit
+    token-sequence hashes; the document tokenizes ONCE (_let binding —
+    no CSE across HOF lambda boundaries, the module's measured lesson),
+    and the whole metric struct is emitted through a 0/1-element explode
+    so the len(toks) >= 3 gate cannot be pushed through the projection
+    and re-evaluate the tokenize (PushDownPredicates substitutes aliases
+    regardless of cost; a Generate is a pushdown barrier)."""
+    from ..functions.text import (
+        _let,
+        ngram_hashes_from_tokens,
+        run_lengths as run_lens,
+        run_starts as starts,
+    )
 
-    def tagged(toks, n: int):
-        return F.transform(
-            ngram_hashes_from_tokens(toks, n),
-            lambda h: F.struct(F.lit(n).alias("n"), h.alias("gh")),
+    def metrics(s2, s3, st2, st3, lens2, lens3):
+        return F.struct(
+            F.array_max(lens2).cast("bigint").alias("top2_cnt"),
+            F.size(s2).cast("bigint").alias("n2_grams"),
+            F.size(st2).cast("bigint").alias("distinct2"),
+            (F.size(s3) - F.size(F.filter(lens3, lambda le: le == 1)))
+            .cast("bigint")
+            .alias("dup3_cnt"),
+            F.size(s3).cast("bigint").alias("n3_grams"),
         )
 
-    empty = F.array().cast("array<struct<n:int,gh:bigint>>")
-    grams = _let(
+    empty = F.array().cast(
+        "array<struct<top2_cnt:bigint,n2_grams:bigint,"
+        "distinct2:bigint,dup3_cnt:bigint,n3_grams:bigint>>"
+    )
+    row = _let(
         T.tokenize("text"),
-        # docs under 3 tokens emit no grams and vanish at the explode,
-        # matching the oracle's len(toks) >= 3 filter
         lambda toks: F.when(
-            F.size(toks) >= 3, F.concat(tagged(toks, 2), tagged(toks, 3))
+            F.size(toks) >= 3,
+            F.array(
+                _let(
+                    F.array_sort(ngram_hashes_from_tokens(toks, 2)),
+                    lambda s2: _let(
+                        F.array_sort(ngram_hashes_from_tokens(toks, 3)),
+                        lambda s3: _let(
+                            starts(s2),
+                            lambda st2: _let(
+                                starts(s3),
+                                lambda st3: _let(
+                                    run_lens(s2, st2),
+                                    lambda lens2: _let(
+                                        run_lens(s3, st3),
+                                        lambda lens3: metrics(
+                                            s2, s3, st2, st3, lens2, lens3
+                                        ),
+                                    ),
+                                ),
+                            ),
+                        ),
+                    ),
+                )
+            ),
         ).otherwise(empty),
     )
-    ex = (
+    return (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(grams).alias("g"))
-        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gh").alias("gh"))
-    )
-    c = ex.groupBy("doc_id", "n", "gh").agg(F.count("*").alias("c"))
-    two = F.col("n") == 2
-    three = F.col("n") == 3
-    return c.groupBy("doc_id").agg(
-        F.max(F.when(two, F.col("c"))).cast("bigint").alias("top2_cnt"),
-        F.sum(F.when(two, F.col("c"))).cast("bigint").alias("n2_grams"),
-        F.count(F.when(two, F.lit(1))).cast("bigint").alias("distinct2"),
-        F.coalesce(F.sum(F.when(three & (F.col("c") > 1), F.col("c"))), F.lit(0))
-        .cast("bigint")
-        .alias("dup3_cnt"),
-        F.sum(F.when(three, F.col("c"))).cast("bigint").alias("n3_grams"),
+        .select("doc_id", F.explode(row).alias("m"))
+        .select("doc_id", "m.*")
     )
 
 

@@ -512,9 +512,20 @@ def tag_domains(docs: DataFrame) -> DataFrame:
     'general', matching the old no-explode-rows behaviour).
     """
     with_toks = docs.select("doc_id", "source", T.tokenize("text").alias("__toks"))
+    return with_toks.select(
+        "doc_id", "source", domain_expr(F.col("__toks")).alias("domain")
+    )
+
+
+def domain_expr(toks: Column) -> Column:
+    """The argmax-domain column over an ALREADY-TOKENIZED array — shared
+    by tag_domains and pipeline_dataset_card's fused composition rollup.
+    Callers must bind `toks` to a materialized projection column (not the
+    raw tokenize expression) so the regexp split is not duplicated per
+    domain."""
 
     def _hits(terms: tuple[str, ...]) -> Column:
-        return F.size(F.filter(F.col("__toks"), lambda t: t.isin(*terms)))
+        return F.size(F.filter(toks, lambda t: t.isin(*terms)))
 
     best = F.array_min(
         F.array(
@@ -527,13 +538,7 @@ def tag_domains(docs: DataFrame) -> DataFrame:
             ]
         )
     )
-    return with_toks.select(
-        "doc_id",
-        "source",
-        F.when(best["neg_hits"] < 0, best["domain"])
-        .otherwise(F.lit("general"))
-        .alias("domain"),
-    )
+    return F.when(best["neg_hits"] < 0, best["domain"]).otherwise(F.lit("general"))
 
 
 def _lexicon_values_sql() -> str:

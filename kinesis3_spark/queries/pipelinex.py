@@ -252,20 +252,42 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     via Spark's columnar cache when the card is built alongside the prep
     pipeline); the union of |sections| tiny frames is driver-negligible."""
     from ..functions import text as T
-    from .lmquality import tag_domains
+    from .lmquality import domain_expr
 
     docs = _t(spark, sf_dir, "documents")
-    toks = T.tokenize("text")
     fp = T.fingerprint(F.col("text"))
-    # OPTIMIZATION_r14 (guide §1.2): the size aggregate and the
-    # exact-dup aggregate were two separate full corpus passes over the
-    # same scan (tokenize in one, md5 fingerprint in the other); one
-    # global aggregate computes docs/tokens/dup together — same values,
-    # one pass. lang/domain keep their own passes (different groupings).
-    size_dup_rows = docs.agg(
-        F.count("*").cast("bigint").alias("docs"),
-        F.sum(F.size(toks)).cast("bigint").alias("tokens"),
-        (F.count("*") - F.count_distinct(fp)).cast("bigint").alias("dups"),
+    # OPTIMIZATION_r15 (guide §1.2/§2.3): with the domain argmax now a
+    # scan-stage expression (lmquality.domain_expr), the size, lang and
+    # domain sections all fold into ONE tiny (lang, domain) rollup —
+    # one tokenize pass, one low-cardinality map-side-combined exchange —
+    # persisted per call and re-aggregated three ways (integer-exact:
+    # sums of group counts/token-sums == the old global/per-lang/
+    # per-domain aggregates). Only the exact-dup count still needs its
+    # own pass: a global COUNT(DISTINCT md5) cannot be derived from a
+    # (lang, domain) rollup. 3 corpus scans, 2 tokenizes (r14 shape) →
+    # 2 scans, 1 tokenize.
+    base = docs.select("lang", T.tokenize("text").alias("__toks"))
+    rollup = (
+        base.select(
+            "lang",
+            domain_expr(F.col("__toks")).alias("domain"),
+            F.size("__toks").alias("ntok"),
+        )
+        .groupBy("lang", "domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("ntok").cast("bigint").alias("ntoks"),
+        )
+        .persist()
+    )
+    dup_rows = docs.agg(
+        (F.count("*") - F.count_distinct(fp)).cast("bigint").alias("n")
+    ).select(
+        F.lit("dedup").alias("section"), F.lit("exact_dup_docs").alias("key"), "n"
+    )
+    size_rows = rollup.agg(
+        F.sum("n").cast("bigint").alias("docs"),
+        F.sum("ntoks").cast("bigint").alias("tokens"),
     ).select(
         F.explode(
             F.array(
@@ -279,22 +301,18 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("tokens").alias("key"),
                     F.col("tokens").alias("n"),
                 ),
-                F.struct(
-                    F.lit("dedup").alias("section"),
-                    F.lit("exact_dup_docs").alias("key"),
-                    F.col("dups").alias("n"),
-                ),
             )
         ).alias("r")
     ).select("r.section", "r.key", "r.n")
-    lang_rows = docs.groupBy(F.col("lang").alias("key")).agg(
-        F.count("*").cast("bigint").alias("n")
+    lang_rows = rollup.groupBy(F.col("lang").alias("key")).agg(
+        F.sum("n").cast("bigint").alias("n")
     ).select(F.lit("lang").alias("section"), "key", "n")
-    domain_rows = tag_domains(docs).groupBy(F.col("domain").alias("key")).agg(
-        F.count("*").cast("bigint").alias("n")
+    domain_rows = rollup.groupBy(F.col("domain").alias("key")).agg(
+        F.sum("n").cast("bigint").alias("n")
     ).select(F.lit("domain").alias("section"), "key", "n")
     return (
-        size_dup_rows.unionByName(lang_rows)
+        size_rows.unionByName(dup_rows)
+        .unionByName(lang_rows)
         .unionByName(domain_rows)
         .orderBy("section", "key")
     )

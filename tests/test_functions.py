@@ -159,3 +159,39 @@ def test_chunking_reassembles_tokens(spark):
             assert len(w) <= 64
             rebuilt.extend(w if cid == last else w[:48])
         assert rebuilt == [f"w{i}t{j}" for j in range(n)], (i, n)
+
+
+def test_run_starts_and_lengths_match_brute_force(spark):
+    """run_starts/run_lengths (the scan-stage frequency primitive behind
+    text_repetition_signals' r15 zero-shuffle form) against a Python
+    brute force over assorted sorted arrays."""
+    from collections import Counter
+
+    from kinesis3_spark.functions.text import run_lengths, run_starts
+
+    cases = [
+        [],
+        [5],
+        [1, 1, 1],
+        [1, 2, 3],
+        [1, 1, 2, 2, 2, 7, 9, 9],
+        ["a", "a", "b", "c", "c", "c"],
+    ]
+    for arr in cases:
+        vals = sorted(arr)
+        lit = F.array(*[F.lit(v) for v in vals]) if vals else (
+            F.array().cast("array<int>")
+        )
+        row = (
+            spark.range(1)
+            .select(
+                run_starts(lit).alias("st"),
+                run_lengths(lit, run_starts(lit)).alias("lens"),
+            )
+            .collect()[0]
+        )
+        counts = Counter(vals)
+        distinct_in_order = sorted(counts)
+        # starts index (1-based) the first occurrence of each distinct value
+        assert [vals[i - 1] for i in row.st] == distinct_in_order, arr
+        assert row.lens == [counts[v] for v in distinct_in_order], arr
