@@ -344,6 +344,14 @@ def main() -> None:
         "n_queries": len(timings),
         "n_runs": n_runs,
         "n_errors": len(errors),
+        # Min-of-N measures the warm path; a few stateful queries pay a
+        # large run-1 cost by design (declared train-once / drain-ledger
+        # lifecycles — VERDICT r14 §wrong-2). first_run_total_sec makes
+        # that visible in the parseable line without changing the metric:
+        # it is the sum of run-1 seconds, vs `value` = sum of mins.
+        "first_run_total_sec": round(
+            sum(r[0] for r in spreads.values()), 3
+        ),
         "queries_detail": "BENCH_DETAIL.json",
     }
     # Per-query mins in the FINAL line (VERDICT r14 "Next round" #2: the
