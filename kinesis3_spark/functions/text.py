@@ -107,9 +107,10 @@ def run_starts(s: Column) -> Column:
     the scan-stage building block for within-row frequency statistics
     (OPTIMIZATION_r15): per-group counts over one row's elements never
     need an explode + exchange; sort the array and read counts off the
-    runs. NULL-safe: a NULL `s` yields NULL (callers explode or guard).
-    Empty-safe: `sequence(1, 0)` would generate a DESCENDING [1, 0] and
-    index 0 is an element_at error, so empty arrays short-circuit."""
+    runs. Empty- and NULL-safe: `sequence(1, 0)` would generate a
+    DESCENDING [1, 0] and index 0 is an element_at error, so empty
+    arrays short-circuit to [] — and since size(NULL) = -1 takes the
+    same branch, a NULL `s` also yields [] (not NULL)."""
     return F.when(
         F.size(s) > 0,
         F.filter(
